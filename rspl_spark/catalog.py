@@ -1,0 +1,57 @@
+"""Testdata catalog: loaders for the driver-generated parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings, one parquet per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst performs predicate
+pushdown and column pruning into the parquet reader — at 100 TB the scan is
+the dominant cost and pruning is the first-order optimization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one table. Column pruning/filter pushdown happen downstream.
+
+    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default — read it as long and convert to a
+    microsecond timestamp (Spark's native precision).
+    """
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for spark.sql queries."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs each registered query in Spark AND its oracle SQL in DuckDB on the same
+parquet tables, then compares: row count, column names (sorted), and an
+order-insensitive value hash (floats rounded to 6 decimals, rows
+canonically sorted).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rspl_spark.catalog import TABLES  # noqa: E402
+from rspl_spark.queries import load_registry  # noqa: E402
+from rspl_spark.session import get_spark  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        else:
+            try:
+                if df[c].dtype == object:
+                    df[c] = df[c].astype(str)
+            except Exception:
+                df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    reg = load_registry()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    spark = get_spark("oracle-check")
+    n_pass = n_fail = 0
+    for name, spec in sorted(reg.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:400]}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"okNA {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            ddf = con.sql(spec.oracle).df()
+        except Exception as e:
+            print(f"FAIL {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:400]}")
+            n_fail += 1
+            continue
+        cs, cd = canon(sdf), canon(ddf)
+        problems = []
+        if len(cs) != len(cd):
+            problems.append(f"rowcount spark={len(cs)} duck={len(cd)}")
+        if list(cs.columns) != list(cd.columns):
+            problems.append(f"cols spark={list(cs.columns)} duck={list(cd.columns)}")
+        if not problems and value_hash(cs) != value_hash(cd):
+            diff_cols = []
+            for c in cs.columns:
+                if not cs[c].equals(cd[c]):
+                    diff_cols.append(c)
+            ex = ""
+            for c in diff_cols[:2]:
+                neq = cs[c] != cd[c]
+                i = neq.idxmax()
+                ex += f" [{c}@{i}: spark={cs[c][i]!r} duck={cd[c][i]!r}]"
+            problems.append(f"hash mismatch cols={diff_cols}{ex}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(cs)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
