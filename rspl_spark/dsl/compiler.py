@@ -1,0 +1,121 @@
+"""DSL → DataFrame compiler: the stateless fragment lowers to native
+Catalyst expressions (SURVEY.md §7 step 3: "compile, don't emulate").
+
+Stream encoding: a batch DataFrame with a ``seq`` (long, total order) and a
+``value`` column — Spark DataFrames are unordered multisets, rspl streams
+are sequences, so order is explicit data (SURVEY.md §1.3).
+
+Lowering rules:
+- ``MapSP(f)``      → ``select(seq, f(value))``      (narrow, codegen'd)
+- ``FilterSP(p)``   → ``filter(p(value))``           (pushdown-eligible)
+- ``ComposeSP``     → chained transforms — Catalyst's CollapseProject /
+  CombineFilters subsume the reference's Put/Get fusion
+  (src/combinators.rs:101-120 vs. whole-stage codegen)
+- ``GenerateSP`` with a closed form → ``spark.range(n).select(expr(seq))``
+- ``BindSP(sp, f)`` with stateless sp → driver-side branch: compute the
+  first emission (``limit(1)`` on the compiled prefix), build the
+  downstream plan from it (src/combinators.rs:43-73 — control flow lives
+  in the driver, not in one static plan)
+- ``AlternateSP`` and other stateful terms → ``CompileError``; callers
+  fall back to rspl_spark.dsl.interpreter.
+
+At scale: every lowered op is a narrow transformation over the existing
+partitioning — no shuffle is introduced by the DSL layer itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rspl_spark.dsl.combinators import (
+    AlternateSP,
+    BindSP,
+    ComposeSP,
+    FilterSP,
+    GenerateSP,
+    MapSP,
+)
+from rspl_spark.dsl.core import StreamProcessor
+
+
+class CompileError(Exception):
+    """Term is outside the compilable (stateless) fragment."""
+
+
+def is_stateless(sp: StreamProcessor) -> bool:
+    if isinstance(sp, (MapSP, FilterSP)):
+        return True
+    if isinstance(sp, ComposeSP):
+        return is_stateless(sp.sp1) and is_stateless(sp.sp2)
+    return False
+
+
+def _stages(sp: StreamProcessor) -> list:
+    """Flatten compose chains into pipeline order (upstream first)."""
+    if isinstance(sp, ComposeSP):
+        return _stages(sp.sp1) + _stages(sp.sp2)
+    return [sp]
+
+
+def compile_batch(
+    sp: StreamProcessor,
+    df: DataFrame,
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Compile ``sp`` against a (seq, value) DataFrame.
+
+    Returns a DataFrame with the same two columns; ``seq`` keeps the
+    source ordinal (gaps after filters — order, not contiguity, is the
+    contract).
+    """
+    if isinstance(sp, BindSP):
+        return _compile_bind(sp, df, value_col, seq_col)
+    if not is_stateless(sp):
+        raise CompileError(
+            f"{type(sp).__name__} is stateful — use rspl_spark.dsl.interpreter"
+        )
+    out = df
+    for stage in _stages(sp):
+        v = F.col(value_col)
+        if isinstance(stage, FilterSP):
+            out = out.filter(stage.expr_fn(v))
+        elif isinstance(stage, MapSP):
+            out = out.select(F.col(seq_col), stage.expr_fn(v).alias(value_col))
+        else:  # pragma: no cover
+            raise CompileError(f"unexpected stage {type(stage).__name__}")
+    return out
+
+
+def _compile_bind(sp: BindSP, df: DataFrame, value_col: str, seq_col: str) -> DataFrame:
+    """Driver-side plan branching (src/combinators.rs:43-73): the first
+    emission of sp.sp selects — but is not part of — the output stream."""
+    if not is_stateless(sp.sp):
+        raise CompileError("bind head must be stateless for compilation")
+    head = compile_batch(sp.sp, df, value_col, seq_col)
+    first = head.orderBy(seq_col).limit(1).collect()
+    if not first:
+        # Head never emits: the bound processor is never selected; the
+        # output stream is empty (the reference would simply never Put).
+        return df.filter(F.lit(False))
+    row = first[0]
+    rest = df.filter(F.col(seq_col) > row[seq_col])
+    return compile_batch(sp.f(row[value_col]), rest, value_col, seq_col)
+
+
+def generate_range(
+    spark: SparkSession,
+    n: int,
+    index_expr,
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Closed-form ``generate`` (src/combinators.rs:156-183): materialize n
+    elements of the unfold as ``spark.range`` + expression — fully
+    parallel, no state carried."""
+    idx = F.col("id")
+    expr = index_expr(idx)
+    if not isinstance(expr, Column):
+        expr = F.lit(expr)
+    return spark.range(n).select(idx.alias(seq_col), expr.alias(value_col))

@@ -1,0 +1,66 @@
+"""Stateful DSL interpreter over Spark: runs ANY StreamProcessor term
+(alternate, multi-Get windows, FSMs, stateful generate) with exact
+reference semantics, distributed by stream key.
+
+Model (SURVEY.md §1.3 / §7 "hard parts"): an rspl stream is a *sequence*;
+Spark scale-out comes from keyed sub-streams. Each key's rows are sorted
+by ``seq`` and fed through the trampolined ``eval_sp`` inside one
+``applyInPandas`` task (Arrow-batched, not row-at-a-time Python). A single
+logical stream = one key — correct but serial, exactly the trade the
+reference's totally-ordered semantics force; at 100 TB you key the stream
+(per-user, per-session, per-device) and every key runs in parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rspl_spark.dsl.core import StreamProcessor, eval_sp
+
+_SINGLE_KEY = "__rspl_key__"
+
+
+def interpret_batch(
+    sp: StreamProcessor,
+    df: DataFrame,
+    out_type: str,
+    value_col: str = "value",
+    seq_col: str = "seq",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Run ``sp`` over each key's seq-ordered sub-stream.
+
+    Returns (key?, seq, value) where ``seq`` is the OUTPUT ordinal per key
+    (rspl output streams are fresh sequences, src/lib.rs:249).
+    ``out_type`` is the Spark DDL type of the output value (e.g. "long").
+    """
+    single = key_col is None
+    work = df.withColumn(_SINGLE_KEY, F.lit(0)) if single else df
+    kcol = _SINGLE_KEY if single else key_col
+    key_field = work.schema[kcol]
+    schema = f"`{kcol}` {key_field.dataType.simpleString()}, `{seq_col}` long, `{value_col}` {out_type}"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col, kind="mergesort")
+        key = pdf[kcol].iloc[0]
+        outs = list(eval_sp(sp, pdf[value_col].tolist()))
+        return pd.DataFrame(
+            {kcol: [key] * len(outs), seq_col: range(len(outs)), value_col: outs}
+        )
+
+    out = work.groupBy(kcol).applyInPandas(run, schema=schema)
+    if single:
+        return out.select(seq_col, value_col)
+    return out
+
+
+def to_stream_df(spark, values: Iterable, value_type: str = "long") -> DataFrame:
+    """Build a (seq, value) stream DataFrame from driver-side values —
+    the test-fixture analog of InfiniteList::cons chains
+    (src/streams/infinite_lists.rs:19-24), finite-prefix style."""
+    rows = [(i, v) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, schema=f"seq long, value {value_type}")

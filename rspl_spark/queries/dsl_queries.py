@@ -1,4 +1,170 @@
-"""Queries exercising the rspl DSL layer (Get/Put stream processors compiled
-to DataFrame ops). Filled in as the DSL lands (SURVEY.md §7 step 3)."""
+"""Oracle-gated queries exercising the rspl DSL layer (SURVEY.md §2.1).
+
+The Spark side of each query goes through the real DSL machinery
+(compile_batch / interpret_batch / generate_range); the oracle replays the
+same semantics in SQL where expressible. ``alternate`` and the FSM are
+inherently sequential (emission positions depend on data) → rows-only.
+
+The events table is the stream: seq = event_id (arrival order),
+value = the payload.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+from rspl_spark.dsl import (
+    alternate,
+    bind,
+    compile_batch,
+    compose,
+    filter_sp,
+    generate_range,
+    interpret_batch,
+    map_sp,
+)
+from rspl_spark.dsl.core import Get, Put
+from rspl_spark.queries import query
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"), F.col("value").alias("value")
+    )
+
+
+# map ∘ filter chain (R4/R5/R6), compiled to native expressions.
+
+_MAPFILTER_ORACLE = """
+SELECT event_id AS seq, ROUND(value * 2, 6) AS value
+FROM events WHERE value > 100
+ORDER BY seq
+"""
+
+
+@query("q_dsl_map_filter", oracle=_MAPFILTER_ORACLE, tags=("dsl",))
+def q_dsl_map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = compose(filter_sp(lambda v: v > 100), map_sp(lambda v: v * 2))
+    out = compile_batch(sp, _event_stream(spark, sf_dir))
+    return out.select("seq", F.round("value", 6).alias("value")).orderBy("seq")
+
+
+# generate (R9) closed form: spark.range lowering.
+
+_GENERATE_ORACLE = """
+SELECT i AS seq, CAST((i * i) % 97 AS BIGINT) AS value
+FROM GENERATE_SERIES(0, 9999) t(i)
+ORDER BY seq
+"""
+
+
+@query("q_dsl_generate", oracle=_GENERATE_ORACLE, tags=("dsl",))
+def q_dsl_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return generate_range(spark, 10000, lambda i: (i * i) % 97).orderBy("seq")
+
+
+# bind (R8): first-value-driven plan branching, driver-side.
+
+_BIND_ORACLE = """
+WITH head AS (SELECT value FROM events ORDER BY event_id LIMIT 1),
+     rest AS (SELECT event_id, value FROM events
+              WHERE event_id > (SELECT MIN(event_id) FROM events))
+SELECT event_id AS seq,
+       ROUND(CASE WHEN (SELECT value FROM head) > 100
+                  THEN value ELSE value + 1000 END, 6) AS value
+FROM rest
+WHERE (SELECT value FROM head) <= 100 OR value > 200
+ORDER BY seq
+"""
+
+
+@query("q_dsl_bind", oracle=_BIND_ORACLE, tags=("dsl",))
+def q_dsl_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = bind(
+        map_sp(lambda v: v > 100),
+        lambda big: filter_sp(lambda v: v > 200) if big else map_sp(lambda v: v + 1000),
+    )
+    out = compile_batch(sp, _event_stream(spark, sf_dir))
+    return out.select("seq", F.round("value", 6).alias("value")).orderBy("seq")
+
+
+# Multi-Get window (basic.rs sp_aux generalized): pairwise swap via the
+# stateful interpreter; oracle replays it with window arithmetic.
+
+_SWAP_ORACLE = """
+SELECT CAST(2 * (rn // 2) + (1 - rn % 2) AS BIGINT) AS seq,
+       ROUND(value, 6) AS value
+FROM (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+) t
+WHERE rn < n - (n % 2)
+ORDER BY seq
+"""
+
+
+@query("q_dsl_pairwise_swap", oracle=_SWAP_ORACLE, tags=("dsl",))
+def q_dsl_pairwise_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def swap_forever():
+        return Get(lambda n1: Get(lambda n2: Put(n2, lambda: Put(n1, swap_forever))))
+
+    out = interpret_batch(swap_forever(), _event_stream(spark, sf_dir), "double")
+    return out.select("seq", F.round("value", 6).alias("value")).orderBy("seq")
+
+
+# alternate (R7): emission-position round-robin — inherently sequential,
+# not SQL-expressible → rows-only check (driver records weaker gate).
+
+
+@query("q_dsl_alternate", oracle=None, tags=("dsl",))
+def q_dsl_alternate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = alternate(filter_sp(lambda v: v > 250), filter_sp(lambda v: v < 250))
+    out = interpret_batch(sp, _event_stream(spark, sf_dir), "double")
+    return out.select("seq", F.round("value", 6).alias("value")).orderBy("seq")
+
+
+# Event-driven Mealy FSM (tests/events.rs pattern) on the real event_type
+# stream: per-user shift-machine where 'signup' arms, 'error' disarms;
+# emissions carry the sign. Sequential per key → interpreter, keyed by
+# user (the scale-out model). Rows-only.
+
+
+@query("q_dsl_fsm_keyed", oracle=None, tags=("dsl", "fsm"))
+def q_dsl_fsm_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def default():
+        def transition(ev):
+            kind, v = ev
+            if kind == "signup":
+                return Put(1.0, shifted)
+            if kind == "error":
+                return default()
+            return Put(v, default)
+
+        return Get(transition)
+
+    def shifted():
+        def transition(ev):
+            kind, v = ev
+            if kind == "signup":
+                return shifted()
+            if kind == "error":
+                return Put(1.0, default)
+            return Put(-v, shifted)
+
+        return Get(transition)
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.struct(F.col("event_type").alias("kind"), F.col("value").alias("v")).alias("value"),
+    )
+
+    sp = compose(
+        map_sp(lambda row: (row["kind"], row["v"]), py_fn=lambda row: (row["kind"], row["v"])),
+        default(),
+    )
+    out = interpret_batch(sp, e, "double", key_col="key")
+    return out.select("key", "seq", F.round("value", 6).alias("value")).orderBy("key", "seq")
