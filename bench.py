@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Headline set (BASELINE.md): scan-agg (Q1), 3-way join + top-k (Q3),
+6-way join (Q5), rollup, running-total window, as-of join, MinHash-LSH
+dedup pairs, brute-force cosine top-k, compiled DSL chain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rspl_spark.queries import load_registry
+from rspl_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_rollup",
+    "q_window_running",
+    "q_asof_join",
+    "q_minhash_lsh_pairs",
+    "q_cosine_topk_bruteforce",
+    "q_dsl_map_filter",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    reg = load_registry()
+    spark = get_spark("rspl-bench")
+    # Warm the JVM/codegen paths once on the smallest SF so measured times
+    # are query time, not first-call JIT/session setup.
+    reg["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = reg[name].fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

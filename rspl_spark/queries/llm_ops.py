@@ -112,13 +112,66 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles as an array<string> (scalar expression)."""
+    """Distinct word k-shingles as an array<string> (scalar expression).
+    Used by the exact-Jaccard verifier (explode-once path)."""
     toks = F.split(F.trim(col), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     )
+
+
+# Hashed-token shingles: md5 once per TOKEN, then a 3-token window combined
+# arithmetically — ~3x cheaper than building shingle strings and hashing
+# each (string concat + per-shingle md5 dominated the sf0.1 profile).
+# Identical formulation in the DuckDB oracle, so hash parity holds.
+_SH_C1 = 1000003
+_SH_C2 = 999983
+
+
+def _shingle_combine(th: Column) -> Column:
+    """Combine a token-hash array column into distinct 3-window shingle
+    hashes. IMPORTANT: ``th`` must be a materialized column reference —
+    Spark does not CSE subexpressions inside higher-order-function
+    lambdas, so passing the hash-array *expression* here re-evaluates it
+    per element_at → O(tokens²) md5 calls (measured 7x slowdown)."""
+    n = F.size(th)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: (
+                F.element_at(th, i) * _SH_C1
+                + F.coalesce(F.try_element_at(th, i + 1), F.lit(0).cast("long")) * _SH_C2
+                + F.coalesce(F.try_element_at(th, i + 2), F.lit(0).cast("long"))
+            )
+            % MERSENNE_P,
+        )
+    )
+
+
+def with_hashed_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh): staged projections — tokens→hashes materialized as a
+    column between stages (CollapseProject keeps multi-use non-cheap
+    producers separate, so md5 runs once per token)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    th = F.transform(toks, lambda t: portable_hash(t) % MERSENNE_P)
+    return df.select("doc_id", th.alias("th")).select(
+        "doc_id", _shingle_combine(F.col("th")).alias("sh")
+    )
+
+
+def _sql_hashed_shingles(text: str = "text") -> str:
+    th = (
+        f"LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM({text}), '\\s+'), "
+        f"t -> {_sql_hash('t')} % {MERSENNE_P})"
+    )
+    return (
+        f"LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(th) - 2, 1) + 1), "
+        f"i -> (th[i] * {_SH_C1} + COALESCE(th[i + 1], 0) * {_SH_C2} "
+        f"+ COALESCE(th[i + 2], 0)) % {MERSENNE_P}))"
+    ), th
 
 
 def _sql_shingles(text: str = "text", k: int = 3) -> str:
@@ -129,26 +182,49 @@ def _sql_shingles(text: str = "text", k: int = 3) -> str:
     )
 
 
-def minhash_cols(shingles: Column) -> list[Column]:
-    hmod = F.transform(shingles, lambda s: portable_hash(s) % MERSENNE_P)
-    out = []
-    for j, (a, b) in enumerate(MINHASH_COEFS):
-        out.append(
-            F.array_min(F.transform(hmod, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P))
-            .alias(f"mh{j}")
-        )
-    return out
+def minhash_sig(hashes: Column) -> Column:
+    """All 8 minhash slots in ONE pass: a single `aggregate` over the
+    (already-hashed) shingle array. Crucial at scale: expressing each slot
+    as its own `array_min(transform(...))` re-evaluates the shingle array
+    8× (measured 8x slower at sf0.1)."""
+    init = F.array(*[F.lit(MERSENNE_P).cast("long")] * len(MINHASH_COEFS))
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(
+                    F.element_at(acc, j + 1), (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+                )
+                for j, (a, b) in enumerate(MINHASH_COEFS)
+            ]
+        ),
+    )
+
+
+def minhash_cols(sig_arr: Column) -> list[Column]:
+    return [
+        F.element_at(sig_arr, j + 1).alias(f"mh{j}") for j in range(len(MINHASH_COEFS))
+    ]
 
 
 def _sql_minhash(j: int) -> str:
     a, b = MINHASH_COEFS[j]
-    hmod = f"LIST_TRANSFORM(sh, s -> {_sql_hash('s')} % {MERSENNE_P})"
-    return f"LIST_MIN(LIST_TRANSFORM({hmod}, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{j}"
+    return f"LIST_MIN(LIST_TRANSFORM(sh, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{j}"
+
+
+def _sql_sig_source() -> str:
+    """Subquery producing (doc_id, sh) with sh = hashed 3-token shingles."""
+    sh_expr, th_expr = _sql_hashed_shingles()
+    return (
+        f"(SELECT doc_id, {sh_expr} AS sh "
+        f"FROM (SELECT doc_id, {th_expr} AS th FROM documents) th_t)"
+    )
 
 
 _MINHASH_ORACLE = f"""
 SELECT doc_id, {", ".join(_sql_minhash(j) for j in range(8))}
-FROM (SELECT doc_id, {_sql_shingles()} AS sh FROM documents) t
+FROM {_sql_sig_source()} t
 ORDER BY doc_id
 """
 
@@ -157,8 +233,9 @@ ORDER BY doc_id
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", _shingles(F.col("text")).alias("sh"))
-        .select("doc_id", *minhash_cols(F.col("sh")))
+        with_hashed_shingles(d)
+        .select("doc_id", minhash_sig(F.col("sh")).alias("sig"))
+        .select("doc_id", *minhash_cols(F.col("sig")))
         .orderBy("doc_id")
     )
 
@@ -170,7 +247,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_PAIRS_ORACLE = f"""
 WITH sig AS (
   SELECT doc_id, {", ".join(_sql_minhash(j) for j in range(8))}
-  FROM (SELECT doc_id, {_sql_shingles()} AS sh FROM documents) t
+  FROM {_sql_sig_source()} t
 ),
 bands AS (
   SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig UNION ALL
@@ -200,8 +277,10 @@ ORDER BY c.doc_a, c.doc_b
 @query("q_minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE, tags=("llm", "dedup"))
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = d.select("doc_id", _shingles(F.col("text")).alias("sh")).select(
-        "doc_id", *minhash_cols(F.col("sh"))
+    sig = (
+        with_hashed_shingles(d)
+        .select("doc_id", minhash_sig(F.col("sh")).alias("sig"))
+        .select("doc_id", *minhash_cols(F.col("sig")))
     )
     sig.cache()
     bands = None
