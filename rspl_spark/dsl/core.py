@@ -68,6 +68,34 @@ def put(value: Any, lazy_tail: Callable[[], StreamProcessor]) -> Put:
     return Put(value, lazy_tail)
 
 
+def run_prefix(sp: StreamProcessor, values: Iterable[Any]) -> tuple[list, StreamProcessor]:
+    """Feed a finite prefix through ``sp``; return (outputs, residual term).
+
+    The incremental form of ``eval_sp`` used by the streaming layer: the
+    residual term is the exact continuation state after consuming the
+    prefix (Puts are drained first, per the late-tail rule), so evaluation
+    resumes seamlessly on the next micro-batch — the Spark analog of the
+    reference's blocking ``tail()`` on a channel
+    (src/streams/overeager_receivers.rs:41-49).
+    """
+    outs: list = []
+    it = iter(values)
+    while True:
+        s = sp.step()
+        if isinstance(s, Put):
+            outs.append(s.value)
+            sp = s.lazy_tail()
+            continue
+        if isinstance(s, Get):
+            try:
+                a = next(it)
+            except StopIteration:
+                return outs, s
+            sp = s.cont(a)
+            continue
+        raise TypeError(f"not a StreamProcessor step: {s!r}")  # pragma: no cover
+
+
 def eval_sp(sp: StreamProcessor, stream: Iterable[Any]) -> Iterator[Any]:
     """Trampolined interpreter (src/lib.rs:249-285). Yields the output
     stream lazily; never recurses."""

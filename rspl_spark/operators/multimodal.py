@@ -1,0 +1,153 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (north star: multimodal support at 100 TB):
+- payload = ``binary`` column (parquet stores it page-compressed; Spark
+  never interprets it JVM-side),
+- metadata = typed struct column (prunable: metadata-only queries never
+  read payload bytes — column pruning is the whole point of splitting),
+- decode / feature-extract / frame-sample run as Arrow-batched pandas
+  iterators (``mapInPandas``): one Python worker per partition, zero-copy
+  Arrow transfer, batch size bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container — the
+decode kernel is injectable; ``fake_image_decode`` is the deterministic
+stand-in used by tests, ``decode_stub`` raises NotImplementedError with
+the integration contract. The Spark-side plumbing (schemas, batching,
+partition behavior) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                    StructField("format", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("feat_dim", IntegerType()),
+        StructField("feature", StringType()),  # hex digest of the feature block
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def decode_stub(payload: bytes, kind: str):
+    """Integration point for real codecs (PIL / librosa / pyav).
+
+    Not available in this environment — wire your codec here; it receives
+    the raw payload bytes of one media row and must return an
+    ndarray-like. Everything around it (Arrow batching, schema,
+    partitioning) is already in place.
+    """
+    raise NotImplementedError(
+        "media codecs are not installed in this container; inject a decoder "
+        "via extract_features(decode=...)"
+    )
+
+
+def fake_image_decode(payload: bytes, kind: str) -> bytes:
+    """Deterministic stand-in decoder: a 'pixel block' derived from the
+    payload by iterated hashing — stable across runs/machines."""
+    out = bytearray()
+    block = payload or b"\x00"
+    for i in range(4):
+        block = hashlib.sha256(bytes([i]) + bytes(block)).digest()
+        out.extend(block)
+    return bytes(out)
+
+
+def extract_features(
+    media: DataFrame,
+    decode: Callable[[bytes, str], bytes] = decode_stub,
+) -> DataFrame:
+    """Decode each media row and emit a fixed-dim feature record.
+
+    ``mapInPandas``: the decoder runs per Arrow batch inside the executor
+    Python worker; partitioning of the input is preserved (narrow op — at
+    scale, repartition upstream by size, not here).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode(p if p is not None else b"", k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feat_dim": [len(d) for d in decoded],
+                    "feature": [hashlib.md5(d).hexdigest() for d in decoded],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: explode frame indices 0, n, 2n, …
+    (metadata-driven — touches only ``meta.n_frames``, never payload;
+    the downstream decode of selected frames goes through
+    extract_features). Demonstrates payload/metadata pruning."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup — must not read payload (column pruning)."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("meta.width")).alias("avg_width"),
+            F.avg(F.col("meta.n_frames")).alias("avg_frames"),
+        )
+        .orderBy("kind")
+    )

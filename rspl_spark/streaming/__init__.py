@@ -1,0 +1,21 @@
+"""Structured-Streaming surface (SURVEY.md §2.2 "Streaming").
+
+- sources: file/rate streams with the reference's seeded-channel semantics
+  (overeager_receivers.rs:29-32 — the seed is the stream's first element).
+- windows: tumbling / sliding / session windows + watermarks.
+- stateful: keyed Mealy-machine template — any DSL StreamProcessor run
+  across micro-batches with its continuation carried in GroupState
+  (the streaming analog of dsl.interpreter).
+"""
+
+from rspl_spark.streaming.sources import (  # noqa: F401
+    seeded_batch_stream,
+    write_stream_chunks,
+    file_stream,
+)
+from rspl_spark.streaming.windows import (  # noqa: F401
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from rspl_spark.streaming.stateful import run_mealy_stream  # noqa: F401

@@ -1,0 +1,83 @@
+"""Keyed stateful Mealy-machine template for Structured Streaming.
+
+Runs ANY DSL StreamProcessor term per key across micro-batches: the term's
+continuation (a closure tree) is cloudpickled into GroupState between
+batches — the direct Spark analog of the reference's event-driven FSM
+pattern (tests/events.rs:32-55, states-as-continuations), where the
+evaluating thread's blocking ``tail()`` becomes "wait for the next
+micro-batch" (SURVEY.md §3 entry point 2).
+
+Scale model: one FSM per key, all keys in parallel; state store holds one
+pickled continuation per key (bounded: a term is a finite closure tree).
+A single logical stream = one key, correct but serial — the trade rspl's
+total order forces (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+from collections.abc import Callable, Iterable
+
+from pyspark import cloudpickle
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    StructField,
+    StructType,
+)
+
+from rspl_spark.dsl.core import StreamProcessor, run_prefix
+
+STATE_SCHEMA = StructType([StructField("sp", BinaryType())])
+
+
+def run_mealy_stream(
+    stream_df: DataFrame,
+    sp_factory: Callable[[], StreamProcessor],
+    out_type: str,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    value_col: str = "value",
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Apply a fresh ``sp_factory()`` term to each key's sub-stream.
+
+    Input: a streaming (or batch) DataFrame with (key, seq, value).
+    Output: (key, seq, value) where seq is the per-key OUTPUT ordinal,
+    continuing across micro-batches.
+    """
+    out_schema = f"`{key_col}` string, `{seq_col}` long, `{value_col}` {out_type}"
+
+    def proc(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            sp, n_out = pickle.loads(state.get[0])
+        else:
+            sp, n_out = sp_factory(), 0
+        outs_all = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(seq_col, kind="mergesort")
+            outs, sp = run_prefix(sp, pdf[value_col].tolist())
+            outs_all.extend(outs)
+        # cloudpickle: continuations are closure trees, stdlib pickle
+        # cannot serialize them.
+        state.update((cloudpickle.dumps((sp, n_out + len(outs_all))),))
+        if outs_all:
+            yield pd.DataFrame(
+                {
+                    key_col: [str(key[0])] * len(outs_all),
+                    seq_col: range(n_out, n_out + len(outs_all)),
+                    value_col: outs_all,
+                }
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        proc,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,74 @@
+"""Sources/sinks (SURVEY.md §2.2): csv/json scan with explicit schema,
+parquet sink roundtrip, partitioned writes, approx aggregates with
+tolerance bands (sketches are not oracle-hashable)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+
+
+def test_csv_scan_explicit_schema(spark, tmp_path):
+    p = str(tmp_path / "c.csv")
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)], "id long, s string, v double"
+    )
+    src.write.option("header", True).csv(p)
+    back = spark.read.schema("id long, s string, v double").option("header", True).csv(p)
+    assert back.schema.simpleString() == src.schema.simpleString()
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_json_scan_explicit_schema(spark, tmp_path):
+    p = str(tmp_path / "j.json")
+    src = spark.createDataFrame(
+        [(1, {"k": 5}, ["x", "y"])], "id long, m struct<k:long>, arr array<string>"
+    )
+    src.write.json(p)
+    back = spark.read.schema("id long, m struct<k:long>, arr array<string>").json(p)
+    r = back.collect()[0]
+    assert (r["id"], r["m"]["k"], list(r["arr"])) == (1, 5, ["x", "y"])
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    """Partitioned write = the scale-out layout (partition pruning on
+    read); verify pruning reaches the file listing."""
+    p = str(tmp_path / "part.parquet")
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    o.withColumn("yr", F.year("o_orderdate")).write.partitionBy("yr").parquet(p)
+    back = spark.read.parquet(p).filter(F.col("yr") == 1997)
+    assert back.count() == o.filter(F.year("o_orderdate") == 1997).count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in plan
+
+
+def test_approx_count_distinct_tolerance(spark):
+    l = load(spark, "/root/testdata/sf0.01", "lineitem")
+    exact = l.select(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = l.select(F.approx_count_distinct("l_partkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_percentile_approx_tolerance(spark):
+    l = load(spark, "/root/testdata/sf0.01", "lineitem")
+    exact = l.select(F.percentile("l_extendedprice", F.lit(0.5))).collect()[0][0]
+    approx = l.select(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.02
+
+
+def test_entry_contract_smoke(spark):
+    """The driver's smoke check: entry() produces rows with stable schema."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns[:2] == ["l_returnflag", "l_linestatus"]

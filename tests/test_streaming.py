@@ -1,0 +1,158 @@
+"""Streaming surface tests — finite-prefix assertions via the file source
+(one chunk = one micro-batch) and the memory sink, the reference's own
+test style (assert_head_eq!/assert_tail_starts_with!, streams/mod.rs:62-77)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.dsl import compose, eval_sp, filter_sp, map_sp
+from rspl_spark.dsl.core import Get, Put
+from rspl_spark.streaming import (
+    file_stream,
+    run_mealy_stream,
+    seeded_batch_stream,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+    write_stream_chunks,
+)
+from rspl_spark.streaming.sources import run_to_memory_sink
+
+
+def _chunked_values(spark, chunks, tmp, schema="key string, seq long, value long"):
+    dfs = [spark.createDataFrame(rows, schema) for rows in chunks]
+    write_stream_chunks(spark, tmp, dfs)
+    return file_stream(spark, tmp, schema)
+
+
+def test_stateless_ops_on_stream(spark):
+    """R4/R5 on a streaming DataFrame: same DataFrame ops, no watermark
+    needed (late-tail rule: stateless emission is immediate)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        chunks = [[("k", i, i) for i in range(5)], [("k", i, i) for i in range(5, 10)]]
+        stream = _chunked_values(spark, chunks, tmp)
+        out = stream.filter(F.col("value") % 2 == 0).select(
+            "seq", (F.col("value") * 10).alias("value")
+        )
+        run_to_memory_sink(out, "t_stateless")
+        rows = spark.table("t_stateless").orderBy("seq").collect()
+        assert [r["value"] for r in rows] == [0, 20, 40, 60, 80]
+
+
+def test_mealy_state_survives_microbatches(spark):
+    """The pairwise-swap FSM split across micro-batches: an element
+    buffered in state at a batch boundary must pair with the first
+    element of the NEXT batch (continuation carried in GroupState)."""
+
+    def swap_forever():
+        return Get(lambda a: Get(lambda b: Put(b, lambda: Put(a, swap_forever))))
+
+    # 3 then 2 elements: the 3rd is held in state until batch 2 arrives.
+    chunks = [[("k", 0, 1), ("k", 1, 2), ("k", 2, 3)], [("k", 3, 4), ("k", 4, 5)]]
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = _chunked_values(spark, chunks, tmp)
+        out = run_mealy_stream(stream, swap_forever, "long")
+        run_to_memory_sink(out, "t_mealy")
+        rows = spark.table("t_mealy").orderBy("seq").collect()
+        values = [r["value"] for r in rows]
+        assert values == [2, 1, 4, 3]  # pairs (1,2) and (3,4) swapped; 5 pending
+
+
+def test_mealy_keyed_parallel(spark):
+    """Independent FSMs per key — the scale-out model."""
+    sp = lambda: compose(filter_sp(lambda v: v % 2 == 0), map_sp(lambda v: v * 100))
+    chunks = [
+        [("a", 0, 1), ("a", 1, 2), ("b", 0, 4)],
+        [("a", 2, 3), ("a", 3, 6), ("b", 1, 5), ("b", 2, 8)],
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = _chunked_values(spark, chunks, tmp)
+        out = run_mealy_stream(stream, sp, "long")
+        run_to_memory_sink(out, "t_keyed")
+        got = {
+            k: [
+                r["value"]
+                for r in spark.table("t_keyed").filter(F.col("key") == k).orderBy("seq").collect()
+            ]
+            for k in ("a", "b")
+        }
+        assert got["a"] == list(eval_sp(sp(), [1, 2, 3, 6]))  # [200, 600]
+        assert got["b"] == list(eval_sp(sp(), [4, 5, 8]))  # [400, 800]
+
+
+def test_tumbling_window_stream_equals_batch(spark):
+    schema = "key string, ts timestamp, value double"
+    rows = [
+        ("k", f"2024-01-01 00:{m:02d}:00", float(m)) for m in range(0, 30, 3)
+    ]
+    batch = spark.createDataFrame(rows, "key string, ts string, value double").select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    aggs = {"n": F.count(F.lit(1)), "total": F.sum("value")}
+    expected = {
+        (str(r["win_start"]), r["n"], r["total"])
+        for r in tumbling_agg(batch, "ts", "10 minutes", aggs).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [batch.limit(5), batch.subtract(batch.limit(5))])
+        stream = file_stream(spark, tmp, schema)
+        out = tumbling_agg(stream, "ts", "10 minutes", aggs, watermark="5 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tumbling")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (str(r["win_start"]), r["n"], r["total"])
+            for r in spark.table("t_tumbling").collect()
+        }
+    assert got == expected
+
+
+def test_sliding_and_session_windows_batch_semantics(spark):
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 00:04:00", 2.0),
+        ("a", "2024-01-01 00:20:00", 3.0),
+        ("b", "2024-01-01 00:01:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts string, value double").select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    slid = sliding_agg(df, "ts", "10 minutes", "5 minutes", {"n": F.count(F.lit(1))}, keys=["key"])
+    # events at 0:00 and 0:04 share windows [-5,5) and [0,10)
+    a_windows = {
+        (str(r["win_start"]), r["n"]) for r in slid.filter(F.col("key") == "a").collect()
+    }
+    assert ("2024-01-01 00:00:00", 2) in a_windows
+    sess = session_agg(df, "ts", "10 minutes", {"n": F.count(F.lit(1))}, keys=["key"])
+    sessions = {
+        (r["key"], r["n"]) for r in sess.collect()
+    }
+    # 'a' splits into two sessions (gap > 10min), 'b' has one
+    assert sessions == {("a", 2), ("a", 1), ("b", 1)}
+
+
+def test_seeded_stream_semantics(spark):
+    """overeager_receivers.rs:29-32: the seed is the first head and drives
+    the first decision (tests/basic.rs:32,47)."""
+    seed = spark.createDataFrame([(0, 0)], "seq long, value long")
+    rest = spark.createDataFrame([(i, i) for i in range(1, 7)], "seq long, value long")
+    stream = seeded_batch_stream(seed, rest)
+    from rspl_spark.dsl import bind, alternate, compile_batch
+    from rspl_spark.dsl.compiler import CompileError
+
+    sp = bind(
+        map_sp(lambda v: v == 0),
+        lambda b: map_sp(lambda v: v + 1) if b else map_sp(lambda v: v - 1),
+    )
+    out = compile_batch(sp, stream)
+    vals = [r["value"] for r in out.orderBy("seq").collect()]
+    assert vals == [2, 3, 4, 5, 6, 7]  # seed 0 → True branch
