@@ -54,6 +54,7 @@ def load_registry() -> dict[str, QuerySpec]:
         joins,
         llm_ops,
         relational,
+        relational2,
         windows,
     )
 

@@ -283,10 +283,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *minhash_cols(F.col("sig")))
     )
     sig.cache()
+    # Bands carry the FULL signature: the self-join on (band, h1, h2) then
+    # yields both sides' signatures in one shuffle — no second join back
+    # to the signature table (was 3 joins; the band key distributes the
+    # shuffle uniformly at scale).
     bands = None
     for band in range(4):
         part = sig.select(
             "doc_id",
+            *[f"mh{j}" for j in range(8)],
             F.lit(band).alias("band"),
             F.col(f"mh{2 * band}").alias("h1"),
             F.col(f"mh{2 * band + 1}").alias("h2"),
@@ -294,7 +299,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = part if bands is None else bands.unionByName(part)
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    matches = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0) for j in range(8)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -302,22 +310,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.h2") == F.col("b.h2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0) for j in range(8)
-    )
-    return (
-        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
-        .join(sb, cand.doc_b == F.col("sb.doc_id"))
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(8.0), 6).alias("est_jaccard"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (matches / F.lit(8.0)).alias("est_raw"),
         )
+        .groupBy("doc_a", "doc_b")  # dedup pairs colliding in >1 band
+        .agg(F.round(F.max("est_raw"), 6).alias("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

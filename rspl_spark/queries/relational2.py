@@ -1,0 +1,230 @@
+"""Second relational batch: more TPC-H-style shapes (Q4 semi-join-agg,
+Q6 filter-agg, Q7 nation-pair volume), sessionization, TF-IDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rspl_spark.catalog import load
+from rspl_spark.queries import query
+
+# Q6-style: pure filter + global agg — the fully-pushed-down scan shape.
+
+_Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("agg", "flagship"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# Q4-style: order-priority counts for orders with at least one late item
+# (semi-join + agg).
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", oracle=_Q4_ORACLE, tags=("join", "agg"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# Q7-style: shipping volume between two nations by year.
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "agg"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# Sessionization: Spark uses the native session_window operator; the
+# oracle replays it with gaps-and-islands SQL (lag + cumulative sum) —
+# two formulations, one semantics. 30-minute inactivity gap per user.
+
+_SESSION_ORACLE = """
+SELECT user_id, sess_start, sess_end, n_events, ROUND(total_value, 2) AS total_value
+FROM (
+  SELECT user_id,
+         MIN(ts) AS sess_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+         COUNT(*) AS n_events,
+         SUM(value) AS total_value
+  FROM (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+    FROM (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ) flagged
+  ) numbered
+  GROUP BY user_id, sess_id
+) sessions
+ORDER BY user_id, sess_start
+"""
+
+
+@query("q_sessionize", oracle=_SESSION_ORACLE, tags=("window", "streaming"))
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+# TF-IDF: classic text weighting over the documents corpus; top-3 terms
+# per document (explode → two aggregations → window top-k; every shuffle
+# keyed on term or doc — the standard scalable formulation).
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS n,
+         CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n_docs AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN((SELECT n FROM n_docs) / (1.0 + df.df)), 6) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * LN((SELECT n FROM n_docs) / (1.0 + df.df)) DESC,
+                                     tf.term) AS rk
+  FROM tf JOIN df ON tf.term = df.term
+) t WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@query("q_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("llm", "text"))
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar; at scale a broadcast single-row agg
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "tf",
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("doc_id")),
+        )
+    )
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / (1.0 + F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
