@@ -262,6 +262,73 @@ def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Map functions (create_map, map_keys, map_values, element_at) — outputs
+# scalarized for engine-neutral hashing.
+# --------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT event_id,
+       CAST(CARDINALITY(m) AS BIGINT) AS n_keys,
+       ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(m)), ',') AS keys_sorted,
+       m['type'][1] AS type_val,
+       m['user'][1] AS user_val
+FROM (
+  SELECT event_id,
+         MAP(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+  FROM events WHERE event_id < 100
+) t
+ORDER BY event_id
+"""
+
+
+@query("q_map_fns", oracle=_MAP_ORACLE, tags=("scalar", "map"))
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
+    )
+    return (
+        e.select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.size("m").cast("long").alias("n_keys"),
+            F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_sorted"),
+            F.element_at("m", "type").alias("type_val"),
+            F.element_at("m", "user").alias("user_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# from_json: schema-full JSON parsing (get_json_object covers the
+# path-extract form; this is the typed-struct form).
+
+_FROMJSON_ORACLE = """
+SELECT event_id,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_typed,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) * 2 AS k_doubled
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+"""
+
+
+@query("q_from_json", oracle=_FROMJSON_ORACLE, tags=("scalar", "json"))
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json(F.col("props"), "k long")
+    return (
+        e.select("event_id", parsed.alias("p"))
+        .select(
+            "event_id",
+            F.col("p.k").alias("k_typed"),
+            (F.col("p.k") * 2).alias("k_doubled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # NULL handling: coalesce / nullif / null predicates.
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,56 @@
+"""Sinks + the reference's `print` observation (R10).
+
+``print(stream, n)`` (src/streams/mod.rs:41-52) prints n elements and
+returns the REST of the stream — observation with offset tracking. Batch
+analog below; in streaming the console sink + source offsets play the
+same role.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def print_stream(df: DataFrame, n: int, seq_col: str = "seq") -> DataFrame:
+    """Print the first n elements (by seq); return the rest as a DataFrame.
+
+    Mirror of `print` (streams/mod.rs:41-52): a side-effecting take-n that
+    leaves the remainder consumable. The driver-side show() is bounded
+    (n rows), the remainder stays lazy/distributed.
+    """
+    head = df.orderBy(seq_col).limit(n)
+    head.show(n, truncate=False)
+    rows = head.select(seq_col).collect()
+    if not rows:
+        return df.filter(F.lit(False))
+    last_seq = max(r[seq_col] for r in rows)
+    return df.filter(F.col(seq_col) > last_seq)
+
+
+def to_console(stream_df: DataFrame, timeout_s: int = 60):
+    """Console sink, AvailableNow — the streaming `print`."""
+    q = (
+        stream_df.writeStream.format("console")
+        .option("numRows", 20)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def to_parquet_sink(stream_df: DataFrame, path: str, checkpoint: str, timeout_s: int = 120):
+    """File sink with checkpointing — the durable streaming output path
+    (exactly-once via checkpoint + idempotent file commits)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

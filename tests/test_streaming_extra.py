@@ -1,0 +1,108 @@
+"""Remaining streaming surface: rate source, console/parquet sinks,
+stream-stream join with watermarks, print-sink analog (R10)."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from rspl_spark.streaming import file_stream, write_stream_chunks
+from rspl_spark.streaming.sinks import print_stream, to_console, to_parquet_sink
+
+
+def test_rate_source_smoke(spark):
+    """R12 analog: the rate source is the InfiniteList generator — assert
+    it produces monotonically increasing ordinals."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    q = (
+        stream.select("value")
+        .writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("t_rate").count() < 10:
+            time.sleep(0.5)
+        vals = sorted(r["value"] for r in spark.table("t_rate").collect())
+        assert len(vals) >= 10
+        assert vals[:3] == [0, 1, 2]  # ordinals from 0, no gaps at the head
+    finally:
+        q.stop()
+
+
+def test_console_sink_smoke(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame([(i, i * 2) for i in range(5)], "seq long, value long")
+        write_stream_chunks(spark, tmp, [df])
+        q = to_console(file_stream(spark, tmp, "seq long, value long"))
+        assert q.lastProgress is not None
+
+
+def test_parquet_sink_checkpointed(spark):
+    with tempfile.TemporaryDirectory() as tmp_in, tempfile.TemporaryDirectory() as tmp_out:
+        df = spark.createDataFrame([(i, float(i)) for i in range(20)], "seq long, value double")
+        write_stream_chunks(spark, tmp_in, [df.filter(F.col("seq") < 10), df.filter(F.col("seq") >= 10)])
+        stream = file_stream(spark, tmp_in, "seq long, value double")
+        out = stream.filter(F.col("value") >= 5.0)
+        to_parquet_sink(out, tmp_out + "/data", tmp_out + "/ckpt")
+        back = spark.read.parquet(tmp_out + "/data")
+        assert back.count() == 15
+        assert back.agg(F.min("seq")).collect()[0][0] == 5
+
+
+def test_stream_stream_join_watermarked(spark):
+    """Stream-stream inner join with watermarks + time-range condition
+    (SURVEY §2.2 'stream-stream join w/ watermark')."""
+    with tempfile.TemporaryDirectory() as t1, tempfile.TemporaryDirectory() as t2:
+        clicks = spark.createDataFrame(
+            [(k, f"2024-01-01 00:{m:02d}:00") for k, m in [(1, 1), (1, 20), (2, 5)]],
+            "key long, ts_s string",
+        ).select("key", F.col("ts_s").cast("timestamp").alias("c_ts"))
+        views = spark.createDataFrame(
+            [(k, f"2024-01-01 00:{m:02d}:00") for k, m in [(1, 2), (1, 45), (2, 6)]],
+            "key long, ts_s string",
+        ).select(F.col("key").alias("v_key"), F.col("ts_s").cast("timestamp").alias("v_ts"))
+        write_stream_chunks(spark, t1, [clicks])
+        write_stream_chunks(spark, t2, [views])
+        s1 = file_stream(spark, t1, "key long, c_ts timestamp").withWatermark("c_ts", "10 minutes")
+        s2 = file_stream(spark, t2, "v_key long, v_ts timestamp").withWatermark("v_ts", "10 minutes")
+        joined = s1.join(
+            s2,
+            (F.col("key") == F.col("v_key"))
+            & (F.col("v_ts") >= F.col("c_ts"))
+            & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("t_ssjoin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["key"], str(r["c_ts"])[14:16], str(r["v_ts"])[14:16]) for r in spark.table("t_ssjoin").collect()}
+        # click@1 matches view@2; click@5 matches view@6; click@20 has no view within 5m
+        assert got == {(1, "01", "02"), (2, "05", "06")}
+
+
+def test_print_stream_returns_rest(spark, capsys):
+    """R10 semantics (streams/mod.rs:41-52): print n, return the rest;
+    the reference test pattern asserts the rest's head (tests/basic.rs)."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(6)], "seq long, value long")
+    rest = print_stream(df, 3)
+    vals = [r["value"] for r in rest.orderBy("seq").collect()]
+    assert vals == [30, 40, 50]
+    out = capsys.readouterr().out
+    assert "20" in out  # the printed head included seq 2 → value 20
+    # printing the rest again advances further (offset tracking)
+    rest2 = print_stream(rest, 2)
+    assert [r["value"] for r in rest2.collect()] == [50]
+
+
+def test_print_stream_empty(spark):
+    df = spark.createDataFrame([], "seq long, value long")
+    assert print_stream(df, 3).count() == 0
