@@ -1,0 +1,119 @@
+"""Scale patterns the 100 TB design leans on, demonstrated and asserted
+on local data: bucketed co-located joins (no shuffle), salted skew joins
+(same result, spread keys), partition-pruned scans, and DSL compilation
+directly onto streaming DataFrames."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key co-locates matching rows:
+    the sort-merge join needs NO Exchange — at 100 TB this is the
+    difference between reading and reshuffling the dataset."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        o = load(spark, "/root/testdata/sf0.001", "orders")
+        c = load(spark, "/root/testdata/sf0.001", "customer")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(
+            "b_orders", mode="overwrite"
+        )
+        c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(
+            "b_customer", mode="overwrite"
+        )
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        # and the result is right
+        expected = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_skew_join_same_result(spark):
+    """Skew pattern: one hot key. Salting the build side N ways and
+    exploding the probe side spreads the hot partition; result is
+    identical to the plain join."""
+    n_salt = 8
+    # skewed fact: 90% of rows share key 1
+    fact = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("dv"))
+
+    plain = fact.join(dim, "k").agg(F.sum(F.col("v") + F.col("dv"))).collect()[0][0]
+
+    salted_fact = fact.withColumn("salt", (F.rand(seed=7) * n_salt).cast("int"))
+    salted_dim = dim.join(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("salt")), how="cross"
+    )
+    salted = (
+        salted_fact.join(salted_dim, ["k", "salt"])
+        .agg(F.sum(F.col("v") + F.col("dv")))
+        .collect()[0][0]
+    )
+    assert salted == plain
+
+
+def test_aqe_skew_join_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_partition_pruning_in_scan(spark, tmp_path):
+    """Writing partitioned-by-year and filtering on year must prune
+    partitions at the file-listing level (PartitionFilters), reading a
+    fraction of the files."""
+    p = str(tmp_path / "o_part")
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    o.withColumn("yr", F.year("o_orderdate")).write.partitionBy("yr").parquet(p)
+    pruned = spark.read.parquet(p).filter(F.col("yr").isin(1996, 1997))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters")[1][:200]
+    years = {r["yr"] for r in pruned.select("yr").distinct().collect()}
+    assert years == {1996, 1997}
+
+
+def test_compile_dsl_onto_streaming_frame(spark):
+    """The compiled (stateless) DSL path works unchanged on a streaming
+    DataFrame — filter/select are streaming-safe narrow ops."""
+    from rspl_spark.dsl import compile_batch, compose, filter_sp, map_sp
+    from rspl_spark.streaming import file_stream, write_stream_chunks
+    from rspl_spark.streaming.sources import run_to_memory_sink
+
+    sp = compose(filter_sp(lambda v: v % 2 == 0), map_sp(lambda v: v * 7))
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame([(i, i) for i in range(10)], "seq long, value long")
+        write_stream_chunks(spark, tmp, [df])
+        stream = file_stream(spark, tmp, "seq long, value long")
+        out = compile_batch(sp, stream)
+        assert out.isStreaming
+        run_to_memory_sink(out, "t_dsl_stream")
+        vals = [r["value"] for r in spark.table("t_dsl_stream").orderBy("seq").collect()]
+        assert vals == [0, 14, 28, 42, 56]
+
+
+def test_broadcast_threshold_respected(spark):
+    """Dimension join compiles to BroadcastHashJoin under the session
+    config (the q3/q5 plans rely on it)."""
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    n = load(spark, "/root/testdata/sf0.001", "nation")
+    j = o.join(F.broadcast(n), o.o_custkey % 25 == n.n_nationkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
