@@ -182,6 +182,24 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RIGHT_ORACLE = """
+SELECT o_orderkey, c_name
+FROM customer RIGHT JOIN orders ON c_custkey = o_custkey AND c_acctbal > 9000
+ORDER BY o_orderkey
+"""
+
+
+@query("q_join_right_outer", oracle=_RIGHT_ORACLE, tags=("join",))
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (c.c_acctbal > 9000), "right")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Semi / anti joins.
 # --------------------------------------------------------------------------

@@ -485,6 +485,43 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b).orderBy("nk")
 
 
+# Multiset set-ops: EXCEPT ALL / INTERSECT ALL (bag semantics — duplicate
+# counts matter, unlike the distinct variants above).
+
+_EXCEPTALL_ORACLE = """
+SELECT pr FROM (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS pr FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT CAST(o_orderpriority AS VARCHAR) AS pr FROM orders WHERE o_orderstatus = 'F'
+) t ORDER BY pr
+"""
+
+
+@query("q_except_all", oracle=_EXCEPTALL_ORACLE, tags=("setop",))
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("pr"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("pr"))
+    return a.exceptAll(b).orderBy("pr")
+
+
+_INTERSECTALL_ORACLE = """
+SELECT pr FROM (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS pr FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT CAST(o_orderpriority AS VARCHAR) AS pr FROM orders WHERE o_orderstatus = 'F'
+) t ORDER BY pr
+"""
+
+
+@query("q_intersect_all", oracle=_INTERSECTALL_ORACLE, tags=("setop",))
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("pr"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("pr"))
+    return a.intersectAll(b).orderBy("pr")
+
+
 # Deterministic dedup-by-key: keep the row with min sort key per group
 # (dropDuplicates is nondeterministic under parallelism → use window
 # row_number, ties broken by the unique line number; SURVEY §2.2).

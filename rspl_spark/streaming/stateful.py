@@ -42,15 +42,29 @@ def run_mealy_stream(
     key_col: str = "key",
     seq_col: str = "seq",
     value_col: str = "value",
-    timeout: str = GroupStateTimeout.NoTimeout,
+    timeout_ms: int | None = None,
+    timeout_event=None,
 ) -> DataFrame:
     """Apply a fresh ``sp_factory()`` term to each key's sub-stream.
 
     Input: a streaming (or batch) DataFrame with (key, seq, value).
     Output: (key, seq, value) where seq is the per-key OUTPUT ordinal,
     continuing across micro-batches.
+
+    Feedback loops (the pelican pattern, examples/pelican.rs:306-367):
+    the reference re-injects timeout events through a second channel +
+    thread; Spark plans are acyclic, so the same behavior comes from
+    processing-time state timeouts — pass ``timeout_ms`` and a
+    ``timeout_event``: when a key sees no input for the duration, the
+    sentinel is fed to its FSM exactly as if it had arrived on the input
+    stream, and the timeout re-arms (SURVEY.md §2.1 "Feedback loop").
     """
     out_schema = f"`{key_col}` string, `{seq_col}` long, `{value_col}` {out_type}"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def proc(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.exists:
@@ -58,13 +72,20 @@ def run_mealy_stream(
         else:
             sp, n_out = sp_factory(), 0
         outs_all = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(seq_col, kind="mergesort")
-            outs, sp = run_prefix(sp, pdf[value_col].tolist())
+        if timeout_ms is not None and state.hasTimedOut:
+            # Feedback: the armed timeout fires as an input event.
+            outs, sp = run_prefix(sp, [timeout_event])
             outs_all.extend(outs)
+        else:
+            for pdf in pdfs:
+                pdf = pdf.sort_values(seq_col, kind="mergesort")
+                outs, sp = run_prefix(sp, pdf[value_col].tolist())
+                outs_all.extend(outs)
         # cloudpickle: continuations are closure trees, stdlib pickle
         # cannot serialize them.
         state.update((cloudpickle.dumps((sp, n_out + len(outs_all))),))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         if outs_all:
             yield pd.DataFrame(
                 {

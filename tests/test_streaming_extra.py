@@ -106,3 +106,56 @@ def test_print_stream_returns_rest(spark, capsys):
 def test_print_stream_empty(spark):
     df = spark.createDataFrame([], "seq long, value long")
     assert print_stream(df, 3).count() == 0
+
+
+def test_fsm_timeout_feedback(spark):
+    """Pelican feedback (examples/pelican.rs:306-367): a pedestrian-light
+    FSM arms on 'push' and needs a Timeout event to emit 'walk'. The
+    reference re-injects it via a second channel+thread; here the state
+    timeout feeds the sentinel back into the same FSM.
+
+    Chunk 1 = key 'a' gets push; chunk 2 = key 'b' data only → between
+    the two micro-batches key 'a' times out and its FSM must receive the
+    sentinel (-1) and emit walk (=99)."""
+    from rspl_spark.dsl.core import Get, Put
+    from rspl_spark.streaming import run_mealy_stream
+
+    def idle():
+        def t(ev):
+            if ev == 1:  # push button → armed, wait for timeout
+                return armed()
+            return idle()
+
+        return Get(t)
+
+    def armed():
+        def t(ev):
+            if ev == -1:  # timeout sentinel → walk signal
+                return Put(99, idle)
+            return armed()
+
+        return Get(t)
+
+    chunks = [
+        [("a", 0, 1)],  # push for 'a'
+        [("b", 0, 0), ("b", 1, 0)],  # unrelated traffic → triggers batch 2
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        dfs = [
+            spark.createDataFrame(rows, "key string, seq long, value long")
+            for rows in chunks
+        ]
+        write_stream_chunks(spark, tmp, dfs)
+        stream = file_stream(spark, tmp, "key string, seq long, value long")
+        out = run_mealy_stream(stream, idle, "long", timeout_ms=1, timeout_event=-1)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_timeout")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("t_timeout").collect()
+        got = {(r["key"], r["value"]) for r in rows}
+        assert ("a", 99) in got  # walk emitted via timeout feedback
