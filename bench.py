@@ -45,6 +45,11 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # Steady-state measurement: first run pays one-time codegen /
+        # broadcast-build / classloading; the timed run starts from a
+        # cleared cache so data-side work is fully re-executed.
+        reg[name].fn(spark, sf_dir).count()
+        spark.catalog.clearCache()
         t0 = time.time()
         n = reg[name].fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)

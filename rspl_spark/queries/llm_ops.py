@@ -586,6 +586,66 @@ def q_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-label centroids (the "training" half of IVF / one k-means step):
+# posexplode to (label, dim, value), average per cell. Shuffle keyed on
+# (label, dim) — fully parallel at any scale.
+
+_CENTROID_ORACLE = """
+SELECT label, dim, ROUND(AVG(val), 6) AS centroid, COUNT(*) AS n_vecs FROM (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM embeddings
+) t
+WHERE dim <= 8
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+@query("q_embedding_centroids", oracle=_CENTROID_ORACLE, tags=("llm", "similarity"))
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("val").cast("double").alias("val"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.avg("val").alias("c_raw"), F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("dim") <= 8)
+        .select("label", "dim", F.round("c_raw", 6).alias("centroid"), "n_vecs")
+        .orderBy("label", "dim")
+    )
+
+
+# Multimodal feature extraction in the gate (rows-only: binary payloads
+# and the deterministic fake decoder aren't SQL-expressible). Payloads are
+# synthesized from documents so the query runs on the standard testdata.
+
+
+@query("q_multimodal_features", oracle=None, tags=("llm", "multimodal"))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.multimodal import extract_features, fake_image_decode
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(90).alias("n_frames"),
+            F.lit("syn").alias("format"),
+        ).alias("meta"),
+    )
+    return extract_features(media, decode=fake_image_decode).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token counting, quality scoring, language ID heuristic,
 # document fingerprinting. All scalar codegen'd expressions.
