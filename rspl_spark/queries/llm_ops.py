@@ -419,13 +419,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float> columns, computed in double."""
+    """Cosine similarity of two array<float> columns, computed in double.
+    NULL (not DIVIDE_BY_ZERO under ANSI mode) for zero-norm vectors."""
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda s, v: s + v * v))
     nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda s, v: s + v * v))
-    return dot / (na * nb)
+    return dot / F.nullif(na * nb, F.lit(0.0))
 
 
 _SQL_COS = (

@@ -1,0 +1,41 @@
+"""Expression cosine ≡ pandas-UDF cosine on real embeddings; numpy is the
+independent referee."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+from rspl_spark.operators.similarity import cosine_expr, cosine_pandas
+
+
+def test_cosine_kernels_agree(spark):
+    e = load(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("a"))
+    b = e.select(F.col("vec_id").alias("vid2"), F.col("embedding").alias("b"))
+    pairs = a.join(b, a.vec_id == b.vid2 - 1)  # consecutive pairs
+    both = pairs.select(
+        "vec_id",
+        cosine_expr(F.col("a"), F.col("b")).alias("c_expr"),
+        cosine_pandas(
+            F.transform("a", lambda x: x.cast("double")),
+            F.transform("b", lambda x: x.cast("double")),
+        ).alias("c_pudf"),
+    ).collect()
+    assert len(both) > 10
+    for r in both:
+        assert r["c_expr"] == pytest.approx(r["c_pudf"], abs=1e-12)
+
+
+def test_cosine_against_numpy(spark):
+    rows = load(spark, "/root/testdata/sf0.001", "embeddings").limit(3).collect()
+    v0 = np.array(rows[0]["embedding"], dtype=np.float64)
+    v1 = np.array(rows[1]["embedding"], dtype=np.float64)
+    want = float(v0 @ v1 / (np.linalg.norm(v0) * np.linalg.norm(v1)))
+    df = spark.createDataFrame(
+        [(rows[0]["embedding"], rows[1]["embedding"])], "a array<float>, b array<float>"
+    )
+    got = df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    assert got == pytest.approx(want, abs=1e-9)
