@@ -25,11 +25,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "q_rollup",
     "q_window_running",
     "q_asof_join",
+    "q_sessionize",
     "q_minhash_lsh_pairs",
     "q_cosine_topk_bruteforce",
+    "q_tfidf_top_terms",
     "q_dsl_map_filter",
 ]
 

@@ -24,6 +24,7 @@ from rspl_spark.dsl.combinators import (  # noqa: F401
     filter_sp,
     generate,
     map_sp,
+    paced_generate,
 )
 from rspl_spark.dsl.compiler import compile_batch, generate_range  # noqa: F401
 from rspl_spark.dsl.interpreter import interpret_batch  # noqa: F401

@@ -127,6 +127,31 @@ class GenerateSP(StreamProcessor):
         return Put(b, lambda: GenerateSP(self.body, s2, self.index_expr))
 
 
+class PacedGenerateSP(StreamProcessor):
+    """Demand-paced unfold: one input element consumed per emission —
+    the streaming form of the reference's demand-driven generators
+    (tests/demands.rs, hics MeasureOnDemand examples/hics.rs:69-98),
+    where each consumer ``tail()`` forces exactly one state-passing
+    iteration. In Spark the "demand" stream is any ticking source (rate
+    source, unit rows); a plain ``GenerateSP`` would emit unboundedly
+    within one micro-batch."""
+
+    def __init__(self, body: Callable[[Any], tuple], state: Any):
+        self.body = body
+        self.state = state
+
+    def step(self) -> StreamProcessor:
+        def cont(_demand):
+            b, s2 = self.body(self.state)
+            return Put(b, lambda: PacedGenerateSP(self.body, s2))
+
+        return Get(cont)
+
+
+def paced_generate(body: Callable[[Any], tuple], state: Any) -> PacedGenerateSP:
+    return PacedGenerateSP(body, state)
+
+
 def map_sp(fn, expr_fn=None, py_fn=None) -> MapSP:
     return MapSP(fn, expr_fn=expr_fn, py_fn=py_fn)
 

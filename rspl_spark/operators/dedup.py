@@ -1,0 +1,223 @@
+"""Deduplication operators (SURVEY.md §2.2 LLM extensions): exact,
+MinHash+LSH, SimHash, n-gram Jaccard. Reusable API over any DataFrame
+with (id, text) — the oracle-gated queries in rspl_spark.queries.llm_ops
+are thin bindings of these to the testdata.
+
+Portability device shared with the DuckDB oracles: H(s) = bigint of the
+first 15 hex chars of md5(s) — identical in Spark (`conv`) and DuckDB
+(`CAST('0x'||... AS BIGINT)`).
+
+Scale design:
+- signatures are per-row scalar expressions (no explode → no row blowup);
+  md5 runs once per TOKEN (see with_hashed_shingles note);
+- LSH banding turns O(n²) pair search into an equi-join keyed on
+  (band, hash) — uniform shuffle distribution;
+- the exact-Jaccard verifier is the post-filter you run on LSH candidates
+  at scale, not on the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+MINHASH_COEFS = [
+    (1000000007, 12345),
+    (998244353, 54321),
+    (769230769, 98765),
+    (611949517, 13579),
+    (500000003, 24680),
+    (370000037, 11111),
+    (299999977, 77777),
+    (199999991, 55555),
+]
+
+_SH_C1 = 1000003
+_SH_C2 = 999983
+
+
+def portable_hash(col: Column) -> Column:
+    """60-bit deterministic hash identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def string_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as array<string> (explode-once paths)."""
+    toks = F.split(F.trim(col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def shingle_combine(th: Column) -> Column:
+    """Combine a token-hash array COLUMN into distinct 3-window shingle
+    hashes. ``th`` must be a materialized column reference — Spark does
+    not CSE subexpressions inside higher-order-function lambdas, so
+    passing the hash-array expression re-evaluates it per element_at →
+    O(tokens²) md5 calls (measured 7x slowdown at sf0.1)."""
+    n = F.size(th)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: (
+                F.element_at(th, i) * _SH_C1
+                + F.coalesce(F.try_element_at(th, i + 1), F.lit(0).cast("long")) * _SH_C2
+                + F.coalesce(F.try_element_at(th, i + 2), F.lit(0).cast("long"))
+            )
+            % MERSENNE_P,
+        )
+    )
+
+
+def with_hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh): staged projections — token hashes materialized as a
+    column between stages so md5 runs once per token (CollapseProject
+    keeps multi-use non-cheap producers separate)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    th = F.transform(toks, lambda t: portable_hash(t) % MERSENNE_P)
+    return df.select(id_col, th.alias("th")).select(
+        id_col, shingle_combine(F.col("th")).alias("sh")
+    )
+
+
+def minhash_sig(hashes: Column) -> Column:
+    """All k minhash slots in ONE aggregate pass over the hashed shingle
+    array (one traversal; expressing each slot separately re-evaluates
+    the array k times)."""
+    init = F.array(*[F.lit(MERSENNE_P).cast("long")] * len(MINHASH_COEFS))
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(F.element_at(acc, j + 1), (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+                for j, (a, b) in enumerate(MINHASH_COEFS)
+            ]
+        ),
+    )
+
+
+def minhash_cols(sig_arr: Column) -> list[Column]:
+    return [F.element_at(sig_arr, j + 1).alias(f"mh{j}") for j in range(len(MINHASH_COEFS))]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh7) MinHash signature table."""
+    return (
+        with_hashed_shingles(df, text_col, id_col)
+        .select(id_col, minhash_sig(F.col("sh")).alias("sig"))
+        .select(id_col, *minhash_cols(F.col("sig")))
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", n_bands: int = 4, threshold: float | None = None
+) -> DataFrame:
+    """Near-dup pairs via LSH banding over an 8-slot signature table.
+
+    Bands carry the FULL signature so the (band, h1, h2) self-join yields
+    both sides' signatures in one shuffle; pairs colliding in multiple
+    bands dedup in the final agg. Returns (doc_a, doc_b, est_jaccard).
+    """
+    n_slots = len(MINHASH_COEFS)
+    per_band = n_slots // n_bands
+    bands = None
+    for band in range(n_bands):
+        part = sig.select(
+            F.col(id_col).alias("doc_id"),
+            *[f"mh{j}" for j in range(n_slots)],
+            F.lit(band).alias("band"),
+            F.col(f"mh{per_band * band}").alias("h1"),
+            F.col(f"mh{per_band * band + 1}").alias("h2"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(n_slots)
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (matches / F.lit(float(n_slots))).alias("est_raw"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.max("est_raw"), 6).alias("est_jaccard"))
+    )
+    if threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash grouping; keeper = min id. (hash, keeper_id, n_copies)."""
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_jaccard: float = 0.1
+) -> DataFrame:
+    """Exact pairwise word-shingle Jaccard ≥ min_jaccard (the verifier)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(string_shingles(F.col(text_col))).alias("s")
+    )
+    sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= min_jaccard)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document: per-bit weighted vote of token hashes."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hs = F.transform(toks, portable_hash)
+
+    def vote_bit(i: int):
+        # closure factory, NOT a default-arg lambda: pyspark binds one
+        # lambda variable per declared parameter, so a 3-param lambda
+        # would turn `i` into a Column.
+        mask = F.lit(1 << i)
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc + F.when((h.bitwiseAND(mask)) != 0, 1).otherwise(-1),
+        )
+
+    sh = None
+    for i in range(32):
+        bit = F.when(vote_bit(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return df.select(id_col, hs.alias("hs")).select(
+        id_col, sh.cast("long").alias("simhash")
+    )

@@ -25,32 +25,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rspl_spark.catalog import load
+from rspl_spark.operators import dedup as D
+from rspl_spark.operators.dedup import (
+    MERSENNE_P,
+    MINHASH_COEFS,
+    _SH_C1,
+    _SH_C2,
+    portable_hash,
+)
+from rspl_spark.operators.similarity import cosine_expr as cosine
 from rspl_spark.queries import query
 
-# ---------------------------------------------------------------------------
-# Portable hash helpers (Spark side). DuckDB side inlined in oracle SQL:
+# The Spark-side kernels live in rspl_spark.operators.{dedup,similarity}
+# (reusable API); this module binds them to the testdata tables and pairs
+# each with its DuckDB oracle. DuckDB side of the portable hash:
 #   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT)
-# ---------------------------------------------------------------------------
-
-MERSENNE_P = 2147483647  # 2^31 - 1
-
-# (a, b) pairs for the k=8 minhash permutations — fixed seeds, public
-# small primes; same constants inlined in oracle SQL.
-MINHASH_COEFS = [
-    (1000000007, 12345),
-    (998244353, 54321),
-    (769230769, 98765),
-    (611949517, 13579),
-    (500000003, 24680),
-    (370000037, 11111),
-    (299999977, 77777),
-    (199999991, 55555),
-]
-
-
-def portable_hash(col: Column) -> Column:
-    """60-bit deterministic hash identical in Spark and DuckDB."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _sql_hash(expr: str) -> str:
@@ -72,12 +61,7 @@ ORDER BY keeper_id
 @query("q_dedup_exact", oracle=_EXACT_DEDUP_ORACLE, tags=("llm", "dedup"))
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.md5(F.col("text")).alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
-        .orderBy("keeper_id")
-    )
+    return D.exact_dedup(d).orderBy("keeper_id")
 
 
 # Normalized exact dedup: lowercase, collapse whitespace, trim — the
@@ -111,57 +95,6 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles as an array<string> (scalar expression).
-    Used by the exact-Jaccard verifier (explode-once path)."""
-    toks = F.split(F.trim(col), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
-
-
-# Hashed-token shingles: md5 once per TOKEN, then a 3-token window combined
-# arithmetically — ~3x cheaper than building shingle strings and hashing
-# each (string concat + per-shingle md5 dominated the sf0.1 profile).
-# Identical formulation in the DuckDB oracle, so hash parity holds.
-_SH_C1 = 1000003
-_SH_C2 = 999983
-
-
-def _shingle_combine(th: Column) -> Column:
-    """Combine a token-hash array column into distinct 3-window shingle
-    hashes. IMPORTANT: ``th`` must be a materialized column reference —
-    Spark does not CSE subexpressions inside higher-order-function
-    lambdas, so passing the hash-array *expression* here re-evaluates it
-    per element_at → O(tokens²) md5 calls (measured 7x slowdown)."""
-    n = F.size(th)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: (
-                F.element_at(th, i) * _SH_C1
-                + F.coalesce(F.try_element_at(th, i + 1), F.lit(0).cast("long")) * _SH_C2
-                + F.coalesce(F.try_element_at(th, i + 2), F.lit(0).cast("long"))
-            )
-            % MERSENNE_P,
-        )
-    )
-
-
-def with_hashed_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sh): staged projections — tokens→hashes materialized as a
-    column between stages (CollapseProject keeps multi-use non-cheap
-    producers separate, so md5 runs once per token)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    th = F.transform(toks, lambda t: portable_hash(t) % MERSENNE_P)
-    return df.select("doc_id", th.alias("th")).select(
-        "doc_id", _shingle_combine(F.col("th")).alias("sh")
-    )
-
-
 def _sql_hashed_shingles(text: str = "text") -> str:
     th = (
         f"LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM({text}), '\\s+'), "
@@ -180,32 +113,6 @@ def _sql_shingles(text: str = "text", k: int = 3) -> str:
         f"RANGE(1, GREATEST(LEN(STRING_SPLIT_REGEX(TRIM({text}), '\\s+')) - {k - 1}, 1) + 1), "
         f"i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT_REGEX(TRIM({text}), '\\s+'), i, i + {k - 1}), ' ')))"
     )
-
-
-def minhash_sig(hashes: Column) -> Column:
-    """All 8 minhash slots in ONE pass: a single `aggregate` over the
-    (already-hashed) shingle array. Crucial at scale: expressing each slot
-    as its own `array_min(transform(...))` re-evaluates the shingle array
-    8× (measured 8x slower at sf0.1)."""
-    init = F.array(*[F.lit(MERSENNE_P).cast("long")] * len(MINHASH_COEFS))
-    return F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.array(
-            *[
-                F.least(
-                    F.element_at(acc, j + 1), (F.lit(a) * h + F.lit(b)) % MERSENNE_P
-                )
-                for j, (a, b) in enumerate(MINHASH_COEFS)
-            ]
-        ),
-    )
-
-
-def minhash_cols(sig_arr: Column) -> list[Column]:
-    return [
-        F.element_at(sig_arr, j + 1).alias(f"mh{j}") for j in range(len(MINHASH_COEFS))
-    ]
 
 
 def _sql_minhash(j: int) -> str:
@@ -232,12 +139,7 @@ ORDER BY doc_id
 @query("q_minhash_signatures", oracle=_MINHASH_ORACLE, tags=("llm", "dedup"))
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return (
-        with_hashed_shingles(d)
-        .select("doc_id", minhash_sig(F.col("sh")).alias("sig"))
-        .select("doc_id", *minhash_cols(F.col("sig")))
-        .orderBy("doc_id")
-    )
+    return D.minhash_signatures(d).orderBy("doc_id")
 
 
 # MinHash-LSH near-dup pairs: band the 8-slot signature into 4 bands of 2,
@@ -277,48 +179,9 @@ ORDER BY c.doc_a, c.doc_b
 @query("q_minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE, tags=("llm", "dedup"))
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = (
-        with_hashed_shingles(d)
-        .select("doc_id", minhash_sig(F.col("sh")).alias("sig"))
-        .select("doc_id", *minhash_cols(F.col("sig")))
-    )
+    sig = D.minhash_signatures(d)
     sig.cache()
-    # Bands carry the FULL signature: the self-join on (band, h1, h2) then
-    # yields both sides' signatures in one shuffle — no second join back
-    # to the signature table (was 3 joins; the band key distributes the
-    # shuffle uniformly at scale).
-    bands = None
-    for band in range(4):
-        part = sig.select(
-            "doc_id",
-            *[f"mh{j}" for j in range(8)],
-            F.lit(band).alias("band"),
-            F.col(f"mh{2 * band}").alias("h1"),
-            F.col(f"mh{2 * band + 1}").alias("h2"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    matches = sum(
-        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0) for j in range(8)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (matches / F.lit(8.0)).alias("est_raw"),
-        )
-        .groupBy("doc_a", "doc_b")  # dedup pairs colliding in >1 band
-        .agg(F.round(F.max("est_raw"), 6).alias("est_jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return D.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -351,28 +214,7 @@ ORDER BY i.doc_a, i.doc_b
 @query("q_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
-    sh.cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return D.ngram_jaccard_pairs(d, min_jaccard=0.1).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -394,39 +236,12 @@ def _simhash_sql() -> str:
 @query("q_simhash", oracle=_simhash_sql(), tags=("llm", "dedup"))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    hs = F.transform(toks, portable_hash)
-    simhash = None
-    for i in range(32):
-        vote = F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when((h.bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1),
-        )
-        bit = F.when(vote >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
-    return (
-        d.select("doc_id", hs.alias("hs"))
-        .select("doc_id", simhash.cast("long").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return D.simhash(d).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
 # Embedding similarity search.
 # ---------------------------------------------------------------------------
-
-
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float> columns, computed in double.
-    NULL (not DIVIDE_BY_ZERO under ANSI mode) for zero-norm vectors."""
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda s, v: s + v * v))
-    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda s, v: s + v * v))
-    return dot / F.nullif(na * nb, F.lit(0.0))
 
 
 _SQL_COS = (

@@ -108,6 +108,40 @@ def test_print_stream_empty(spark):
     assert print_stream(df, 3).count() == 0
 
 
+def test_paced_generator_stream(spark):
+    """demands.rs over streaming: the Babylonian √2 generator paced by
+    demand ticks across micro-batches — element 10 must hit the golden
+    value (tests/demands.rs:8-13), state carried in GroupState."""
+    from rspl_spark.dsl import paced_generate
+    from rspl_spark.streaming import run_mealy_stream
+
+    sp = lambda: paced_generate(lambda x: (x, (x + 2.0 / x) / 2.0), 1.0)
+    # 11 demand ticks split across two micro-batches
+    chunks = [
+        [("g", i, 0) for i in range(6)],
+        [("g", i, 0) for i in range(6, 11)],
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        dfs = [
+            spark.createDataFrame(rows, "key string, seq long, value long")
+            for rows in chunks
+        ]
+        write_stream_chunks(spark, tmp, dfs)
+        stream = file_stream(spark, tmp, "key string, seq long, value long")
+        out = run_mealy_stream(stream, sp, "double")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_paced")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        vals = [r["value"] for r in spark.table("t_paced").orderBy("seq").collect()]
+    assert len(vals) == 11  # one emission per demand tick
+    assert abs(vals[10] - 2.0**0.5) < 1e-9  # Babylonian convergence
+
+
 def test_fsm_timeout_feedback(spark):
     """Pelican feedback (examples/pelican.rs:306-367): a pedestrian-light
     FSM arms on 'push' and needs a Timeout event to emit 'walk'. The
