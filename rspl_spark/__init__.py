@@ -17,3 +17,28 @@ Layers:
 from rspl_spark.session import get_spark  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def _register_worker_safe_pickling() -> None:
+    """Pickle the closure-bearing modules BY VALUE.
+
+    Python workers don't inherit the driver's sys.path: if the harness
+    imports this package from a file path (cwd elsewhere), functions
+    pickled by reference (eval_sp, run_prefix, Get/Put, the multimodal
+    decoders) hit ModuleNotFoundError on the worker. By-value
+    registration ships the code inside the closure instead.
+    """
+    try:
+        from pyspark import cloudpickle
+
+        from rspl_spark.dsl import combinators, core, interpreter
+        from rspl_spark.operators import multimodal, similarity
+        from rspl_spark.streaming import stateful
+
+        for m in (core, combinators, interpreter, multimodal, similarity, stateful):
+            cloudpickle.register_pickle_by_value(m)
+    except Exception:  # pragma: no cover — best-effort hardening
+        pass
+
+
+_register_worker_safe_pickling()
