@@ -1,0 +1,36 @@
+"""As-of join (SURVEY.md §2.2 "as-of (nearest earlier event)").
+
+Scalable one-pass formulation: union-free, one shuffle on the key, one
+sort on (time, tiebreaker), a conditional running-max window. NOT a
+range self-join (O(n²) per key at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    mark: Column,
+    out_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """For every row, the greatest ``ts`` at-or-before it among rows
+    where ``mark`` is non-null (e.g. ``when(type=='purchase', col('ts'))``).
+
+    One window pass per key: ROWS UNBOUNDED PRECEDING running max of the
+    marked timestamp. ``tiebreak_col`` must make the ordering total
+    (equal timestamps otherwise make frame membership nondeterministic).
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.max(mark).over(w))

@@ -1,0 +1,128 @@
+"""Text-analysis operators (SURVEY.md §2.2 LLM extensions): token/word
+counting, quality scoring, language-ID heuristic, winnowing fingerprint,
+TF-IDF. All codegen'd scalar expressions or keyed aggregations — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "de": ("der", "und", "ist", "das"),
+    "fr": ("le", "et", "est", "les"),
+    "es": ("el", "y", "es", "los"),
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document counting/ratio features (length, tokens, words,
+    stopword ratio, repetition)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    return df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-zA-Z]+"), 0))
+        .cast("long")
+        .alias("n_words"),
+        F.round(
+            F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
+            / F.length(text_col),
+            6,
+        ).alias("nonspace_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(n_tokens.cast("double") / F.size(F.array_distinct(toks)), 6).alias(
+            "repetition"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep/drop signal: length score + repetition penalty, in [0, 1]."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks).cast("double")
+    uniq = F.greatest(F.size(F.array_distinct(toks)), F.lit(1)).cast("double")
+    length_score = F.least(F.lit(1.0), n / 60)
+    rep_penalty = F.lit(1.0) - F.least(F.lit(1.0), n / uniq / 5)
+    quality = F.round(length_score * 0.5 + rep_penalty * 0.5, 6)
+    return df.select(
+        id_col,
+        quality.alias("quality"),
+        F.when(quality >= 0.5, 1).otherwise(0).alias("keep"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word-hit heuristic with a deterministic argmax over
+    LANG_MARKERS; 'unknown' when nothing hits."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    hits = {}
+    for lang, words in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    out = df.select(
+        id_col,
+        hits["en"].cast("long").alias("en_hits"),
+        hits["de"].cast("long").alias("de_hits"),
+        hits["fr"].cast("long").alias("fr_hits"),
+        hits["es"].cast("long").alias("es_hits"),
+    )
+    en, de, fr, es = (F.col(c) for c in ("en_hits", "de_hits", "fr_hits", "es_hits"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style min/max over a stride-4 rolling window of 8-char
+    shingle hashes. Scalar expression, no explode."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - 7, F.lit(1)), F.lit(4))
+    hashes = F.transform(idx, lambda i: F.md5(F.substring(F.col(text_col), i, F.lit(8))))
+    return df.select(
+        id_col,
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: explode → tf and df aggregations
+    → window top-k. Shuffles keyed on term or doc throughout."""
+    n_docs = df.count()
+    toks = df.select(id_col, F.explode(F.split(F.trim(text_col), r"\s+")).alias("term"))
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "tf", F.col("n").cast("double") / F.sum("n").over(Window.partitionBy(id_col))
+        )
+    )
+    dfreq = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / (1.0 + F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
+    )

@@ -312,16 +312,19 @@ ORDER BY event_id
 
 @query("q_asof_join", oracle=_ASOF_ORACLE, tags=("join", "asof"))
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.asof import asof_last
+
     e = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = asof_last(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        mark=F.when(F.col("event_type") == "purchase", F.col("ts")),
+        out_col="last_purchase_ts",
+        tiebreak_col="event_id",
     )
-    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     return (
-        e.withColumn("last_purchase_ts", F.max(purchase_ts).over(w))
-        .filter(F.col("event_type") == "click")
+        marked.filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts", "last_purchase_ts")
         .orderBy("event_id")
     )

@@ -467,7 +467,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document fingerprinting. All scalar codegen'd expressions.
 # ---------------------------------------------------------------------------
 
-_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+# single source of truth: constants come from the operator library so the
+# oracle SQL and Spark implementation can never drift
+from rspl_spark.operators.text import LANG_MARKERS as _LANG_MARKERS_SRC
+from rspl_spark.operators.text import STOPWORDS as _STOPWORDS
+
+_STOPWORDS = tuple(_STOPWORDS)
 
 _TEXT_STATS_ORACLE = f"""
 SELECT doc_id,
@@ -487,29 +492,9 @@ ORDER BY doc_id
 
 @query("q_text_stats", oracle=_TEXT_STATS_ORACLE, tags=("llm", "text"))
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_tokens = F.size(toks)
-    return d.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars_actual"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]+"), 0))
-        .cast("long")
-        .alias("n_words"),
-        F.round(
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-            / F.length("text"),
-            6,
-        ).alias("nonspace_ratio"),
-        F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
-            / F.greatest(n_tokens, F.lit(1)),
-            6,
-        ).alias("stopword_ratio"),
-        F.round(n_tokens.cast("double") / F.size(F.array_distinct(toks)), 6).alias("repetition"),
-    ).orderBy("doc_id")
+    from rspl_spark.operators.text import text_stats
+
+    return text_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 # Quality score: weighted combination of the stats — the "keep or drop"
@@ -533,28 +518,14 @@ ORDER BY doc_id
 
 @query("q_text_quality", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(toks).cast("double")
-    uniq = F.greatest(F.size(F.array_distinct(toks)), F.lit(1)).cast("double")
-    length_score = F.least(F.lit(1.0), n / 60)
-    rep_penalty = F.lit(1.0) - F.least(F.lit(1.0), n / uniq / 5)
-    quality = F.round(length_score * 0.5 + rep_penalty * 0.5, 6)
-    return d.select(
-        "doc_id",
-        quality.alias("quality"),
-        F.when(quality >= 0.5, 1).otherwise(0).alias("keep"),
-    ).orderBy("doc_id")
+    from rspl_spark.operators.text import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 # Language ID: n-gram/stopword-hit heuristic with a deterministic argmax.
 
-_LANG_MARKERS = {
-    "en": ("the", "and", "is", "of"),
-    "de": ("der", "und", "ist", "das"),
-    "fr": ("le", "et", "est", "les"),
-    "es": ("el", "y", "es", "los"),
-}
+_LANG_MARKERS = _LANG_MARKERS_SRC
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -588,28 +559,9 @@ ORDER BY doc_id
 
 @query("q_language_id", oracle=_LANGID_ORACLE, tags=("llm", "text"))
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    hits = {}
-    for lang, words in _LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-    df = d.select(
-        "doc_id",
-        hits["en"].cast("long").alias("en_hits"),
-        hits["de"].cast("long").alias("de_hits"),
-        hits["fr"].cast("long").alias("fr_hits"),
-        hits["es"].cast("long").alias("es_hits"),
-    )
-    en, de, fr, es = (F.col(c) for c in ("en_hits", "de_hits", "fr_hits", "es_hits"))
-    pred = (
-        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
-        .when((de >= fr) & (de >= es) & (de > 0), "de")
-        .when((fr >= es) & (fr > 0), "fr")
-        .when(es > 0, "es")
-        .otherwise("unknown")
-    )
-    return df.withColumn("pred_lang", pred).orderBy("doc_id")
+    from rspl_spark.operators.text import language_id
+
+    return language_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 # Document fingerprint: min/max over a stride-4 rolling window of 8-char
@@ -628,11 +580,6 @@ ORDER BY doc_id
 
 @query("q_doc_fingerprint", oracle=_FP_ORACLE, tags=("llm", "text"))
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)), F.lit(4))
-    hashes = F.transform(idx, lambda i: F.md5(F.substring(F.col("text"), i, F.lit(8))))
-    return d.select(
-        "doc_id",
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
-    ).orderBy("doc_id")
+    from rspl_spark.operators.text import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents")).orderBy("doc_id")

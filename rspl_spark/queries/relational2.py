@@ -328,25 +328,6 @@ ORDER BY doc_id, rk
 
 @query("q_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("llm", "text"))
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # tiny scalar; at scale a broadcast single-row agg
-    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "tf",
-            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("doc_id")),
-        )
-    )
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "term").withColumn(
-        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / (1.0 + F.col("df")))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
-        .orderBy("doc_id", "rk")
-    )
+    from rspl_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3).orderBy("doc_id", "rk")

@@ -32,6 +32,15 @@ def test_json_scan_explicit_schema(spark, tmp_path):
     assert (r["id"], r["m"]["k"], list(r["arr"])) == (1, 5, ["x", "y"])
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "o.orc")
+    src = load(spark, "/root/testdata/sf0.001", "nation")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == src.schema
+    assert back.count() == 25
+
+
 def test_parquet_sink_partitioned(spark, tmp_path):
     """Partitioned write = the scale-out layout (partition pruning on
     read); verify pruning reaches the file listing."""
