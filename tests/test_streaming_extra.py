@@ -108,6 +108,62 @@ def test_print_stream_empty(spark):
     assert print_stream(df, 3).count() == 0
 
 
+def test_stream_static_join(spark):
+    """Stream-static join: streaming fact rows enriched against a static
+    dimension — no watermark needed, the dim is broadcast per batch."""
+    from rspl_spark.catalog import load
+
+    nation = load(spark, "/root/testdata/sf0.001", "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        facts = spark.createDataFrame(
+            [(i, i % 25) for i in range(50)], "seq long, nkey int"
+        )
+        write_stream_chunks(spark, tmp, [facts])
+        stream = file_stream(spark, tmp, "seq long, nkey int")
+        joined = stream.join(nation, stream.nkey == nation.n_nationkey).select(
+            "seq", "n_name"
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("t_ss")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("t_ss").collect()
+        assert len(rows) == 50
+        assert all(r["n_name"].startswith("NATION_") for r in rows)
+
+
+def test_streaming_dedup_with_watermark(spark):
+    """Streaming exact-dedup: dropDuplicates on a key within the
+    watermark horizon — duplicate arriving in a later micro-batch is
+    suppressed (state keeps seen keys)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        c1 = spark.createDataFrame(
+            [("k1", "2024-01-01 00:01:00"), ("k2", "2024-01-01 00:02:00")],
+            "k string, ts_s string",
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+        c2 = spark.createDataFrame(
+            [("k1", "2024-01-01 00:03:00"), ("k3", "2024-01-01 00:04:00")],
+            "k string, ts_s string",
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+        write_stream_chunks(spark, tmp, [c1, c2])
+        stream = file_stream(spark, tmp, "k string, ts timestamp")
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["k"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("t_sdedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        keys = sorted(r["k"] for r in spark.table("t_sdedup").collect())
+        assert keys == ["k1", "k2", "k3"]  # second k1 dropped across batches
+
+
 def test_paced_generator_stream(spark):
     """demands.rs over streaming: the Babylonian √2 generator paced by
     demand ticks across micro-batches — element 10 must hit the golden
