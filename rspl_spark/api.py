@@ -1,0 +1,105 @@
+"""Fluent user-facing stream API — the ergonomic entry point a user of
+the reference switches to.
+
+    from rspl_spark.api import stream_of
+
+    out = (stream_of(df, value_col="value")
+           .filter(lambda v: v > 0)
+           .map(lambda v: v * 2)
+           .to_df())              # compiled if possible, else interpreted
+
+The pipeline records an rspl term (compose of combinators, reference
+semantics exactly); ``to_df`` tries the Catalyst compiler first and falls
+back to the keyed applyInPandas interpreter for stateful terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from rspl_spark.dsl.combinators import (
+    alternate as _alternate,
+    bind as _bind,
+    compose,
+    filter_sp,
+    map_sp,
+)
+from rspl_spark.dsl.compiler import CompileError, compile_batch
+from rspl_spark.dsl.core import StreamProcessor
+from rspl_spark.dsl.interpreter import interpret_batch
+
+
+class RStream:
+    """A (seq, value) DataFrame plus a pending rspl term."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        value_col: str = "value",
+        seq_col: str = "seq",
+        key_col: str | None = None,
+        _term: StreamProcessor | None = None,
+    ):
+        self._df = df
+        self._value_col = value_col
+        self._seq_col = seq_col
+        self._key_col = key_col
+        self._term = _term
+
+    def _with(self, sp: StreamProcessor) -> "RStream":
+        term = sp if self._term is None else compose(self._term, sp)
+        return RStream(self._df, self._value_col, self._seq_col, self._key_col, term)
+
+    def map(self, fn, expr_fn=None, py_fn=None) -> "RStream":
+        return self._with(map_sp(fn, expr_fn=expr_fn, py_fn=py_fn))
+
+    def filter(self, pred, expr_fn=None, py_fn=None) -> "RStream":
+        return self._with(filter_sp(pred, expr_fn=expr_fn, py_fn=py_fn))
+
+    def then(self, sp: StreamProcessor) -> "RStream":
+        """Append an arbitrary term (FSM, alternate, multi-Get window…)."""
+        return self._with(sp)
+
+    def alternate_with(self, sp: StreamProcessor) -> "RStream":
+        term = self._term if self._term is not None else map_sp(lambda x: x)
+        return RStream(
+            self._df, self._value_col, self._seq_col, self._key_col, _alternate(term, sp)
+        )
+
+    def bind(self, f) -> "RStream":
+        term = self._term if self._term is not None else map_sp(lambda x: x)
+        return RStream(
+            self._df, self._value_col, self._seq_col, self._key_col, _bind(term, f)
+        )
+
+    def to_df(self, out_type: str | None = None) -> DataFrame:
+        """Execute: compiled (native Catalyst plan) when the term allows,
+        otherwise interpreted (``out_type`` required for that path)."""
+        if self._term is None:
+            return self._df
+        if self._key_col is None:
+            try:
+                return compile_batch(self._term, self._df, self._value_col, self._seq_col)
+            except CompileError:
+                pass
+        if out_type is None:
+            raise CompileError(
+                "term is stateful (or keyed) — pass out_type for the interpreter path"
+            )
+        return interpret_batch(
+            self._term,
+            self._df,
+            out_type,
+            value_col=self._value_col,
+            seq_col=self._seq_col,
+            key_col=self._key_col,
+        )
+
+
+def stream_of(
+    df: DataFrame,
+    value_col: str = "value",
+    seq_col: str = "seq",
+    key_col: str | None = None,
+) -> RStream:
+    return RStream(df, value_col, seq_col, key_col)

@@ -72,6 +72,8 @@ def compile_batch(
     """
     if isinstance(sp, BindSP):
         return _compile_bind(sp, df, value_col, seq_col)
+    if isinstance(sp, AlternateSP):
+        return _compile_alternate_maps(sp, df, value_col, seq_col)
     if not is_stateless(sp):
         raise CompileError(
             f"{type(sp).__name__} is stateful — use rspl_spark.dsl.interpreter"
@@ -102,6 +104,32 @@ def _compile_bind(sp: BindSP, df: DataFrame, value_col: str, seq_col: str) -> Da
     row = first[0]
     rest = df.filter(F.col(seq_col) > row[seq_col])
     return compile_batch(sp.f(row[value_col]), rest, value_col, seq_col)
+
+
+def _compile_alternate_maps(
+    sp: AlternateSP, df: DataFrame, value_col: str, seq_col: str
+) -> DataFrame:
+    """Special case: ``alternate(map f, map g)`` — both children are pure
+    1-in/1-out maps, so emission index == input index and the active side
+    is simply the input ordinal's parity (SURVEY §2.1 R7: the general
+    case, where children filter, is NOT position-aligned and goes to the
+    interpreter).
+
+    Requires a global row_number over seq — an unpartitioned window
+    (single-task sort). Correct but serial; at scale prefer the keyed
+    interpreter or a precomputed dense ordinal. Catalyst still fuses the
+    per-side expressions.
+    """
+    if not (isinstance(sp.sp1, MapSP) and isinstance(sp.sp2, MapSP)):
+        raise CompileError(
+            "alternate compiles only for pure map children — use the interpreter"
+        )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.orderBy(seq_col)) - 1
+    v = F.col(value_col)
+    out = F.when(rn % 2 == 0, sp.sp1.expr_fn(v)).otherwise(sp.sp2.expr_fn(v))
+    return df.select(F.col(seq_col), out.alias(value_col))
 
 
 def generate_range(

@@ -1,0 +1,80 @@
+"""Fluent facade + alternate-maps compilation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.api import stream_of
+from rspl_spark.dsl import alternate, compile_batch, eval_sp, filter_sp, map_sp
+from rspl_spark.dsl.compiler import CompileError
+from rspl_spark.dsl.interpreter import to_stream_df
+
+
+def test_fluent_compiled(spark):
+    df = to_stream_df(spark, range(20))
+    out = (
+        stream_of(df)
+        .filter(lambda v: v % 2 == 0)
+        .map(lambda v: v * 10)
+        .to_df()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # compiled path
+    vals = [r["value"] for r in out.orderBy("seq").collect()]
+    assert vals == [v * 10 for v in range(20) if v % 2 == 0]
+
+
+def test_fluent_falls_back_to_interpreter(spark):
+    df = to_stream_df(spark, [0, 1, 2, -1, -2, 1])
+    out = (
+        stream_of(df)
+        .then(alternate(filter_sp(lambda v: v > 0), filter_sp(lambda v: v < 0)))
+        .to_df(out_type="long")
+    )
+    assert [r["value"] for r in out.orderBy("seq").collect()] == [1, -1, 1]
+
+
+def test_fluent_stateful_requires_out_type(spark):
+    df = to_stream_df(spark, [1, 2])
+    st = stream_of(df).then(alternate(filter_sp(lambda v: v > 0), filter_sp(lambda v: v < 0)))
+    with pytest.raises(CompileError):
+        st.to_df()
+
+
+def test_fluent_keyed_interpretation(spark):
+    rows = [(k, i, k * 100 + i) for k in range(3) for i in range(4)]
+    df = spark.createDataFrame(rows, "key long, seq long, value long")
+    out = (
+        stream_of(df, key_col="key")
+        .filter(lambda v: v % 2 == 0)
+        .map(lambda v: v + 1)
+        .to_df(out_type="long")
+    )
+    got = {
+        k: [r["value"] for r in out.filter(F.col("key") == k).orderBy("seq").collect()]
+        for k in range(3)
+    }
+    for k in range(3):
+        vals = [k * 100 + i for i in range(4)]
+        assert got[k] == [v + 1 for v in vals if v % 2 == 0]
+
+
+def test_alternate_maps_compiles(spark):
+    """alternate(map f, map g): position-aligned → compiled to a parity
+    expression; result must equal the pure evaluator."""
+    sp = alternate(map_sp(lambda v: v * 10), map_sp(lambda v: v + 1))
+    vals = list(range(9))
+    df = to_stream_df(spark, vals)
+    out = compile_batch(sp, df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    got = [r["value"] for r in out.orderBy("seq").collect()]
+    want = list(eval_sp(alternate(map_sp(lambda v: v * 10), map_sp(lambda v: v + 1)), vals))
+    assert got == want == [0, 2, 20, 4, 40, 6, 60, 8, 80]
+
+
+def test_alternate_with_filters_still_interpreted(spark):
+    sp = alternate(filter_sp(lambda v: v > 0), map_sp(lambda v: v))
+    with pytest.raises(CompileError):
+        compile_batch(sp, to_stream_df(spark, [1, 2]))
