@@ -33,9 +33,18 @@ def _register_worker_safe_pickling() -> None:
 
         from rspl_spark.dsl import combinators, core, interpreter
         from rspl_spark.operators import multimodal, similarity
+        from rspl_spark.streaming import llm as streaming_llm
         from rspl_spark.streaming import stateful
 
-        for m in (core, combinators, interpreter, multimodal, similarity, stateful):
+        for m in (
+            core,
+            combinators,
+            interpreter,
+            multimodal,
+            similarity,
+            stateful,
+            streaming_llm,
+        ):
             cloudpickle.register_pickle_by_value(m)
     except Exception:  # pragma: no cover — best-effort hardening
         pass

@@ -32,6 +32,86 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / F.nullif(na * nb, F.lit(0.0))
 
 
+def kmeans_fit(
+    df,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Lloyd's k-means with deterministic init (first k vectors by id).
+
+    The iterative-algorithm pattern (SURVEY §2.2: driver-side control
+    flow around distributed passes): per iteration one NARROW assignment
+    pass (centroids inlined as literal arrays — no join, no broadcast
+    exchange) + one (key, dim) aggregation for the update. Centroids stay
+    driver-side (k × d doubles); the data never leaves the cluster.
+    Distance: squared L2.
+    """
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        cid = _nearest_centroid_expr(dbl, centroids)
+        assigned = df.select(cid.alias("cid"), dbl.alias("v"))
+        updated = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("c"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # keep empty clusters
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in updated:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["c"]
+        for ci, dims in by_cid.items():
+            for d_i, val in dims.items():
+                new_centroids[ci][d_i] = val
+        centroids = new_centroids
+    return centroids
+
+
+def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_{c} ||v - c||² as a single codegen'd expression: an array of
+    (dist, cid) structs reduced with array_min (struct ordering is
+    lexicographic → min dist, ties to lowest cid)."""
+    entries = []
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(x) for x in c])
+        dist = F.aggregate(
+            F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        entries.append(F.struct(dist.alias("dist"), F.lit(ci).alias("cid")))
+    return F.array_min(F.array(*entries)).getField("cid")
+
+
+def kmeans_assign(
+    df,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(id, cid, dist2): nearest-centroid assignment — one narrow pass."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    entries = []
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(x) for x in c])
+        dist = F.aggregate(
+            F.zip_with(dbl, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        entries.append(F.struct(dist.alias("dist"), F.lit(ci).alias("cid")))
+    best = F.array_min(F.array(*entries))
+    return df.select(
+        id_col,
+        best.getField("cid").alias("cid"),
+        F.round(best.getField("dist"), 6).alias("dist2"),
+    )
+
+
 # DoubleType() (not the DDL string "double"): the string form parses the
 # DDL through the active session at import time — importable only with a
 # running SparkContext.

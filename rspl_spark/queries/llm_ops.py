@@ -434,6 +434,20 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# K-means assignment after 3 Lloyd iterations (deterministic init =
+# first k vectors). Iterative algorithm → genuinely non-SQL-expressible
+# in one statement → rows-only check (SURVEY §2.2 contract).
+
+
+@query("q_kmeans_assign", oracle=None, tags=("llm", "similarity", "iterative"))
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=8, iters=3)
+    return kmeans_assign(e, centroids).orderBy("vec_id")
+
+
 # Multimodal feature extraction in the gate (rows-only: binary payloads
 # and the deterministic fake decoder aren't SQL-expressible). Payloads are
 # synthesized from documents so the query runs on the standard testdata.

@@ -18,4 +18,7 @@ from rspl_spark.streaming.windows import (  # noqa: F401
     sliding_agg,
     tumbling_agg,
 )
-from rspl_spark.streaming.stateful import run_mealy_stream  # noqa: F401
+from rspl_spark.streaming.stateful import (  # noqa: F401
+    run_mealy_stream,
+    run_mealy_stream_tws,
+)

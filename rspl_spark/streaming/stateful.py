@@ -35,6 +35,70 @@ from rspl_spark.dsl.core import StreamProcessor, run_prefix
 STATE_SCHEMA = StructType([StructField("sp", BinaryType())])
 
 
+def run_mealy_stream_tws(
+    stream_df: DataFrame,
+    sp_factory: Callable[[], StreamProcessor],
+    out_type: str,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    value_col: str = "value",
+) -> DataFrame:
+    """Same semantics as run_mealy_stream on the MODERN backend
+    (transformWithStateInPandas, Spark 4): continuation in a ValueState.
+
+    Both backends exist on purpose: applyInPandasWithState is the widely
+    deployed API; transformWithState is where per-key timers and state
+    TTLs are headed. The term, semantics and outputs are identical.
+
+    NOTE: requires a working ``google.protobuf`` (the Python worker talks
+    to the JVM state server over protobuf) — unavailable in this test
+    container, so run_mealy_stream (applyInPandasWithState) is the
+    battle-tested default.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"`{key_col}` string, `{seq_col}` long, `{value_col}` {out_type}"
+
+    class MealyProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "mealy", StructType([StructField("sp", BinaryType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                sp, n_out = pickle.loads(self._state.get()[0])
+            else:
+                sp, n_out = sp_factory(), 0
+            outs_all = []
+            for pdf in rows:
+                pdf = pdf.sort_values(seq_col, kind="mergesort")
+                outs, sp = run_prefix(sp, pdf[value_col].tolist())
+                outs_all.extend(outs)
+            self._state.update((cloudpickle.dumps((sp, n_out + len(outs_all))),))
+            if outs_all:
+                yield pd.DataFrame(
+                    {
+                        key_col: [str(key[0])] * len(outs_all),
+                        seq_col: range(n_out, n_out + len(outs_all)),
+                        value_col: outs_all,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        MealyProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def run_mealy_stream(
     stream_df: DataFrame,
     sp_factory: Callable[[], StreamProcessor],

@@ -84,6 +84,40 @@ def test_mealy_keyed_parallel(spark):
         assert got["b"] == list(eval_sp(sp(), [4, 5, 8]))  # [400, 800]
 
 
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas talks to the JVM state server over
+    # protobuf; this container's google.protobuf install is broken.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (state-server "
+    "protocol); unavailable in this container — applyInPandasWithState "
+    "backend is the tested path",
+)
+def test_mealy_tws_backend_matches(spark):
+    """transformWithStateInPandas backend: same pairwise-swap semantics
+    across micro-batches as the applyInPandasWithState backend."""
+    from rspl_spark.streaming import run_mealy_stream_tws
+
+    def swap_forever():
+        return Get(lambda a: Get(lambda b: Put(b, lambda: Put(a, swap_forever))))
+
+    chunks = [[("k", 0, 1), ("k", 1, 2), ("k", 2, 3)], [("k", 3, 4), ("k", 4, 5)]]
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = _chunked_values(spark, chunks, tmp)
+        out = run_mealy_stream_tws(stream, swap_forever, "long")
+        run_to_memory_sink(out, "t_mealy_tws")
+        values = [r["value"] for r in spark.table("t_mealy_tws").orderBy("seq").collect()]
+        assert values == [2, 1, 4, 3]
+
+
 def test_tumbling_window_stream_equals_batch(spark):
     schema = "key string, ts timestamp, value double"
     rows = [

@@ -108,6 +108,37 @@ def test_print_stream_empty(spark):
     assert print_stream(df, 3).count() == 0
 
 
+def test_streaming_lsh_dedup_cross_batch(spark):
+    """Streaming near-dup detection: a document arriving in batch 2 that
+    near-duplicates one from batch 1 must be flagged (signatures held in
+    bucket state across micro-batches)."""
+    from rspl_spark.streaming.llm import streaming_lsh_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base + "lambda mu"  # high shingle overlap with base
+    far = "one two three four five six seven eight nine ten " * 5
+    c1 = spark.createDataFrame([(1, base), (2, far)], "doc_id long, text string")
+    c2 = spark.createDataFrame([(3, near)], "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1, c2])
+        stream = file_stream(spark, tmp, "doc_id long, text string")
+        pairs = streaming_lsh_dedup(stream, threshold=0.5)
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("t_slsh")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.table("t_slsh").collect()
+        }
+    assert (1, 3) in got  # cross-batch near-dup found
+    assert not any(2 in p for p in got)  # unrelated doc never paired
+
+
 def test_stream_static_join(spark):
     """Stream-static join: streaming fact rows enriched against a static
     dimension — no watermark needed, the dim is broadcast per batch."""
