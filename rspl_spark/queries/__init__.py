@@ -55,6 +55,7 @@ def load_registry() -> dict[str, QuerySpec]:
         llm_ops,
         relational,
         relational2,
+        relational3,
         windows,
     )
 
