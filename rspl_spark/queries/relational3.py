@@ -162,6 +162,194 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# Q8-style: market share of one nation inside a region's order volume.
+
+_Q8_ORACLE = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 6)
+         AS mkt_share
+FROM (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1k"), F.col("n_regionkey").alias("n1r"))
+    n2 = n.select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("nation"))
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1k"))
+        .join(F.broadcast(r), F.col("n1r") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2k"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# Q13-style: distribution of order counts per customer (agg of an outer
+# join agg — the histogram-of-histogram shape).
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q13_customer_distribution", oracle=_Q13_ORACLE, tags=("join", "agg"))
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# Q17-style: revenue impact of small-quantity orders vs the part's
+# average (correlated-avg → join against a per-part aggregate).
+
+_Q17_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS agg_pk, 0.5 * AVG(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey) pa
+  ON p_partkey = agg_pk
+WHERE p_brand = 'Brand#5' AND l_quantity < half_avg_qty
+"""
+
+
+@query("q17_small_qty_revenue", oracle=_Q17_ORACLE, tags=("join", "agg"))
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    pa = l.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, p.p_partkey == pa.agg_pk)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# Q22-style: customers with above-average balance and no orders
+# (scalar-subquery threshold + anti join).
+
+_Q22_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY nk
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_ORACLE, tags=("join", "agg"))
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.col("c_nationkey").cast("long").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nk")
+    )
+
+
+# Time-bucketed aggregation (the batch face of the streaming tumbling
+# window): Spark window() vs DuckDB time_bucket.
+
+_TIMEBUCKET_ORACLE = """
+SELECT win_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM (SELECT TIME_BUCKET(INTERVAL 6 HOUR, ts) AS win_start, event_type, value FROM events) t
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+@query("q_time_bucket", oracle=_TIMEBUCKET_ORACLE, tags=("window", "streaming"))
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+        .orderBy("win_start", "event_type")
+    )
+
+
 # Corpus bigram profile: top 20 word bigrams (n-gram language profile).
 
 _BIGRAM_ORACLE = """
