@@ -108,6 +108,66 @@ def test_print_stream_empty(spark):
     assert print_stream(df, 3).count() == 0
 
 
+def test_watermark_drops_late_data(spark):
+    """Late-data semantics: a row older than the watermark arriving in a
+    later micro-batch is EXCLUDED from its window's aggregate, while an
+    on-time row is counted. (The reference has no late-data notion —
+    arrival order is truth, SURVEY §2.3 — watermarking is capability
+    closure from the north star.)"""
+    from rspl_spark.streaming import tumbling_agg
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k string, ts_s string, v double").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        )
+
+    # Spark's two-phase watermark: the late-record filter of batch N uses
+    # the watermark computed after batch N-2 (filtering lags eviction by
+    # one batch) — so the advancing event and the late arrival must be
+    # separated by a full batch for the drop to be observable.
+    c1 = mk(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 00:20:00", 1.0),
+            ("a", "2024-01-01 01:30:00", 1.0),  # advances watermark to 01:20
+        ]
+    )
+    c2 = mk([("a", "2024-01-01 02:10:00", 1.0)])  # watermark now in force
+    # batch 3: one LATE row (00:40 < 01:20 watermark) + one on-time row.
+    c3 = mk(
+        [
+            ("a", "2024-01-01 00:40:00", 100.0),  # must be dropped
+            ("a", "2024-01-01 02:20:00", 1.0),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1, c2, c3])
+        stream = file_stream(spark, tmp, "k string, ts timestamp, v double")
+        agged = tumbling_agg(
+            stream,
+            "ts",
+            "1 hour",
+            {"n": F.count(F.lit(1)), "total": F.sum("v")},
+            watermark="10 minutes",
+        )
+        q = (
+            agged.writeStream.format("memory")
+            .queryName("t_late")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("t_late").collect()
+    # take the latest update per window
+    latest = {}
+    for r in rows:
+        latest[str(r["win_start"])] = (r["n"], r["total"])
+    # the late 100.0 row never lands in [00:00,01:00): count stays 2
+    assert latest["2024-01-01 00:00:00"] == (2, 2.0)
+    assert latest["2024-01-01 02:00:00"] == (2, 2.0)
+
+
 def test_streaming_lsh_dedup_cross_batch(spark):
     """Streaming near-dup detection: a document arriving in batch 2 that
     near-duplicates one from batch 1 must be flagged (signatures held in
