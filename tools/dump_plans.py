@@ -1,0 +1,47 @@
+"""Dump physical plans for the flagship queries → docs/plans/*.txt.
+
+Evidence artifacts: PushedFilters / ReadSchema / join strategies /
+exchange counts are visible without running anything.
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rspl_spark.queries import load_registry  # noqa: E402
+from rspl_spark.session import get_spark  # noqa: E402
+
+FLAGSHIPS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_asof_join",
+    "q_minhash_lsh_pairs",
+    "q_cosine_topk_bruteforce",
+    "q_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "plans")
+    os.makedirs(out_dir, exist_ok=True)
+    reg = load_registry()
+    spark = get_spark("plans")
+    for name in FLAGSHIPS:
+        df = reg[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(plan)
+        print(f"wrote {name} ({len(plan)} chars)")
+
+
+if __name__ == "__main__":
+    main()
