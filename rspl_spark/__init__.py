@@ -34,6 +34,7 @@ def _register_worker_safe_pickling() -> None:
         from rspl_spark.dsl import combinators, core, interpreter
         from rspl_spark.operators import multimodal, similarity
         from rspl_spark.streaming import llm as streaming_llm
+        from rspl_spark.streaming import pipeline as streaming_pipeline
         from rspl_spark.streaming import stateful
 
         for m in (
@@ -44,6 +45,7 @@ def _register_worker_safe_pickling() -> None:
             similarity,
             stateful,
             streaming_llm,
+            streaming_pipeline,
         ):
             cloudpickle.register_pickle_by_value(m)
     except Exception:  # pragma: no cover — best-effort hardening

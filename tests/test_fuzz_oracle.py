@@ -121,3 +121,126 @@ def test_fuzz_30_random_queries(spark, duck):
         if not sdf.equals(ddf):
             failures.append((i, sql))
     assert not failures, f"fuzz mismatches: {failures}"
+
+
+def _gen_join_query(rng: random.Random):
+    """Random orders⋈customer join with filters + group-agg."""
+    how = rng.choice(["inner", "left"])
+    cust_pred = rng.choice(
+        [None, ("c_acctbal", ">", round(rng.uniform(-500, 8000), 2))]
+    )
+    ord_pred = rng.choice(
+        [None, ("o_totalprice", "<", round(rng.uniform(50000, 450000), 2))]
+    )
+    group = rng.choice(["c_mktsegment", "o_orderpriority", "c_nationkey"])
+
+    def spark_fn(spark):
+        c = load(spark, SF, "customer")
+        o = load(spark, SF, "orders")
+        if cust_pred:
+            col, op, v = cust_pred
+            c = c.filter(F.col(col) > v if op == ">" else F.col(col) < v)
+        if ord_pred:
+            col, op, v = ord_pred
+            o = o.filter(F.col(col) < v)
+        if how == "inner":
+            j = o.join(c, o.o_custkey == c.c_custkey)
+        else:
+            j = c.join(o, o.o_custkey == c.c_custkey, "left")
+        return j.groupBy(F.col(group).cast("string").alias("g")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("a"),
+        )
+
+    cw = f" AND c_acctbal > {cust_pred[2]}" if cust_pred else ""
+    ow = f" AND o_totalprice < {ord_pred[2]}" if ord_pred else ""
+    if how == "inner":
+        frm = (
+            f"orders JOIN customer ON o_custkey = c_custkey"
+            f"{cw.replace(' AND', ' AND', 1)}{ow}"
+        )
+        sql = (
+            f"SELECT CAST({group} AS VARCHAR) AS g, COUNT(*) AS cnt, "
+            f"ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS a "
+            f"FROM orders JOIN customer ON o_custkey = c_custkey"
+            f"{(' WHERE 1=1' + cw + ow) if (cw or ow) else ''} GROUP BY {group}"
+        )
+    else:
+        on = f"o_custkey = c_custkey{ow}"
+        where = f" WHERE 1=1{cw}" if cw else ""
+        sql = (
+            f"SELECT CAST({group} AS VARCHAR) AS g, COUNT(*) AS cnt, "
+            f"ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS a "
+            f"FROM customer LEFT JOIN orders ON {on}{where} GROUP BY {group}"
+        )
+    return spark_fn, sql
+
+
+def test_fuzz_join_queries(spark, duck):
+    duck.sql(f"CREATE VIEW IF NOT EXISTS customer AS SELECT * FROM '{SF}/customer.parquet'")
+    duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
+    rng = random.Random(424242)
+    failures = []
+    for i in range(15):
+        spark_fn, sql = _gen_join_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"join fuzz mismatches: {failures}"
+
+
+def _gen_window_query(rng: random.Random):
+    fn = rng.choice(["row_number", "rank", "sum", "lag"])
+    part = rng.choice(["o_orderpriority", "o_orderstatus"])
+
+    def spark_fn(spark):
+        from pyspark.sql.window import Window
+
+        o = load(spark, SF, "orders")
+        w = Window.partitionBy(part).orderBy("o_orderdate", "o_orderkey")
+        if fn == "row_number":
+            c = F.row_number().over(w)
+        elif fn == "rank":
+            c = F.rank().over(Window.partitionBy(part).orderBy("o_orderdate"))
+        elif fn == "sum":
+            c = F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                4,
+            )
+        else:
+            c = F.round(F.lag("o_totalprice", 1).over(w), 4)
+        return o.select("o_orderkey", c.cast("double").alias("x"))
+
+    if fn == "row_number":
+        expr = f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY o_orderdate, o_orderkey)"
+    elif fn == "rank":
+        expr = f"RANK() OVER (PARTITION BY {part} ORDER BY o_orderdate)"
+    elif fn == "sum":
+        expr = (
+            f"ROUND(SUM(o_totalprice) OVER (PARTITION BY {part} "
+            f"ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND CURRENT ROW), 4)"
+        )
+    else:
+        expr = (
+            f"ROUND(LAG(o_totalprice, 1) OVER (PARTITION BY {part} "
+            f"ORDER BY o_orderdate, o_orderkey), 4)"
+        )
+    sql = f"SELECT o_orderkey, CAST({expr} AS DOUBLE) AS x FROM orders"
+    return spark_fn, sql
+
+
+def test_fuzz_window_queries(spark, duck):
+    duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
+    rng = random.Random(777)
+    failures = []
+    for i in range(10):
+        spark_fn, sql = _gen_window_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"window fuzz mismatches: {failures}"

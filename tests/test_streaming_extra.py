@@ -108,6 +108,41 @@ def test_print_stream_empty(spark):
     assert print_stream(df, 3).count() == 0
 
 
+def test_curation_pipeline_end_to_end(spark):
+    """Composed streaming curation: quality + language + cross-batch
+    exact dedup in one pipeline. A duplicate of a batch-1 doc arriving
+    in batch 2 is dropped; junk (short or non-English) never passes."""
+    from rspl_spark.streaming.pipeline import curate_stream
+
+    good = ("the data pipeline reads the rows and is writing the output "
+            "of the large table scan with the filter and the join " * 3)
+    junk_short = "tiny doc"
+    junk_lang = "der hund und die katze das ist der test und der rest " * 5
+    c1 = spark.createDataFrame(
+        [(1, good), (2, junk_short), (3, junk_lang)], "doc_id long, text string"
+    )
+    c2 = spark.createDataFrame(
+        [(4, good), (5, good + " extra tail of the document")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1, c2])
+        stream = file_stream(spark, tmp, "doc_id long, text string")
+        curated = curate_stream(stream, min_quality=0.3, keep_langs=("en",))
+        q = (
+            curated.writeStream.format("memory")
+            .queryName("t_curate")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = sorted(r["doc_id"] for r in spark.table("t_curate").collect())
+    # doc 1 kept; 2 fails quality; 3 fails language; 4 is an exact dup of
+    # 1 arriving a batch later (state dedup); 5 is distinct → kept.
+    assert kept == [1, 5]
+
+
 def test_watermark_drops_late_data(spark):
     """Late-data semantics: a row older than the watermark arriving in a
     later micro-batch is EXCLUDED from its window's aggregate, while an
