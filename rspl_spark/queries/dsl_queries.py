@@ -115,24 +115,83 @@ def q_dsl_pairwise_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("seq", F.round("value", 6).alias("value")).orderBy("seq")
 
 
-# alternate (R7): emission-position round-robin — inherently sequential,
-# not SQL-expressible → rows-only check (driver records weaker gate).
+# alternate (R7): emission-position round-robin — inherently sequential.
+# The oracle replays the Mealy machine with a RECURSIVE CTE (one
+# iteration per input row — bounded to the first 2000 events to keep the
+# single-stream recursion tractable in DuckDB).
+
+_ALTERNATE_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT value AS v, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn
+  FROM events WHERE event_id < 2000
+),
+step AS (
+  SELECT CAST(-1 AS BIGINT) AS rn, 1 AS active,
+         CAST(NULL AS DOUBLE) AS emitted, CAST(0 AS BIGINT) AS n_out
+  UNION ALL
+  SELECT e.rn,
+         CASE WHEN (s.active = 1 AND e.v > 250) OR (s.active = 2 AND e.v < 250)
+              THEN 3 - s.active ELSE s.active END,
+         CASE WHEN (s.active = 1 AND e.v > 250) OR (s.active = 2 AND e.v < 250)
+              THEN e.v END,
+         s.n_out + CASE WHEN (s.active = 1 AND e.v > 250) OR (s.active = 2 AND e.v < 250)
+                        THEN 1 ELSE 0 END
+  FROM step s JOIN ev e ON e.rn = s.rn + 1
+)
+SELECT n_out - 1 AS seq, ROUND(emitted, 6) AS value
+FROM step WHERE emitted IS NOT NULL
+ORDER BY seq
+"""
 
 
-@query("q_dsl_alternate", oracle=None, tags=("dsl",))
+@query("q_dsl_alternate", oracle=_ALTERNATE_ORACLE, tags=("dsl",))
 def q_dsl_alternate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = alternate(filter_sp(lambda v: v > 250), filter_sp(lambda v: v < 250))
-    out = interpret_batch(sp, _event_stream(spark, sf_dir), "double")
+    stream = _event_stream(spark, sf_dir).filter(F.col("seq") < 2000)
+    out = interpret_batch(sp, stream, "double")
     return out.select("seq", F.round("value", 6).alias("value")).orderBy("seq")
 
 
 # Event-driven Mealy FSM (tests/events.rs pattern) on the real event_type
 # stream: per-user shift-machine where 'signup' arms, 'error' disarms;
 # emissions carry the sign. Sequential per key → interpreter, keyed by
-# user (the scale-out model). Rows-only.
+# user (the scale-out model). Oracle: the FSM replayed as a recursive
+# CTE advancing every user's sub-stream in lockstep (iterations = max
+# events per user, not total rows — the parallel recursion).
+
+_FSM_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+  FROM events
+),
+step AS (
+  SELECT user_id, CAST(-1 AS BIGINT) AS rn, 0 AS shifted,
+         CAST(NULL AS DOUBLE) AS emitted, CAST(0 AS BIGINT) AS n_out
+  FROM (SELECT DISTINCT user_id FROM events) u
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN e.event_type = 'signup' THEN 1
+              WHEN e.event_type = 'error' THEN 0
+              ELSE s.shifted END,
+         CASE WHEN s.shifted = 0 AND e.event_type = 'signup' THEN 1.0
+              WHEN s.shifted = 1 AND e.event_type = 'error' THEN 1.0
+              WHEN e.event_type NOT IN ('signup', 'error')
+              THEN CASE WHEN s.shifted = 1 THEN -e.v ELSE e.v END
+              END,
+         s.n_out + CASE WHEN (s.shifted = 0 AND e.event_type = 'signup')
+                          OR (s.shifted = 1 AND e.event_type = 'error')
+                          OR e.event_type NOT IN ('signup', 'error')
+                        THEN 1 ELSE 0 END
+  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id AS key, n_out - 1 AS seq, ROUND(emitted, 6) AS value
+FROM step WHERE emitted IS NOT NULL
+ORDER BY key, seq
+"""
 
 
-@query("q_dsl_fsm_keyed", oracle=None, tags=("dsl", "fsm"))
+@query("q_dsl_fsm_keyed", oracle=_FSM_ORACLE, tags=("dsl", "fsm"))
 def q_dsl_fsm_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def default():
         def transition(ev):
