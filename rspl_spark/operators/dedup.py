@@ -198,6 +198,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iters: int = 20
+) -> DataFrame:
+    """(doc_id, cluster) — cluster = min doc_id reachable through the
+    (undirected) edge set. The keep-one-per-cluster step after near-dup
+    pair mining.
+
+    Iterative min-label propagation with a driver-side fixpoint check:
+    per iteration one join + one agg, both keyed on node id; iterations
+    bounded by graph diameter (near-dup clusters are shallow). The
+    classic scalable formulation — no driver-side graph.
+    """
+    from pyspark.sql import functions as F
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    und.cache()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per document: per-bit weighted vote of token hashes."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))

@@ -184,6 +184,68 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
+# Near-dup clusters: connected components over the LSH candidate pairs
+# (est jaccard >= 0.25) — the keep-one-per-cluster step. Spark runs
+# iterative min-label propagation; the oracle computes the transitive
+# closure with a recursive CTE.
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE sig AS (
+  SELECT doc_id, {mh}
+  FROM {src} t
+),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, mh2 AS h1, mh3 AS h2 FROM sig UNION ALL
+  SELECT doc_id, 2 AS band, mh4 AS h1, mh5 AS h2 FROM sig UNION ALL
+  SELECT doc_id, 3 AS band, mh6 AS h1, mh7 AS h2 FROM sig
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+  ) c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
+  WHERE (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END +
+         CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END +
+         CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END +
+         CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END +
+         CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END +
+         CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END +
+         CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END +
+         CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) / 8.0 >= 0.25
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS src, a AS dst FROM und
+  UNION SELECT a, b FROM und
+  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster
+FROM reach GROUP BY src
+ORDER BY doc_id
+"""
+
+
+def _clusters_oracle() -> str:
+    mh = ", ".join(_sql_minhash(j) for j in range(8))
+    return _CLUSTERS_ORACLE.replace("{mh}", mh).replace("{src}", _sql_sig_source())
+
+
+@query("q_dedup_clusters", oracle=_clusters_oracle(), tags=("llm", "dedup", "iterative"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.dedup import connected_components, lsh_candidate_pairs
+
+    d = load(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d)
+    sig.cache()
+    pairs = lsh_candidate_pairs(sig, threshold=0.25)
+    return connected_components(pairs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (ground truth for MinHash): explode shingles,
 # equi-join on shingle, |A∩B| / |A∪B|. Quadratic in colliding docs — the
@@ -576,6 +638,49 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.operators.text import language_id
 
     return language_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# Token entropy: Shannon entropy of the per-document token distribution
+# (low entropy = repetitive/template text — a quality signal). One
+# explode + two keyed aggregations.
+
+_ENTROPY_ORACLE = """
+SELECT doc_id,
+       ROUND(-SUM(p * LN(p)), 6) AS entropy,
+       COUNT(*) AS n_distinct
+FROM (
+  SELECT doc_id,
+         CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS p
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+        FROM documents) t
+  GROUP BY doc_id, tok
+) dist
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q_token_entropy", oracle=_ENTROPY_ORACLE, tags=("llm", "text"))
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    dist = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p", F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("doc_id"))
+        )
+    )
+    return (
+        dist.groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # Document fingerprint: min/max over a stride-4 rolling window of 8-char
