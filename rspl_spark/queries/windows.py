@@ -150,6 +150,33 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
+_CUME_ORACLE = """
+SELECT s_suppkey,
+       ROUND(CUME_DIST() OVER (ORDER BY FLOOR(s_acctbal / 500)), 6) AS cd,
+       ROUND(NTH_VALUE(s_acctbal, 2) OVER (ORDER BY s_acctbal, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_bal,
+       ROUND(LAST_VALUE(s_acctbal) OVER (ORDER BY s_acctbal, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS max_bal
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+
+@query("q_window_cume", oracle=_CUME_ORACLE, tags=("window",))
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w_tie = Window.orderBy(F.floor(F.col("s_acctbal") / 500))
+    w_full = Window.orderBy("s_acctbal", "s_suppkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return s.select(
+        "s_suppkey",
+        F.round(F.cume_dist().over(w_tie), 6).alias("cd"),
+        F.round(F.nth_value("s_acctbal", 2).over(w_full), 2).alias("second_bal"),
+        F.round(F.last("s_acctbal").over(w_full), 2).alias("max_bal"),
+    ).orderBy("s_suppkey")
+
+
 # Top-k per group: 3 biggest orders per customer (window + filter — the
 # scalable formulation; no per-group collect).
 

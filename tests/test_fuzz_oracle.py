@@ -233,6 +233,54 @@ def _gen_window_query(rng: random.Random):
     return spark_fn, sql
 
 
+def _gen_string_query(rng: random.Random):
+    """Random string-expression pipelines over part names."""
+    fn = rng.choice(["upper", "lower", "substr", "replace", "concat", "length"])
+    if fn == "substr":
+        a = rng.randint(1, 5)
+        b = rng.randint(1, 8)
+        sexpr, dexpr = f"F.substring('p_name', {a}, {b})", f"SUBSTR(p_name, {a}, {b})"
+    elif fn == "replace":
+        ch = rng.choice("aeiou")
+        sexpr = f"F.replace(F.col('p_name'), F.lit('{ch}'), F.lit('#'))"
+        dexpr = f"REPLACE(p_name, '{ch}', '#')"
+    elif fn == "concat":
+        sexpr = "F.concat(F.col('p_brand'), F.lit('/'), F.upper('p_type'))"
+        dexpr = "CONCAT(p_brand, '/', UPPER(p_type))"
+    elif fn == "length":
+        sexpr = "F.length('p_name').cast('long').cast('string')"
+        dexpr = "CAST(CAST(LENGTH(p_name) AS BIGINT) AS VARCHAR)"
+    else:
+        sexpr = f"F.{fn}('p_name')"
+        dexpr = f"{fn.upper()}(p_name)"
+    like = rng.choice(["%a%", "%e%", "%ing%", "%o%"])
+
+    def spark_fn(spark):
+        p = load(spark, SF, "part")
+        return (
+            p.filter(F.col("p_name").like(like))
+            .select("p_partkey", eval(sexpr).alias("x"))  # noqa: S307
+        )
+
+    sql = (
+        f"SELECT p_partkey, {dexpr} AS x FROM part WHERE p_name LIKE '{like}'"
+    )
+    return spark_fn, sql
+
+
+def test_fuzz_string_queries(spark, duck):
+    duck.sql(f"CREATE VIEW IF NOT EXISTS part AS SELECT * FROM '{SF}/part.parquet'")
+    rng = random.Random(31337)
+    failures = []
+    for i in range(15):
+        spark_fn, sql = _gen_string_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"string fuzz mismatches: {failures}"
+
+
 def test_fuzz_window_queries(spark, duck):
     duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
     rng = random.Random(777)
