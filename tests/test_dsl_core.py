@@ -183,6 +183,44 @@ def test_generate_ignores_input():
     assert take(sp, itertools.repeat(()), 7) == [0, 1, 2, 0, 1, 2, 0]
 
 
+def test_nested_alternate():
+    """alternate nests: the outer alternation interleaves the inner
+    machine's emissions with the third branch, per-output-element."""
+    inner = alternate(map_sp(lambda x: ("a", x)), map_sp(lambda x: ("b", x)))
+    sp = alternate(inner, map_sp(lambda x: ("c", x)))
+    out = take(sp, range(6), 6)
+    # outer alternates after every emission; inner alternates between its
+    # own branches each time control returns to it.
+    assert out == [
+        ("a", 0), ("c", 1), ("b", 2), ("c", 3), ("a", 4), ("c", 5),
+    ]
+
+
+def test_bind_chaining():
+    """bind of bind: each head's first emission is consumed to select the
+    next stage (monadic sequencing, combinators.rs:43-73)."""
+    sp = bind(
+        map_sp(lambda x: x * 10),
+        lambda a: bind(
+            map_sp(lambda x: x + a),
+            lambda b: map_sp(lambda x: x * 1000 + a + b),
+        ),
+    )
+    # input 1,2,3,4: a = 10 (from 1, consumed), b = 2+10=12 (from 2,
+    # consumed), rest mapped with a=10, b=12.
+    assert take(sp, [1, 2, 3, 4], 2) == [3022, 4022]
+
+
+def test_alternate_inside_compose():
+    """compose(alternate(...), map): downstream transform applies to the
+    interleaved stream."""
+    sp = compose(
+        alternate(filter_sp(lambda n: n > 0), filter_sp(lambda n: n < 0)),
+        map_sp(lambda n: n * 2),
+    )
+    assert take(sp, [0, 1, 2, -1, -2, 1], 3) == [2, -2, 2]
+
+
 def test_trampoline_stack_safety():
     """src/lib.rs:253-256: evaluation must be loop-based — 1M elements
     through a compose chain without recursion errors."""
