@@ -233,6 +233,44 @@ def _gen_window_query(rng: random.Random):
     return spark_fn, sql
 
 
+def _gen_date_query(rng: random.Random):
+    """Random date-part filters + extraction over orders."""
+    part_s, part_d = rng.choice(
+        [("year", "YEAR"), ("month", "MONTH"), ("dayofmonth", "DAY"), ("quarter", "QUARTER")]
+    )
+    yr = rng.randint(1995, 2001)
+    agg = rng.choice(["count", "sum"])
+
+    def spark_fn(spark):
+        o = load(spark, SF, "orders")
+        extract = getattr(F, part_s)("o_orderdate").cast("long")
+        base = o.filter(F.year("o_orderdate") == yr)
+        g = base.groupBy(extract.alias("p"))
+        if agg == "count":
+            return g.agg(F.count(F.lit(1)).alias("a"))
+        return g.agg(F.round(F.sum("o_totalprice"), 4).alias("a"))
+
+    a = "COUNT(*)" if agg == "count" else "ROUND(SUM(o_totalprice), 4)"
+    sql = (
+        f"SELECT CAST({part_d}(o_orderdate) AS BIGINT) AS p, {a} AS a "
+        f"FROM orders WHERE YEAR(o_orderdate) = {yr} GROUP BY p"
+    )
+    return spark_fn, sql
+
+
+def test_fuzz_date_queries(spark, duck):
+    duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
+    rng = random.Random(99999)
+    failures = []
+    for i in range(12):
+        spark_fn, sql = _gen_date_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"date fuzz mismatches: {failures}"
+
+
 def _gen_string_query(rng: random.Random):
     """Random string-expression pipelines over part names."""
     fn = rng.choice(["upper", "lower", "substr", "replace", "concat", "length"])
