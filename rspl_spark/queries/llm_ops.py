@@ -464,6 +464,97 @@ def q_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Int8 symmetric quantization of embeddings (the 4x-memory-compression
+# path for ANN at scale): per-vector scale = max|x| / 127; outputs are
+# scalarized for hashing (quantized coords 1..4 + reconstruction error).
+
+_QUANT_ORACLE = """
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / scale + 0.5) AS BIGINT) AS q1,
+       CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / scale + 0.5) AS BIGINT) AS q2,
+       CAST(FLOOR(CAST(embedding[3] AS DOUBLE) / scale + 0.5) AS BIGINT) AS q3,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+             x -> ABS(CAST(x AS DOUBLE) - FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale))), 6)
+         AS recon_err
+FROM (
+  SELECT vec_id, embedding,
+         LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+) t
+ORDER BY vec_id
+"""
+
+
+@query("q_embedding_quantize_int8", oracle=_QUANT_ORACLE, tags=("llm", "similarity"))
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0
+    )
+    # NOTE the staged column is "scale_raw", NOT "scale": if the output
+    # alias shares the input column's name, outer references inside
+    # higher-order-function lambdas resolve to the (rounded) sibling
+    # alias instead of the input column — a silent value change.
+    staged = e.select("vec_id", "embedding", scale.alias("scale_raw"))
+    # floor(x + 0.5), not round(): Spark rounds HALF_UP, DuckDB's double
+    # rounding differs at exact .5 — floor form is engine-identical.
+    qc = lambda i: F.floor(
+        F.element_at(F.col("embedding"), i).cast("double") / F.col("scale_raw") + 0.5
+    ).cast("long")
+    recon = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                x.cast("double")
+                - F.floor(x.cast("double") / F.col("scale_raw") + 0.5) * F.col("scale_raw")
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return staged.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        qc(1).alias("q1"),
+        qc(2).alias("q2"),
+        qc(3).alias("q3"),
+        F.round(recon, 6).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+# BPE-style pre-tokenization (SURVEY §2.2 "token counting: whitespace +
+# a BPE-ish regex"): letter runs / digit runs / punctuation runs —
+# lookahead-free so the same pattern runs in Spark (Java regex) and
+# DuckDB (RE2).
+
+_BPE_ORACLE = r"""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       ARRAY_TO_STRING(LIST_SLICE(
+         REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'), 1, 5), '|')
+         AS first5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q_bpe_style_tokens", oracle=_BPE_ORACLE, tags=("llm", "text"))
+def q_bpe_style_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.concat_ws("|", F.slice(toks, 1, 5)).alias("first5"),
+    ).orderBy("doc_id")
+
+
 # Per-label centroids (the "training" half of IVF / one k-means step):
 # posexplode to (label, dim, value), average per cell. Shuffle keyed on
 # (label, dim) — fully parallel at any scale.
