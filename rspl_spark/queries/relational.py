@@ -392,6 +392,40 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Array set operations: intersect / union / overlap between document
+# token sets and a fixed keyword list (canonicalized to strings).
+
+_ARRSET_ORACLE = """
+SELECT doc_id,
+       COALESCE(ARRAY_TO_STRING(
+         LIST_SORT(LIST_INTERSECT(toks, ['scan', 'join', 'filter', 'sort'])), ','), '')
+         AS kw_hits,
+       CAST(LEN(LIST_DISTINCT(LIST_CONCAT(toks, ['scan', 'join', 'filter', 'sort']))) AS BIGINT)
+         AS union_size,
+       CASE WHEN LIST_HAS_ANY(toks, ['scan', 'join', 'filter', 'sort']) THEN 1 ELSE 0 END
+         AS has_kw
+FROM (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+      FROM documents) t
+ORDER BY doc_id
+"""
+
+
+@query("q_array_setops", oracle=_ARRSET_ORACLE, tags=("scalar", "array"))
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kw = F.array(*[F.lit(w) for w in ("scan", "join", "filter", "sort")])
+    toks = F.array_distinct(F.split(F.trim("text"), r"\s+"))
+    staged = d.select("doc_id", toks.alias("toks"))
+    return staged.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.array_intersect(F.col("toks"), kw))).alias("kw_hits"),
+        F.size(F.array_distinct(F.array_union(F.col("toks"), kw))).cast("long").alias(
+            "union_size"
+        ),
+        F.when(F.arrays_overlap(F.col("toks"), kw), 1).otherwise(0).alias("has_kw"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Higher-order aggregate/transform over the embedding array column.
 # --------------------------------------------------------------------------
