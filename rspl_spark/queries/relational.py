@@ -270,6 +270,7 @@ _MAP_ORACLE = """
 SELECT event_id,
        CAST(CARDINALITY(m) AS BIGINT) AS n_keys,
        ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(m)), ',') AS keys_sorted,
+       ARRAY_TO_STRING(LIST_SORT(MAP_VALUES(m)), ',') AS vals_sorted,
        m['type'][1] AS type_val,
        m['user'][1] AS user_val
 FROM (
@@ -293,6 +294,7 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.size("m").cast("long").alias("n_keys"),
             F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_sorted"),
+            F.concat_ws(",", F.array_sort(F.map_values("m"))).alias("vals_sorted"),
             F.element_at("m", "type").alias("type_val"),
             F.element_at("m", "user").alias("user_val"),
         )

@@ -69,6 +69,22 @@ def test_percentile_approx_tolerance(spark):
     assert abs(approx - exact) / exact < 0.02
 
 
+def test_to_json_schema_of_json_roundtrip(spark):
+    """to_json / schema_of_json / from_json close the loop (formatting is
+    engine-specific, so pytest rather than the cross-engine oracle)."""
+    df = spark.createDataFrame([(1, ("a", 2))], "id long, s struct<x:string,y:long>")
+    j = df.select("id", F.to_json("s").alias("js"))
+    row = j.collect()[0]
+    assert row["js"] == '{"x":"a","y":2}'
+    schema = spark.range(1).select(
+        F.schema_of_json(F.lit('{"x":"a","y":2}')).alias("sch")
+    ).collect()[0]["sch"]
+    assert "x" in schema and "y" in schema
+    back = j.select("id", F.from_json("js", "x string, y long").alias("s2"))
+    r = back.collect()[0]
+    assert (r["s2"]["x"], r["s2"]["y"]) == ("a", 2)
+
+
 def test_entry_contract_smoke(spark):
     """The driver's smoke check: entry() produces rows with stable schema."""
     import importlib.util
