@@ -1,0 +1,66 @@
+"""DSL terms callable from plain SQL via table-valued functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rspl_spark.dsl import compose, eval_sp, filter_sp, map_sp
+from rspl_spark.dsl.core import Get, Put
+from rspl_spark.sql_frontend import register_stream_processor
+
+
+def test_sql_tvf_keyed_fsm(spark):
+    """PARTITION BY key ORDER BY seq: one fresh Mealy instance per key,
+    results identical to the pure evaluator per key."""
+    sp_factory = lambda: compose(filter_sp(lambda v: v % 2 == 0), map_sp(lambda v: v * 7))
+    register_stream_processor(spark, "rspl_evens7", sp_factory, "bigint")
+    bases = {"a": 0, "b": 10}
+    rows = [(k, i, bases[k] + i) for k in ("a", "b") for i in range(6)]
+    spark.createDataFrame(rows, "key string, seq long, value long").createOrReplaceTempView(
+        "sql_fsm_in"
+    )
+    out = spark.sql(
+        "SELECT * FROM rspl_evens7(TABLE(sql_fsm_in) PARTITION BY key ORDER BY seq)"
+    )
+    got = {
+        k: [r["value"] for r in out.filter(F.col("key") == k).orderBy("seq").collect()]
+        for k in ("a", "b")
+    }
+    for k, base in (("a", 0), ("b", 10)):
+        want = list(eval_sp(sp_factory(), [base + i for i in range(6)]))
+        assert got[k] == want
+
+
+def test_sql_tvf_single_partition_swap(spark):
+    """WITH SINGLE PARTITION: one global totally ordered stream."""
+
+    def swap():
+        return Get(lambda a: Get(lambda b: Put(b, lambda: Put(a, swap))))
+
+    register_stream_processor(spark, "rspl_swap", swap, "bigint")
+    spark.createDataFrame(
+        [("s", i, i + 1) for i in range(5)], "key string, seq long, value long"
+    ).createOrReplaceTempView("sql_swap_in")
+    out = spark.sql(
+        "SELECT * FROM rspl_swap(TABLE(sql_swap_in) WITH SINGLE PARTITION ORDER BY seq)"
+    )
+    assert [r["value"] for r in out.orderBy("seq").collect()] == [2, 1, 4, 3]
+
+
+def test_sql_tvf_composes_with_sql(spark):
+    """The TVF result is a normal relation — joinable/aggregatable in the
+    same SQL statement."""
+    register_stream_processor(
+        spark, "rspl_pos", lambda: filter_sp(lambda v: v > 0), "bigint"
+    )
+    spark.createDataFrame(
+        [("x", i, v) for i, v in enumerate([3, -1, 5, -2, 7])],
+        "key string, seq long, value long",
+    ).createOrReplaceTempView("sql_pos_in")
+    row = spark.sql(
+        """
+        SELECT COUNT(*) AS n, SUM(value) AS s
+        FROM rspl_pos(TABLE(sql_pos_in) PARTITION BY key ORDER BY seq)
+        """
+    ).collect()[0]
+    assert (row["n"], row["s"]) == (3, 15)
