@@ -115,6 +115,43 @@ def q_dsl_pairwise_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("seq", F.round("value", 6).alias("value")).orderBy("seq")
 
 
+# The same pairwise-swap machine through the SQL FRONT-END (TVF with
+# WITH SINGLE PARTITION ORDER BY) — different execution path, same
+# oracle shape as q_dsl_pairwise_swap.
+
+_SQL_TVF_SWAP_ORACLE = """
+SELECT CAST(2 * (rn // 2) + (1 - rn % 2) AS BIGINT) AS seq,
+       ROUND(value, 6) AS value
+FROM (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM events WHERE event_id < 3000
+) t
+WHERE rn < n - (n % 2)
+ORDER BY seq
+"""
+
+
+@query("q_sql_tvf_swap", oracle=_SQL_TVF_SWAP_ORACLE, tags=("dsl", "sql"))
+def q_sql_tvf_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.sql_frontend import register_stream_processor
+
+    def swap():
+        return Get(lambda a: Get(lambda b: Put(b, lambda: Put(a, swap))))
+
+    register_stream_processor(spark, "rspl_gate_swap", swap, "double")
+    load(spark, sf_dir, "events").filter(F.col("event_id") < 3000).select(
+        F.lit("s").alias("key"), F.col("event_id").alias("seq"), F.col("value")
+    ).createOrReplaceTempView("gate_swap_in")
+    return spark.sql(
+        """
+        SELECT seq, ROUND(value, 6) AS value
+        FROM rspl_gate_swap(TABLE(gate_swap_in) WITH SINGLE PARTITION ORDER BY seq)
+        ORDER BY seq
+        """
+    )
+
+
 # alternate (R7): emission-position round-robin — inherently sequential.
 # The oracle replays the Mealy machine with a RECURSIVE CTE (one
 # iteration per input row — bounded to the first 2000 events to keep the
