@@ -479,7 +479,7 @@ SELECT vec_id,
          AS recon_err
 FROM (
   SELECT vec_id, embedding,
-         LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         NULLIF(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0, 0.0) AS scale
   FROM embeddings
 ) t
 ORDER BY vec_id
@@ -490,8 +490,10 @@ ORDER BY vec_id
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = (
-        F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0
+    # NULLIF: a zero vector would make scale 0 and every division raise
+    # under ANSI mode — null quantization is the defined answer.
+    scale = F.nullif(
+        F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0, F.lit(0.0)
     )
     # NOTE the staged column is "scale_raw", NOT "scale": if the output
     # alias shares the input column's name, outer references inside

@@ -29,6 +29,24 @@ def test_cosine_kernels_agree(spark):
         assert r["c_expr"] == pytest.approx(r["c_pudf"], abs=1e-12)
 
 
+def test_quantizer_zero_vector_yields_null(spark):
+    """ANSI-safety: a zero-norm vector quantizes to NULL, not a
+    DIVIDE_BY_ZERO crash (same guard class as cosine)."""
+    import pyspark.sql.functions as F
+
+    e = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, -2.0, 0.5, 3.0])], "vec_id long, embedding array<float>"
+    )
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.nullif(F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0, F.lit(0.0))
+    st = e.select("vec_id", "embedding", scale.alias("scale_raw"))
+    q1 = F.floor(
+        F.element_at(F.col("embedding"), 1).cast("double") / F.col("scale_raw") + 0.5
+    ).cast("long")
+    got = {r["vec_id"]: r["q"] for r in st.select("vec_id", q1.alias("q")).collect()}
+    assert got[0] is None and got[1] == 42
+
+
 def test_cosine_against_numpy(spark):
     rows = load(spark, "/root/testdata/sf0.001", "embeddings").limit(3).collect()
     v0 = np.array(rows[0]["embedding"], dtype=np.float64)

@@ -34,6 +34,32 @@ def test_rate_source_smoke(spark):
         q.stop()
 
 
+def test_rate_micro_batch_deterministic(spark):
+    """rate-micro-batch source: fixed rowsPerBatch → deterministic
+    ordinals per micro-batch (the reproducible generator source)."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 5)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    q = (
+        stream.select("value")
+        .writeStream.format("memory")
+        .queryName("t_rmb")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("t_rmb").count() < 15:
+            time.sleep(0.5)
+        vals = sorted(r["value"] for r in spark.table("t_rmb").collect())
+        assert vals[:15] == list(range(15))  # exact ordinals, batch-sized
+    finally:
+        q.stop()
+
+
 def test_console_sink_smoke(spark):
     with tempfile.TemporaryDirectory() as tmp:
         df = spark.createDataFrame([(i, i * 2) for i in range(5)], "seq long, value long")
