@@ -273,6 +273,33 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pure non-equi (theta-only) join: no equality component → Spark must
+# use a broadcast nested-loop join. Kept tiny×small on purpose (BNLJ is
+# O(n·m); at scale you bound one side or band the condition).
+
+_PURE_THETA_ORACLE = """
+SELECT r_name, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS bal_sum
+FROM region JOIN supplier ON s_acctbal > r_regionkey * 1500.0
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@query("q_join_pure_theta", oracle=_PURE_THETA_ORACLE, tags=("join",))
+def q_join_pure_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        r.join(s, s.s_acctbal > r.r_regionkey * 1500.0)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        )
+        .orderBy("r_name")
+    )
+
+
 # --------------------------------------------------------------------------
 # Cross join (tiny × tiny only — never meaningful at fact scale).
 # --------------------------------------------------------------------------
