@@ -56,3 +56,54 @@ def test_doctest_map_negate():
     """combinators.rs:190-204: negate a stream of bools."""
     sp = map_sp(lambda b: not b)
     assert take(sp, itertools.repeat(True), 3) == [False, False, False]
+
+
+def test_libdoc_negate_get_put():
+    """src/lib.rs:236-248: the hand-rolled negate machine
+    (get(b → put(!b, negate)))."""
+    from rspl_spark.dsl.core import Get, Put
+
+    def negate():
+        return Get(lambda b: Put(not b, negate))
+
+    assert take(negate(), itertools.repeat(True), 4) == [False] * 4
+
+
+def test_lib_test_eval_sorting_machine():
+    """src/lib.rs:310-330 test_eval: emit the seed, then read two and
+    emit them max-first; seed 0 then [1, 2] → 0, 2, 1."""
+    from rspl_spark.dsl.core import Get, Put
+
+    def sp():
+        return Get(
+            lambda n: Put(
+                n,
+                lambda: Get(
+                    lambda n1: Get(
+                        lambda n2: Put(n2, lambda: Put(n1, lambda: map_sp(lambda x: x)))
+                        if n1 < n2
+                        else Put(n1, lambda: Put(n2, lambda: map_sp(lambda x: x)))
+                    )
+                ),
+            )
+        )
+
+    # channel seed 0, then enqueue [1, 2] (lib.rs:318-320)
+    out = take(sp(), [0, 1, 2], 3)
+    assert out[0] == 0          # assert_head_eq!(result, 0)
+    assert out[1:] == [2, 1]    # assert_tail_starts_with!(result, [2, 1])
+
+
+def test_lib_test_eval_panic_propagates():
+    """src/lib.rs:333-343 test_eval_panic: an exception inside a
+    transition propagates out of evaluation (no silent swallowing)."""
+    import pytest
+
+    from rspl_spark.dsl.core import Get, Put
+
+    def boom(b):
+        raise RuntimeError("panic")
+
+    sp = Get(lambda b: Put(boom(b) if b else b, lambda: map_sp(lambda x: x)))
+    with pytest.raises(RuntimeError):
+        take(sp, itertools.repeat(True), 1)
