@@ -233,6 +233,52 @@ def _gen_window_query(rng: random.Random):
     return spark_fn, sql
 
 
+def _gen_array_query(rng: random.Random):
+    """Random array-function pipelines over split document tokens."""
+    op = rng.choice(["size", "contains", "slice_join", "distinct_size"])
+    word = rng.choice(["the", "data", "spark", "row", "table", "scan"])
+    lo = rng.randint(1, 3)
+    ln = rng.randint(1, 4)
+
+    def spark_fn(spark):
+        d = load(spark, SF, "documents")
+        toks = F.split(F.trim("text"), r"\s+")
+        if op == "size":
+            x = F.size(toks).cast("long")
+        elif op == "contains":
+            x = F.when(F.array_contains(toks, word), 1).otherwise(0).cast("long")
+        elif op == "slice_join":
+            x = F.concat_ws("-", F.slice(toks, lo, ln))
+        else:
+            x = F.size(F.array_distinct(toks)).cast("long")
+        return d.select("doc_id", x.cast("string").alias("x"))
+
+    base = "STRING_SPLIT_REGEX(TRIM(text), '\\s+')"
+    if op == "size":
+        e = f"CAST(LEN({base}) AS BIGINT)"
+    elif op == "contains":
+        e = f"CAST(CASE WHEN LIST_CONTAINS({base}, '{word}') THEN 1 ELSE 0 END AS BIGINT)"
+    elif op == "slice_join":
+        e = f"ARRAY_TO_STRING(LIST_SLICE({base}, {lo}, {lo + ln - 1}), '-')"
+    else:
+        e = f"CAST(LEN(LIST_DISTINCT({base})) AS BIGINT)"
+    sql = f"SELECT doc_id, CAST({e} AS VARCHAR) AS x FROM documents"
+    return spark_fn, sql
+
+
+def test_fuzz_array_queries(spark, duck):
+    duck.sql(f"CREATE VIEW IF NOT EXISTS documents AS SELECT * FROM '{SF}/documents.parquet'")
+    rng = random.Random(55555)
+    failures = []
+    for i in range(10):
+        spark_fn, sql = _gen_array_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"array fuzz mismatches: {failures}"
+
+
 def _gen_date_query(rng: random.Random):
     """Random date-part filters + extraction over orders."""
     part_s, part_d = rng.choice(
