@@ -76,6 +76,36 @@ def test_prefix_monotone(spec, xs):
     assert full[: len(half)] == half
 
 
+def test_compiled_alternate_maps_equals_eval_random(spark):
+    """Property: compiled alternate(map f, map g) ≡ evaluator for random
+    map pairs and inputs."""
+    import random
+
+    from rspl_spark.dsl import alternate, compile_batch
+    from rspl_spark.dsl.interpreter import to_stream_df
+
+    rng = random.Random(7)
+    for _ in range(6):
+        a1, a2 = rng.randint(-9, 9), rng.randint(-9, 9)
+        m1, m2 = rng.randint(1, 5), rng.randint(1, 5)
+        sp = alternate(
+            MapSP(lambda x, a=a1, m=m1: x * m + a),
+            MapSP(lambda x, a=a2, m=m2: x * m - a),
+        )
+        sp2 = alternate(
+            MapSP(lambda x, a=a1, m=m1: x * m + a),
+            MapSP(lambda x, a=a2, m=m2: x * m - a),
+        )
+        xs = [rng.randint(-100, 100) for _ in range(rng.randint(0, 25))]
+        got = [
+            r["value"]
+            for r in compile_batch(sp, to_stream_df(spark, xs)).orderBy("seq").collect()
+        ]
+        from rspl_spark.dsl import eval_sp
+
+        assert got == list(eval_sp(sp2, xs))
+
+
 def test_compiled_equals_eval_on_random_chains(spark):
     """Spark-compiled result ≡ pure evaluator for sampled random chains
     (one Spark session, a handful of drawn examples)."""
