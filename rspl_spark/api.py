@@ -15,7 +15,7 @@ back to the keyed applyInPandas interpreter for stateful terms.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window, functions as F
 
 from rspl_spark.dsl.combinators import (
     alternate as _alternate,
@@ -72,14 +72,30 @@ class RStream:
             self._df, self._value_col, self._seq_col, self._key_col, _bind(term, f)
         )
 
-    def to_df(self, out_type: str | None = None) -> DataFrame:
+    def to_df(self, out_type: str | None = None, dense_seq: bool = True) -> DataFrame:
         """Execute: compiled (native Catalyst plan) when the term allows,
-        otherwise interpreted (``out_type`` required for that path)."""
+        otherwise interpreted (``out_type`` required for that path).
+
+        Seq contract (unified across both paths): the output ``seq`` is a
+        DENSE per-stream output ordinal starting at 0 — the interpreter
+        numbers outputs that way natively, and the compiled path is
+        renumbered here with a row_number over the source ordinals (which
+        would otherwise keep gaps after filters). Pass ``dense_seq=False``
+        to keep the compiled path's raw source ordinals and skip the
+        total-order window (one serial sort — inherent to any total
+        ordering of a single logical stream; irrelevant at dimension-table
+        sizes, measurable on fact-sized streams)."""
         if self._term is None:
             return self._df
         if self._key_col is None:
             try:
-                return compile_batch(self._term, self._df, self._value_col, self._seq_col)
+                out = compile_batch(self._term, self._df, self._value_col, self._seq_col)
+                if dense_seq:
+                    w = Window.orderBy(self._seq_col)
+                    out = out.withColumn(
+                        self._seq_col, (F.row_number().over(w) - 1).cast("long")
+                    )
+                return out
             except CompileError:
                 pass
         if out_type is None:

@@ -62,6 +62,27 @@ class ComposeSP(StreamProcessor):
         self.sp2 = sp2
 
     def step(self) -> StreamProcessor:
+        # DOCUMENTED DEVIATION from the reference's branch order
+        # (src/combinators.rs:101-120 inspects sp1 first; we inspect sp2
+        # first). On infinite streams — the only streams the reference can
+        # express — both orders produce identical output values; they
+        # differ only in INPUT DEMAND, which finite prefixes observe:
+        #
+        # - reference order: a Get upstream blocks a pending Put
+        #   downstream, so at input exhaustion trailing outputs sit
+        #   unemitted in the term (prefix-correct but non-maximal).
+        # - this order (downstream-first): a Put whose value provably
+        #   does not depend on future input is emitted immediately —
+        #   the denotational extension to finite inputs (every infinite
+        #   extension of the input shares this output prefix), and the
+        #   behavior micro-batch residuals rely on (run_prefix drains
+        #   all available outputs at each batch boundary).
+        #
+        # Consequence (pinned in test_compose_put_only_downstream_*):
+        # compose(map(f), generate(..)) over an EMPTY input emits
+        # generate's (input-independent) output here, where the
+        # reference's operational semantics would demand input first and
+        # produce nothing. Consumers must take()-bound Put-only terms.
         sp1, sp2 = self.sp1, self.sp2
         while True:
             s2 = sp2.step()

@@ -73,11 +73,16 @@ def run_mealy_stream_tws(
                 sp, n_out = pickle.loads(self._state.get()[0])
             else:
                 sp, n_out = sp_factory(), 0
+            # A key's micro-batch may arrive as SEVERAL Arrow chunks
+            # (split at spark.sql.execution.arrow.maxRecordsPerBatch) in
+            # no guaranteed order — materialize and sort ONCE so the FSM
+            # sees the total seq order the reference semantics require.
+            chunks = [pdf for pdf in rows if len(pdf)]
             outs_all = []
-            for pdf in rows:
-                pdf = pdf.sort_values(seq_col, kind="mergesort")
-                outs, sp = run_prefix(sp, pdf[value_col].tolist())
-                outs_all.extend(outs)
+            if chunks:
+                batch = pd.concat(chunks, ignore_index=True)
+                batch = batch.sort_values(seq_col, kind="mergesort")
+                outs_all, sp = run_prefix(sp, batch[value_col].tolist())
             self._state.update((cloudpickle.dumps((sp, n_out + len(outs_all))),))
             if outs_all:
                 yield pd.DataFrame(
@@ -141,10 +146,16 @@ def run_mealy_stream(
             outs, sp = run_prefix(sp, [timeout_event])
             outs_all.extend(outs)
         else:
-            for pdf in pdfs:
-                pdf = pdf.sort_values(seq_col, kind="mergesort")
-                outs, sp = run_prefix(sp, pdf[value_col].tolist())
-                outs_all.extend(outs)
+            # Arrow delivers a key's micro-batch as multiple chunks
+            # (split at arrow maxRecordsPerBatch) with no ordering
+            # guarantee BETWEEN chunks — sorting each chunk alone would
+            # silently break the total-order contract for keys spanning
+            # >1 chunk. Materialize, concat, sort once.
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                batch = pd.concat(chunks, ignore_index=True)
+                batch = batch.sort_values(seq_col, kind="mergesort")
+                outs_all, sp = run_prefix(sp, batch[value_col].tolist())
         # cloudpickle: continuations are closure trees, stdlib pickle
         # cannot serialize them.
         state.update((cloudpickle.dumps((sp, n_out + len(outs_all))),))

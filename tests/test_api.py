@@ -78,3 +78,22 @@ def test_alternate_with_filters_still_interpreted(spark):
     sp = alternate(filter_sp(lambda v: v > 0), map_sp(lambda v: v))
     with pytest.raises(CompileError):
         compile_batch(sp, to_stream_df(spark, [1, 2]))
+
+
+def test_to_df_seq_contract_unified(spark):
+    """Both execution paths yield DENSE output seq from 0 for the same
+    term — previously the compiled path kept source ordinals (gaps after
+    filters) while the interpreter renumbered, a trap for downstream
+    joins/windows on seq."""
+    df = to_stream_df(spark, range(20))
+    pipe = stream_of(df).filter(lambda v: v % 2 == 0).map(lambda v: v * 10)
+    compiled = pipe.to_df()
+    interpreted = pipe.then(
+        # a no-op Get/Put FSM forces the interpreter path
+        map_sp(lambda v: v, py_fn=lambda v: v)
+    )
+    c = [(r["seq"], r["value"]) for r in compiled.orderBy("seq").collect()]
+    assert [s for s, _ in c] == list(range(10))  # dense, 0-based
+    # opt-out keeps the raw source ordinals (gap pattern of the filter)
+    raw = pipe.to_df(dense_seq=False)
+    assert [r["seq"] for r in raw.orderBy("seq").collect()] == list(range(0, 20, 2))

@@ -227,3 +227,37 @@ def test_trampoline_stack_safety():
     sp = compose(filter_sp(lambda n: n % 2 == 0), map_sp(lambda n: n + 1))
     n = sum(1 for _ in eval_sp(sp, range(1_000_000)))
     assert n == 500_000
+
+
+def test_compose_put_only_downstream_documented_deviation():
+    """Pins the DOCUMENTED deviation from src/combinators.rs:101-120
+    (see ComposeSP.step): a downstream Put that cannot depend on input
+    is emitted even when upstream demands input, so
+    compose(map(f), generate(..)) emits the generator's output on an
+    empty input (the reference's operational order would produce
+    nothing there). take()-bounding is the consumer's obligation for
+    Put-only downstream terms — identical to the reference's own
+    obligation on its necessarily-infinite streams."""
+    sp = compose(map_sp(lambda x: x + 1), generate(lambda s: (s, s + 1), 0))
+    assert take(sp, [], 5) == [0, 1, 2, 3, 4]
+    # On infinite (sufficient) input the two branch orders agree on
+    # values — the generator output is input-independent either way.
+    assert take(sp, itertools.count(), 5) == [0, 1, 2, 3, 4]
+
+
+def test_compose_put_put_preserves_upstream_pending():
+    """Put/Put: downstream emits first; upstream's pending Put stays
+    queued and is delivered when downstream next Gets — value order
+    identical to the reference's Put/Put branch."""
+    up = Put(7, lambda: map_sp(lambda x: x))
+    down = Put(99, lambda: map_sp(lambda x: x * 2))
+    # up wants to emit 7; down emits 99 first, then Gets -> receives 7.
+    assert take(compose(up, down), [5], 3) == [99, 14, 10]
+
+
+def test_compose_emits_all_determined_outputs_on_finite_prefix():
+    """Maximal-prefix property the micro-batch residual semantics rely
+    on: every output determined by the consumed input is emitted (the
+    reference's order would strand trailing outputs behind a Get)."""
+    sp = compose(filter_sp(lambda n: n % 2 == 0), map_sp(lambda n: n * 10))
+    assert take(sp, range(10), 100) == [0, 20, 40, 60, 80]

@@ -62,6 +62,33 @@ def test_mealy_state_survives_microbatches(spark):
         assert values == [2, 1, 4, 3]  # pairs (1,2) and (3,4) swapped; 5 pending
 
 
+def test_mealy_multi_chunk_batch_keeps_seq_order(spark):
+    """Arrow splits a key's micro-batch into multiple chunks at
+    maxRecordsPerBatch, with NO ordering guarantee between chunks.
+    Rows are written evens-first so per-chunk sorting alone would feed
+    the FSM [0,2,..,58,1,3,..,59]; the runner must concat + sort once.
+    """
+
+    def echo():
+        return Get(lambda a: Put(a, echo))
+
+    # One micro-batch, 60 rows, file row-order = evens then odds.
+    rows = [("k", s, s) for s in range(0, 60, 2)] + [("k", s, s) for s in range(1, 60, 2)]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            stream = _chunked_values(spark, [rows], tmp)
+            out = run_mealy_stream(stream, echo, "long")
+            run_to_memory_sink(out, "t_chunk_order")
+            values = [
+                r["value"] for r in spark.table("t_chunk_order").orderBy("seq").collect()
+            ]
+            assert values == list(range(60))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_mealy_keyed_parallel(spark):
     """Independent FSMs per key — the scale-out model."""
     sp = lambda: compose(filter_sp(lambda v: v % 2 == 0), map_sp(lambda v: v * 100))
