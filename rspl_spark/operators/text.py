@@ -106,8 +106,12 @@ def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Top-k TF-IDF terms per document: explode → tf and df aggregations
-    → window top-k. Shuffles keyed on term or doc throughout."""
-    n_docs = df.count()
+    → window top-k. Shuffles keyed on term or doc throughout.
+
+    The corpus size enters as a broadcast 1-row aggregate (not an eager
+    ``df.count()``), so the whole thing stays a single job and the source
+    is scanned once."""
+    n_docs_df = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = df.select(id_col, F.explode(F.split(F.trim(text_col), r"\s+")).alias("term"))
     tf = (
         toks.groupBy(id_col, "term")
@@ -117,8 +121,11 @@ def tfidf_top_terms(
         )
     )
     dfreq = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    scored = tf.join(dfreq, "term").withColumn(
-        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / (1.0 + F.col("df")))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("_n_docs") / (1.0 + F.col("df"))))
+        .drop("_n_docs")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_raw"), F.asc("term"))
     return (

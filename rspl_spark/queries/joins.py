@@ -2,9 +2,13 @@
 multi-way with broadcast dims, theta/point-in-range, cross, as-of.
 
 Scale notes (100 TB design):
-- Dimension tables (region, nation, supplier) are broadcast — no shuffle of
-  the fact side. `F.broadcast` hints make this explicit; AQE would also
-  convert at runtime.
+- Only BOUNDED dimension tables (region: 5 rows, nation: 25 rows at every
+  scale factor) carry explicit `F.broadcast` hints. Tables that grow with
+  the scale factor (customer, supplier, part) are deliberately UNhinted: a
+  forced hint overrides AQE's size check, and at 100× the filtered side can
+  be hundreds of MB — an executor OOM. AQE converts those joins to
+  broadcast at runtime exactly when the build side is actually small
+  (plan-verified in tests/test_scale_patterns.py).
 - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; both sides
   partition on the same key so the join is a single co-partitioned exchange.
 - The as-of join is the scalable one-pass formulation: union-free, a single
@@ -50,9 +54,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # No forced broadcast on customer: at 100× scale the filtered segment
+    # is ~3M rows — a forced hint would override AQE's size check and risk
+    # driver/executor OOM. AQE converts to broadcast at runtime whenever
+    # the build side is actually small (verified by plan test at sf0.1).
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -100,8 +108,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        # supplier is 100× smaller than customer but still fact-scaled —
+        # leave the broadcast decision to AQE (region/nation keep explicit
+        # hints: they are bounded at 5/25 rows at every scale factor).
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -106,7 +106,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
@@ -193,7 +193,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         F.round(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
@@ -224,7 +224,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    j = l.join(p, p.p_partkey == l.l_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#1")

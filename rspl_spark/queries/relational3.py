@@ -199,10 +199,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("n1k"), F.col("n_regionkey").alias("n1r"))
     n2 = n.select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("nation"))
     j = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1k"))
         .join(F.broadcast(r), F.col("n1r") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2k"))
@@ -285,7 +285,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(pa, p.p_partkey == pa.agg_pk)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(

@@ -117,3 +117,24 @@ def test_broadcast_threshold_respected(spark):
     j = o.join(F.broadcast(n), o.o_custkey % 25 == n.n_nationkey)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_broadcasts_unhinted_dims_at_test_scale(spark):
+    """q3/q5 no longer FORCE customer/supplier broadcasts (OOM hazard at
+    100x: a hint overrides AQE's size check). Verify AQE still picks
+    BroadcastHashJoin for them at test scale, so dropping the hints costs
+    nothing where it used to help."""
+    import os
+
+    from rspl_spark.queries.joins import q3_shipping_priority, q5_local_supplier
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf_dir):
+        sf_dir = "/root/testdata/sf0.001"
+    for q in (q3_shipping_priority, q5_local_supplier):
+        df = q(spark, sf_dir)
+        df.collect()  # AQE re-plans at runtime; inspect the FINAL plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        # the one legitimate shuffle join: lineitem <-> orders fact join
+        assert plan.count("SortMergeJoin") <= 1, plan
