@@ -206,9 +206,15 @@ def connected_components(
     pair mining.
 
     Iterative min-label propagation with a driver-side fixpoint check:
-    per iteration one join + one agg, both keyed on node id; iterations
-    bounded by graph diameter (near-dup clusters are shallow). The
-    classic scalable formulation — no driver-side graph.
+    per iteration one join + one agg, both keyed on node id. Label
+    propagation advances ONE HOP per iteration, so iterations ~ graph
+    diameter — fine for shallow near-dup clusters; for deep/chain-shaped
+    graphs use :func:`connected_components_star` (O(log n) rounds).
+
+    Lineage is truncated with localCheckpoint every 3 iterations (a
+    cached-only loop re-grows the plan tree each round and eventually
+    overwhelms the optimizer); non-convergence at max_iters raises a
+    warning instead of silently splitting clusters.
     """
     from pyspark.sql import functions as F
 
@@ -223,7 +229,8 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    for _ in range(max_iters):
+    changed = 0
+    for i in range(max_iters):
         nbr_min = (
             und.join(labels, und.b == labels.node)
             .groupBy(F.col("a").alias("node2"))
@@ -238,7 +245,10 @@ def connected_components(
                 ),
             )
         )
-        new_labels.cache()
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -249,7 +259,99 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "clusters deeper than the iteration budget are split. Use "
+            "connected_components_star (O(log n) rounds) for deep graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iters: int = 30
+) -> DataFrame:
+    """(doc_id, cluster) by alternating large-star / small-star rounds —
+    the two-phase MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Reach roughly DOUBLES
+    per round, so a diameter-d graph converges in O(log d) rounds where
+    plain label propagation needs d — the scale path for chain-shaped
+    near-dup graphs (a 1000-node chain converges in ~12 rounds, see
+    tests/test_scale_patterns.py).
+
+    large-star: every node u links its LARGER neighbors to
+    m = min(N(u) ∪ {u});  small-star: every node links its smaller
+    neighbors (and itself) to the minimum. Both are one groupBy + one
+    join keyed on node id; the edge set stays within a constant factor
+    of the input. Fixpoint when the (canonical, deduped) edge set stops
+    changing; at that point edges form stars (node → component min).
+
+    Self-loops in the input are ignored (an id paired only with itself
+    does not appear in the output — LSH pair miners emit doc_a < doc_b,
+    so this does not arise in the dedup pipeline).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    converged = False
+    for _ in range(max_iters):
+        # large-star over symmetric neighborhoods: m ≤ a < b, so output
+        # (b, m) keeps the larger→smaller orientation small-star expects.
+        und = e.selectExpr("u as a", "v as b").unionByName(
+            e.selectExpr("v as a", "u as b")
+        )
+        mins = und.groupBy("a").agg(F.min("b").alias("mb"))
+        mins = mins.select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        ls = (
+            und.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the larger→smaller edges: every u links its
+        # (all-smaller) neighbors and itself to their minimum.
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smins, "u")
+            .select(F.col("v").alias("nu"), F.col("m").alias("nv"))
+            .unionByName(smins.select(F.col("u").alias("nu"), F.col("m").alias("nv")))
+            .filter(F.col("nu") != F.col("nv"))
+            .distinct()
+            .selectExpr("nu as u", "nv as v")
+            .localCheckpoint(eager=False)  # every round: truncate lineage
+        )
+        new_n = ss.count()
+        if new_n == n_edges and ss.subtract(e).limit(1).count() == 0:
+            e = ss
+            converged = True
+            break
+        e, n_edges = ss, new_n
+    if not converged and max_iters > 0 and n_edges > 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge in {max_iters} rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # Fixpoint edges are stars node→root; roots label themselves.
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster"))
+        .unionByName(e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster")))
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -237,13 +237,15 @@ def _clusters_oracle() -> str:
 
 @query("q_dedup_clusters", oracle=_clusters_oracle(), tags=("llm", "dedup", "iterative"))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rspl_spark.operators.dedup import connected_components, lsh_candidate_pairs
+    # large-star/small-star (O(log n) rounds) is the scale path — the
+    # one-hop label-propagation variant needs diameter-many rounds.
+    from rspl_spark.operators.dedup import connected_components_star, lsh_candidate_pairs
 
     d = load(spark, sf_dir, "documents")
     sig = D.minhash_signatures(d)
     sig.cache()
     pairs = lsh_candidate_pairs(sig, threshold=0.25)
-    return connected_components(pairs).orderBy("doc_id")
+    return connected_components_star(pairs).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,50 @@ def test_aqe_broadcasts_unhinted_dims_at_test_scale(spark):
         assert "BroadcastHashJoin" in plan, plan
         # the one legitimate shuffle join: lineitem <-> orders fact join
         assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_connected_components_star_chain_graph(spark):
+    """A 1000-node chain is the worst case for one-hop label propagation
+    (needs 999 rounds); large-star/small-star must collapse it to one
+    cluster in O(log n) rounds without lineage blowup."""
+    from rspl_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    labels = connected_components_star(edges).collect()
+    assert len(labels) == 1000
+    assert {r["cluster"] for r in labels} == {0}
+
+
+def test_connected_components_variants_agree(spark):
+    """Star and one-hop variants produce identical clusterings on a
+    random multi-component graph."""
+    import random
+
+    from rspl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (base + rng.randrange(20), base + rng.randrange(20))
+        for base in (0, 100, 200, 300)
+        for _ in range(15)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {(r["doc_id"], r["cluster"]) for r in connected_components_star(df).collect()}
+    hop = {(r["doc_id"], r["cluster"]) for r in connected_components(df).collect()}
+    assert star == hop
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from rspl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], "doc_a long, doc_b long")
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(chain, max_iters=3).collect()
