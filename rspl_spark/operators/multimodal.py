@@ -81,13 +81,18 @@ def decode_stub(payload: bytes, kind: str):
 
 def fake_image_decode(payload: bytes, kind: str) -> bytes:
     """Deterministic stand-in decoder: a 'pixel block' derived from the
-    payload by iterated hashing — stable across runs/machines."""
-    out = bytearray()
-    block = payload or b"\x00"
+    payload by iterated hashing — stable across runs/machines.
+
+    The chain runs over lowercase-hex STRINGS (seed = payload.hex()) so
+    an independent SQL engine can recompute it exactly — DuckDB's
+    sha256() is VARCHAR-only, and this lets q_multimodal_features be a
+    hash-checked gate query instead of rows-only."""
+    block = (payload or b"\x00").hex()
+    out = []
     for i in range(4):
-        block = hashlib.sha256(bytes([i]) + bytes(block)).digest()
-        out.extend(block)
-    return bytes(out)
+        block = hashlib.sha256((str(i) + block).encode()).hexdigest()
+        out.append(block)
+    return "".join(out).encode()
 
 
 def extract_features(

@@ -592,25 +592,111 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # K-means assignment after 3 Lloyd iterations (deterministic init =
-# first k vectors). Iterative algorithm → genuinely non-SQL-expressible
-# in one statement → rows-only check (SURVEY §2.2 contract).
+# first k vectors by id). The oracle re-derives the FULL algorithm
+# independently in SQL — init, 3 unrolled assignment/update rounds
+# (empty clusters keep their previous centroid, matching kmeans_fit),
+# final assignment — so this is a hash-checked gate query, not a
+# rows-only one. Ties in argmin break to the lowest cid on both sides.
 
 
-@query("q_kmeans_assign", oracle=None, tags=("llm", "similarity", "iterative"))
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    parts = [
+        f"""
+WITH ev AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, dim, val FROM ev WHERE vec_id < {k})"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+d{i} AS (
+  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM ev e JOIN {prev} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d{i}
+  ) t WHERE rk = 1
+),
+u{i} AS (
+  SELECT a.cid, e.dim, AVG(e.val) AS c
+  FROM a{i} a JOIN ev e ON a.vec_id = e.vec_id
+  GROUP BY a.cid, e.dim
+),
+c{i} AS (
+  SELECT p.cid, p.dim, COALESCE(u.c, p.val) AS val
+  FROM {prev} p LEFT JOIN u{i} u ON u.cid = p.cid AND u.dim = p.dim
+)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
+dfin AS (
+  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM ev e JOIN {prev} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+)
+SELECT vec_id, cid, ROUND(dist, 6) AS dist2 FROM (
+  SELECT vec_id, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM dfin
+) t WHERE rk = 1
+ORDER BY vec_id"""
+    )
+    return ",".join(parts)
+
+
+@query("q_kmeans_assign", oracle=_kmeans_oracle(), tags=("llm", "similarity", "iterative"))
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.operators.similarity import kmeans_assign, kmeans_fit
 
     e = load(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e, k=8, iters=3)
-    return kmeans_assign(e, centroids).orderBy("vec_id")
+    return (
+        kmeans_assign(e, centroids)
+        .select("vec_id", F.col("cid").cast("long").alias("cid"), "dist2")
+        .orderBy("vec_id")
+    )
 
 
-# Multimodal feature extraction in the gate (rows-only: binary payloads
-# and the deterministic fake decoder aren't SQL-expressible). Payloads are
-# synthesized from documents so the query runs on the standard testdata.
+# Multimodal feature extraction in the gate. Payloads are synthesized
+# from documents so the query runs on the standard testdata. The fake
+# decoder's hash chain runs over hex strings precisely so DuckDB can
+# recompute it (sha256() is VARCHAR-only there) — full hash check, not
+# rows-only.
+
+_MULTIMODAL_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         encode(text) AS payload
+  FROM documents
+), s AS (
+  SELECT media_id, kind,
+         CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         CASE WHEN octet_length(payload) = 0 THEN '00'
+              ELSE lower(hex(payload)) END AS seed
+  FROM m
+), i1 AS (SELECT *, sha256('0' || seed) AS b1 FROM s),
+   i2 AS (SELECT *, sha256('1' || b1) AS b2 FROM i1),
+   i3 AS (SELECT *, sha256('2' || b2) AS b3 FROM i2),
+   i4 AS (SELECT *, sha256('3' || b3) AS b4 FROM i3)
+SELECT media_id, kind, CAST(256 AS INTEGER) AS feat_dim,
+       md5(b1 || b2 || b3 || b4) AS feature, n_bytes
+FROM i4 ORDER BY media_id
+"""
 
 
-@query("q_multimodal_features", oracle=None, tags=("llm", "multimodal"))
+@query("q_multimodal_features", oracle=_MULTIMODAL_ORACLE, tags=("llm", "multimodal"))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.operators.multimodal import extract_features, fake_image_decode
 

@@ -45,7 +45,7 @@ def test_extract_features_deterministic(spark, media):
     rows2 = {r["media_id"]: (r["feature"], r["feat_dim"]) for r in feats.collect()}
     assert rows1 == rows2
     assert len(rows1) == 30
-    assert all(dim == 128 for _, dim in rows1.values())  # 4 sha256 blocks
+    assert all(dim == 256 for _, dim in rows1.values())  # 4 hex sha256 blocks
     # features must depend on payload: all distinct payloads → distinct feats
     assert len({f for f, _ in rows1.values()}) == 30
 
