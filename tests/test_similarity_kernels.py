@@ -57,3 +57,23 @@ def test_cosine_against_numpy(spark):
     )
     got = df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
     assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_ivf_trained_recall_vs_bruteforce(spark):
+    """Trained-codebook IVF must recover >= 0.8 of the true (brute-force)
+    top-5 neighbors on the testdata — the point of training the cells."""
+    from rspl_spark.queries import load_registry
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    truth = {}
+    for r in reg["q_cosine_topk_bruteforce"].fn(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in reg["q_cosine_topk_ivf_trained"].fn(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert total == 50
+    recall = hits / total
+    assert recall >= 0.8, f"recall@5 = {recall}"
