@@ -18,6 +18,7 @@ from __future__ import annotations
 import pickle
 
 from collections.abc import Callable, Iterable
+from typing import Any
 
 from pyspark import cloudpickle
 
@@ -42,37 +43,92 @@ def run_mealy_stream_tws(
     key_col: str = "key",
     seq_col: str = "seq",
     value_col: str = "value",
+    timeout_ms: int | None = None,
+    timeout_event=None,
+    timeout_capability: Callable[[Any], int | None] | None = None,
 ) -> DataFrame:
     """Same semantics as run_mealy_stream on the MODERN backend
-    (transformWithStateInPandas, Spark 4): continuation in a ValueState.
+    (transformWithStateInPandas, Spark 4): continuation in a ValueState,
+    feedback on PER-KEY TIMERS.
 
     Both backends exist on purpose: applyInPandasWithState is the widely
-    deployed API; transformWithState is where per-key timers and state
-    TTLs are headed. The term, semantics and outputs are identical.
+    deployed API; transformWithState adds real per-key timers — feedback
+    events fire at their scheduled processing time instead of "whenever
+    the key's next micro-batch happens to run" (the legacy backend's
+    batch-paced approximation).
 
-    NOTE: requires a working ``google.protobuf`` (the Python worker talks
-    to the JVM state server over protobuf) — unavailable in this test
-    container, so run_mealy_stream (applyInPandasWithState) is the
-    battle-tested default.
+    Two feedback modes, mirroring the reference's two uses:
+
+    - ``timeout_ms`` + ``timeout_event``: idle timeout — when a key sees
+      no input for the duration, the sentinel is fed to its FSM and the
+      timer re-arms (same contract as run_mealy_stream).
+    - ``timeout_capability``: pelican-style capability-driven feedback
+      (examples/pelican.rs:306-308,350-367) — called on every OUTPUT
+      value; returning a duration (ms) schedules ``timeout_event`` for
+      this key after that delay. Deliveries are serialized exactly like
+      the reference's single feedback-worker thread draining an
+      unbounded channel (pelican.rs:350-358): a new request's delay
+      starts only when the previous one has been delivered
+      (``worker_free`` carried in state).
+
+    Requires google.protobuf + the RocksDB state store; see
+    rspl_spark.streaming.tws_runtime (enable_tws_runtime() must run
+    before SparkSession creation; the RocksDB conf is applied here).
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
+    from rspl_spark.streaming.tws_runtime import ensure_rocksdb_state_store
+
+    ensure_rocksdb_state_store(stream_df.sparkSession)
+    use_timers = timeout_ms is not None or timeout_capability is not None
     out_schema = f"`{key_col}` string, `{seq_col}` long, `{value_col}` {out_type}"
 
     class MealyProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # state = (continuation term, #outputs so far, worker_free ms)
             self._state = handle.getValueState(
                 "mealy", StructType([StructField("sp", BinaryType())])
             )
 
-        def handleInputRows(self, key, rows, timerValues):
+        def _load(self):
             if self._state.exists():
-                sp, n_out = pickle.loads(self._state.get()[0])
-            else:
-                sp, n_out = sp_factory(), 0
+                return pickle.loads(self._state.get()[0])
+            return sp_factory(), 0, 0
+
+        def _save(self, sp, n_out, worker_free) -> None:
+            self._state.update((cloudpickle.dumps((sp, n_out, worker_free)),))
+
+        def _rearm_idle(self, now_ms: int) -> None:
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(now_ms + timeout_ms)
+
+        def _schedule_caps(self, outs, now_ms: int, worker_free: int) -> int:
+            """Serial feedback worker: each timeout_after capability is
+            delivered its delay AFTER the previous delivery."""
+            for v in outs:
+                dur = timeout_capability(v)
+                if dur is not None:
+                    worker_free = max(worker_free, now_ms) + int(dur)
+                    self._handle.registerTimer(worker_free)
+            return worker_free
+
+        def _emit(self, key, outs, n_out):
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        key_col: [str(key[0])] * len(outs),
+                        seq_col: range(n_out, n_out + len(outs)),
+                        value_col: outs,
+                    }
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            sp, n_out, worker_free = self._load()
             # A key's micro-batch may arrive as SEVERAL Arrow chunks
             # (split at spark.sql.execution.arrow.maxRecordsPerBatch) in
             # no guaranteed order — materialize and sort ONCE so the FSM
@@ -83,15 +139,24 @@ def run_mealy_stream_tws(
                 batch = pd.concat(chunks, ignore_index=True)
                 batch = batch.sort_values(seq_col, kind="mergesort")
                 outs_all, sp = run_prefix(sp, batch[value_col].tolist())
-            self._state.update((cloudpickle.dumps((sp, n_out + len(outs_all))),))
-            if outs_all:
-                yield pd.DataFrame(
-                    {
-                        key_col: [str(key[0])] * len(outs_all),
-                        seq_col: range(n_out, n_out + len(outs_all)),
-                        value_col: outs_all,
-                    }
-                )
+            now = timerValues.getCurrentProcessingTimeInMs()
+            if timeout_capability is not None:
+                worker_free = self._schedule_caps(outs_all, now, worker_free)
+            elif timeout_ms is not None:
+                self._rearm_idle(now)
+            self._save(sp, n_out + len(outs_all), worker_free)
+            yield from self._emit(key, outs_all, n_out)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            sp, n_out, worker_free = self._load()
+            outs, sp = run_prefix(sp, [timeout_event])
+            now = timerValues.getCurrentProcessingTimeInMs()
+            if timeout_capability is not None:
+                worker_free = self._schedule_caps(outs, now, worker_free)
+            elif timeout_ms is not None:
+                self._rearm_idle(now)
+            self._save(sp, n_out + len(outs), worker_free)
+            yield from self._emit(key, outs, n_out)
 
         def close(self) -> None:
             pass
@@ -100,7 +165,7 @@ def run_mealy_stream_tws(
         MealyProcessor(),
         outputStructType=out_schema,
         outputMode="append",
-        timeMode="none",
+        timeMode="processingTime" if use_timers else "none",
     )
 
 

@@ -111,23 +111,16 @@ def test_mealy_keyed_parallel(spark):
         assert got["b"] == list(eval_sp(sp(), [4, 5, 8]))  # [400, 800]
 
 
-def _protobuf_available() -> bool:
-    # transformWithStateInPandas talks to the JVM state server over
-    # protobuf; this container's google.protobuf install is broken.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+from tests.conftest import TWS_AVAILABLE
 
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _protobuf_available(),
+tws = pytest.mark.skipif(
+    not TWS_AVAILABLE,
     reason="transformWithStateInPandas needs google.protobuf (state-server "
-    "protocol); unavailable in this container — applyInPandasWithState "
-    "backend is the tested path",
+    "protocol) and no runtime could be found/vendored on this machine",
 )
+
+
+@tws
 def test_mealy_tws_backend_matches(spark):
     """transformWithStateInPandas backend: same pairwise-swap semantics
     across micro-batches as the applyInPandasWithState backend."""
@@ -217,3 +210,133 @@ def test_seeded_stream_semantics(spark):
     out = compile_batch(sp, stream)
     vals = [r["value"] for r in out.orderBy("seq").collect()]
     assert vals == [2, 3, 4, 5, 6, 7]  # seed 0 → True branch
+
+
+def _poll_memory_table(spark, q, name, n_rows, deadline_s=90):
+    """Run a continuous-trigger query until the memory sink holds
+    n_rows (timers fire between batches), then stop it."""
+    import time
+
+    t0 = time.time()
+    try:
+        while time.time() - t0 < deadline_s:
+            if spark.table(name).count() >= n_rows:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("seq").collect()
+
+
+@tws
+def test_tws_idle_timeout_parity(spark):
+    """Per-key timer version of test_fsm_timeout_feedback: key 'a' arms
+    on push, then goes idle; the timer (not a later batch of 'a' data)
+    must deliver the sentinel and produce walk."""
+    from rspl_spark.streaming import run_mealy_stream_tws
+
+    def idle():
+        return Get(lambda ev: armed() if ev == 1 else idle())
+
+    def armed():
+        return Get(lambda ev: Put(99, idle) if ev == -1 else armed())
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = _chunked_values(spark, [[("a", 0, 1)]], tmp)
+        out = run_mealy_stream_tws(stream, idle, "long", timeout_ms=200, timeout_event=-1)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws_idle")
+            .outputMode("append")
+            .trigger(processingTime="150 milliseconds")
+            .start()
+        )
+        rows = _poll_memory_table(spark, q, "t_tws_idle", 1)
+    assert [r["value"] for r in rows] == [99]
+
+
+@tws
+def test_tws_pelican_capability_timer_parity(spark):
+    """Pelican-lite on per-key timers: the FSM's own timeout_after
+    capabilities schedule the feedback (examples/pelican.rs:306-308,
+    350-367), and the streamed capability sequence must equal the pure
+    DSL evaluation of the same term over the same logical events —
+    event-exact feedback, not batch-paced."""
+    from rspl_spark.dsl.core import run_prefix
+    from rspl_spark.streaming import run_mealy_stream_tws
+
+    def _m(*caps_then_state):
+        *caps, state = caps_then_state
+        sp = state
+        for cap in reversed(caps):
+            sp = Put(cap, (lambda s: lambda: s)(sp))
+        return sp
+
+    def build():
+        def on():
+            return _m("ped:red", "veh:red", vehicles())
+
+        def vehicles():
+            def wait():
+                return Get(lambda ev: peds() if ev == "timeout" else wait())
+
+            return _m("veh:green", "timeout_after:250", wait())
+
+        def peds():
+            def wait():
+                return Get(lambda ev: done() if ev == "timeout" else wait())
+
+            return _m("veh:red", "ped:green", "timeout_after:200", wait())
+
+        def done():
+            def loop():
+                return Get(lambda _ev: loop())
+
+            return _m("ped:red", loop())
+
+        return on()
+
+    # Pure-DSL reference trace over the same logical event sequence:
+    # one external start event, then the two timer deliveries.
+    expected = []
+    sp = build()
+    for ev in ("start", "timeout", "timeout"):
+        outs, sp = run_prefix(sp, [ev])
+        expected.extend(outs)
+
+    def cap_duration(v):
+        s = str(v)
+        return int(s.split(":", 1)[1]) if s.startswith("timeout_after:") else None
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = _chunked_values(
+            spark, [[("p", 0, "start")]], tmp, schema="key string, seq long, value string"
+        )
+        out = run_mealy_stream_tws(
+            stream,
+            build,
+            "string",
+            timeout_event="timeout",
+            timeout_capability=cap_duration,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws_pelican")
+            .outputMode("append")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        rows = _poll_memory_table(spark, q, "t_tws_pelican", len(expected))
+    assert [r["value"] for r in rows] == expected
+    # light-safety invariant holds in the streamed trace too
+    ped = veh = None
+    for v in (r["value"] for r in rows):
+        k, _, c = str(v).partition(":")
+        if k == "ped":
+            ped = c
+        elif k == "veh":
+            veh = c
+        if veh == "green":
+            assert ped == "red"
+        if ped == "green":
+            assert veh == "red"
