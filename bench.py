@@ -60,17 +60,66 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    try:
+        result["bucketed_join"] = bucketed_join_delta(spark, sf_dir)
+    except Exception as e:  # never break the contract line
+        print(f"# bucketed_join variant failed: {e}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+def bucketed_join_delta(spark, sf_dir: str) -> dict[str, float]:
+    """Co-located-join variant (supplementary metric): the q3-shaped
+    lineitem⋈orders fact join against bucketed-CTAS tables vs the plain
+    parquet scan. Bucketed+sorted on the join key, the SortMergeJoin
+    needs no Exchange and no Sort — the saved shuffle is the first-order
+    win at 100 TB. Plan snapshot: docs/plans/bucketed_join.txt.
+    """
+    from pyspark.sql import functions as F
+
+    from rspl_spark.catalog import ensure_bucketed, load
+
+    lb = spark.table(ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey"))
+    ob = spark.table(ensure_bucketed(spark, sf_dir, "orders", "o_orderkey"))
+
+    def shape(l, o):
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            )
         )
-    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ shape
+    try:
+        out: dict[str, float] = {}
+        for label, (l, o) in {
+            "parquet_sec": (load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")),
+            "bucketed_sec": (lb, ob),
+        }.items():
+            shape(l, o).count()  # warm
+            spark.catalog.clearCache()
+            t0 = time.time()
+            shape(l, o).count()
+            out[label] = round(time.time() - t0, 3)
+        plan = shape(lb, ob)._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange")
+        out["bucketed_plan_exchanges"] = n_exchange - 1  # 1 = the final 5-row agg
+        os.makedirs("docs/plans", exist_ok=True)
+        with open("docs/plans/bucketed_join.txt", "w") as f:
+            f.write(plan)
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
 if __name__ == "__main__":

@@ -55,3 +55,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql queries."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+) -> str:
+    """CTAS ``table`` into the warehouse bucketed + sorted on ``key``;
+    returns the managed table name (idempotent — skips if present).
+
+    The co-located-join pattern for repeated fact-fact joins: two tables
+    bucketed on the same key with the same bucket count join with NO
+    Exchange (and, pre-sorted, no Sort) — at 100 TB the lineitem⋈orders
+    shuffle is the single largest data movement in the star-join
+    workload, and bucketing amortizes it into the (one-time) write.
+    Spark requires one file per bucket per write task for the layout to
+    be recognized, hence the repartition on the bucket key first.
+    """
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"{table}_{slug}_b{n_buckets}_{key}"
+    if not spark.catalog.tableExists(name):
+        (
+            load(spark, sf_dir, table)
+            .repartition(n_buckets, key)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return name
