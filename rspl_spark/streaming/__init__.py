@@ -9,6 +9,8 @@
 """
 
 from rspl_spark.streaming.sources import (  # noqa: F401
+    decode_kafka_records,
+    kafka_stream,
     seeded_batch_stream,
     write_stream_chunks,
     file_stream,

@@ -46,6 +46,79 @@ def file_stream(spark: SparkSession, in_dir: str, schema: str) -> DataFrame:
     )
 
 
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    value_schema: str,
+    seed_df: DataFrame | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kafka-backed rspl channel (config-level wiring; no broker ships in
+    this container, so only the option plumbing is smoke-testable — the
+    semantics are identical to :func:`file_stream` + seed, which IS
+    tested).
+
+    rspl mapping (overeager_receivers.rs:29-32, SURVEY.md §1.3):
+
+    - ``channel(cap, message)``  → a topic subscription; the ``cap``
+      backpressure bound maps to ``maxOffsetsPerTrigger`` (0/unbounded →
+      leave unset);
+    - the seed element that "is always received in advance" and forms
+      the stream's first head → ``seed_df`` unioned AHEAD of the topic
+      rows (callers give seed rows ``seq`` below the topic's first);
+    - the blocking ``tail()``  → the micro-batch trigger waiting on new
+      offsets.
+
+    The Kafka record ``value`` (bytes) is JSON-decoded against
+    ``value_schema`` — a DDL string for a struct holding
+    ``(key, seq, value)`` like every other rspl stream; the record
+    timestamp/partition/offset are dropped because rspl's order is the
+    explicit ``seq`` ordinal, not broker order (SURVEY.md §1.3: Spark
+    DataFrames are unordered — order lives in the data).
+
+    Requires the spark-sql-kafka package on the classpath
+    (``spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return decode_kafka_records(
+        reader.load(), value_schema, seed_df, key_col, seq_col, value_col
+    )
+
+
+def decode_kafka_records(
+    raw: DataFrame,
+    value_schema: str,
+    seed_df: DataFrame | None = None,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kafka-record frame (binary ``value`` + broker metadata) → rspl
+    stream frame (key, seq, value) with the seed unioned ahead. Split
+    from :func:`kafka_stream` so the decode/seed semantics are testable
+    without a broker (any frame with a binary ``value`` column works)."""
+    from pyspark.sql import functions as F
+
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("j")
+    ).select(f"j.{key_col}", f"j.{seq_col}", f"j.{value_col}")
+    if seed_df is not None:
+        parsed = seed_df.unionByName(parsed)
+    return parsed
+
+
 def seeded_batch_stream(seed_df: DataFrame, stream_df: DataFrame) -> DataFrame:
     """Batch analog of the seeded channel: the seed row(s) precede the
     stream (overeager_receivers.rs:29-32; tests rely on the seed driving

@@ -97,3 +97,44 @@ def test_entry_contract_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
+
+
+def test_kafka_record_decode_and_seed(spark):
+    """Kafka wiring minus the broker: decode_kafka_records must turn a
+    Kafka-shaped frame (binary value + broker metadata) into an rspl
+    (key, seq, value) stream with the seed row ordered ahead — the
+    channel-seed semantics of overeager_receivers.rs:29-32."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from rspl_spark.streaming import decode_kafka_records
+
+    records = [
+        (bytearray(_json.dumps({"key": "k", "seq": i + 1, "value": i * 10}).encode()), i)
+        for i in range(4)
+    ]
+    raw = spark.createDataFrame(records, "value binary, offset long")
+    seed = spark.createDataFrame([("k", 0, -1)], "key string, seq long, value long")
+    out = decode_kafka_records(raw, "key string, seq long, value long", seed_df=seed)
+    rows = [(r["seq"], r["value"]) for r in out.orderBy("seq").collect()]
+    assert rows == [(0, -1), (1, 0), (2, 10), (3, 20), (4, 30)]
+
+
+def test_kafka_stream_option_plumbing(spark):
+    """kafka_stream builds the reader with the right source options; the
+    kafka connector jar is absent here, so constructing the plan must
+    fail with the missing-data-source error (not an option error)."""
+    import pytest as _pytest
+
+    from rspl_spark.streaming import kafka_stream
+
+    with _pytest.raises(Exception) as ei:
+        kafka_stream(
+            spark,
+            brokers="broker1:9092",
+            topic="events",
+            value_schema="key string, seq long, value long",
+            max_offsets_per_trigger=1000,
+        )
+    assert "kafka" in str(ei.value).lower()
