@@ -63,17 +63,21 @@ def compile_batch(
     df: DataFrame,
     value_col: str = "value",
     seq_col: str = "seq",
+    dense_seq: bool = False,
 ) -> DataFrame:
     """Compile ``sp`` against a (seq, value) DataFrame.
 
     Returns a DataFrame with the same two columns; ``seq`` keeps the
     source ordinal (gaps after filters — order, not contiguity, is the
-    contract).
+    contract). ``dense_seq=True`` declares the input ordinals dense and
+    0-based (generate / to_stream_df streams), letting position-dependent
+    lowerings (alternate parity) use ``seq`` directly instead of
+    computing an ordinal.
     """
     if isinstance(sp, BindSP):
         return _compile_bind(sp, df, value_col, seq_col)
     if isinstance(sp, AlternateSP):
-        return _compile_alternate_maps(sp, df, value_col, seq_col)
+        return _compile_alternate_maps(sp, df, value_col, seq_col, dense_seq=dense_seq)
     if not is_stateless(sp):
         raise CompileError(
             f"{type(sp).__name__} is stateful — use rspl_spark.dsl.interpreter"
@@ -106,8 +110,50 @@ def _compile_bind(sp: BindSP, df: DataFrame, value_col: str, seq_col: str) -> Da
     return compile_batch(sp.f(row[value_col]), rest, value_col, seq_col)
 
 
+def with_dense_ordinal(df: DataFrame, seq_col: str, ord_col: str) -> DataFrame:
+    """Dense 0-based ordinal following ``seq`` order WITHOUT a
+    single-task global sort: range-partition by seq (parallel shuffle),
+    pin the sampled range boundaries with a checkpoint so both passes
+    see identical partitions, count rows per partition (tiny driver-side
+    list), then per-partition row_number + broadcast cumulative offsets.
+    Every stage is parallel; the driver holds one int per partition.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = df.repartitionByRange(n_parts, F.col(seq_col)).localCheckpoint(eager=False)
+    pid = F.spark_partition_id()
+    counts = {
+        r["pid"]: r["n"]
+        for r in d.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(counts):  # range partitions are ordered by seq range
+        offsets.extend((F.lit(p), F.lit(acc)))
+        acc += counts[p]
+    omap = F.create_map(*offsets) if offsets else F.create_map()
+    w = Window.partitionBy("_pid").orderBy(seq_col)
+    return (
+        d.withColumn("_pid", pid)
+        .withColumn(
+            ord_col,
+            (
+                F.row_number().over(w)
+                - 1
+                + F.coalesce(F.element_at(omap, F.col("_pid")), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
 def _compile_alternate_maps(
-    sp: AlternateSP, df: DataFrame, value_col: str, seq_col: str
+    sp: AlternateSP,
+    df: DataFrame,
+    value_col: str,
+    seq_col: str,
+    dense_seq: bool = False,
 ) -> DataFrame:
     """Special case: ``alternate(map f, map g)`` — both children are pure
     1-in/1-out maps, so emission index == input index and the active side
@@ -115,21 +161,23 @@ def _compile_alternate_maps(
     case, where children filter, is NOT position-aligned and goes to the
     interpreter).
 
-    Requires a global row_number over seq — an unpartitioned window
-    (single-task sort). Correct but serial; at scale prefer the keyed
-    interpreter or a precomputed dense ordinal. Catalyst still fuses the
-    per-side expressions.
+    The parity ordinal: ``seq`` itself when the caller declares it dense
+    (``dense_seq=True`` — generate/to_stream_df streams; zero cost),
+    otherwise :func:`with_dense_ordinal` — parallel range partitioning +
+    per-partition numbering, NOT a single-task global window.
     """
     if not (isinstance(sp.sp1, MapSP) and isinstance(sp.sp2, MapSP)):
         raise CompileError(
             "alternate compiles only for pure map children — use the interpreter"
         )
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(Window.orderBy(seq_col)) - 1
     v = F.col(value_col)
-    out = F.when(rn % 2 == 0, sp.sp1.expr_fn(v)).otherwise(sp.sp2.expr_fn(v))
-    return df.select(F.col(seq_col), out.alias(value_col))
+    if dense_seq:
+        rn = F.col(seq_col)
+        out = F.when(rn % 2 == 0, sp.sp1.expr_fn(v)).otherwise(sp.sp2.expr_fn(v))
+        return df.select(F.col(seq_col), out.alias(value_col))
+    d = with_dense_ordinal(df, seq_col, "_ord")
+    out = F.when(F.col("_ord") % 2 == 0, sp.sp1.expr_fn(v)).otherwise(sp.sp2.expr_fn(v))
+    return d.select(F.col(seq_col), out.alias(value_col))
 
 
 def generate_range(

@@ -97,3 +97,23 @@ def test_to_df_seq_contract_unified(spark):
     # opt-out keeps the raw source ordinals (gap pattern of the filter)
     raw = pipe.to_df(dense_seq=False)
     assert [r["seq"] for r in raw.orderBy("seq").collect()] == list(range(0, 20, 2))
+
+
+def test_alternate_maps_scalable_ordinal(spark):
+    """The alternate(map,map) lowering must not rely on a single-task
+    global window: result is correct even when the input arrives in
+    arbitrary partition order, via range-partitioned dense ordinals."""
+    sp = alternate(map_sp(lambda v: v * 10), map_sp(lambda v: v + 1))
+    vals = list(range(101))
+    # scramble physical layout: repartition destroys any input ordering
+    df = to_stream_df(spark, vals).repartition(7)
+    out = compile_batch(sp, df)
+    got = [r["value"] for r in out.orderBy("seq").collect()]
+    want = list(eval_sp(alternate(map_sp(lambda v: v * 10), map_sp(lambda v: v + 1)), vals))
+    assert got == want
+    # dense_seq fast path: same result, zero ordinal computation
+    got2 = [
+        r["value"]
+        for r in compile_batch(sp, df, dense_seq=True).orderBy("seq").collect()
+    ]
+    assert got2 == want
