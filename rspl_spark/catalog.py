@@ -78,6 +78,17 @@ def ensure_bucketed(
     slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"{table}_{slug}_b{n_buckets}_{key}"
     if not spark.catalog.tableExists(name):
+        # The in-memory Derby catalog resets per session but the warehouse
+        # directory persists, so a leftover location from a prior run makes
+        # the CTAS fail with LOCATION_ALREADY_EXISTS. Clear the orphan.
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        orphan = os.path.join(warehouse, name.lower())
+        if os.path.isdir(orphan):
+            import shutil
+
+            shutil.rmtree(orphan, ignore_errors=True)
         (
             load(spark, sf_dir, table)
             .repartition(n_buckets, key)

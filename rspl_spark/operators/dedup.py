@@ -128,16 +128,32 @@ def lsh_candidate_pairs(
     """
     n_slots = len(MINHASH_COEFS)
     per_band = n_slots // n_bands
-    bands = None
-    for band in range(n_bands):
-        part = sig.select(
-            F.col(id_col).alias("doc_id"),
-            *[f"mh{j}" for j in range(n_slots)],
-            F.lit(band).alias("band"),
-            F.col(f"mh{per_band * band}").alias("h1"),
-            F.col(f"mh{per_band * band + 1}").alias("h2"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # One explode instead of an n_bands-way union: the union form repeats
+    # the (expensive) signature expression subtree once per band — n_bands×
+    # the planning work and, uncached, n_bands× the runtime signature
+    # computation. Exploding an array of (band, h1, h2) structs keeps a
+    # single signature subtree and one pass over the rows.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{per_band * b}").alias("h1"),
+                F.col(f"mh{per_band * b + 1}").alias("h2"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col).alias("doc_id"),
+        *[f"mh{j}" for j in range(n_slots)],
+        F.explode(band_structs).alias("_b"),
+    ).select(
+        "doc_id",
+        *[f"mh{j}" for j in range(n_slots)],
+        F.col("_b.band").alias("band"),
+        F.col("_b.h1").alias("h1"),
+        F.col("_b.h2").alias("h2"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     matches = sum(
         F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
