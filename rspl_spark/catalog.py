@@ -34,10 +34,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one table. Column pruning/filter pushdown happen downstream.
 
+    DataFrames are immutable descriptions, so one per (dir, table) is safe
+    to hand out repeatedly — and each spark.read.parquet call costs ~100ms
+    of driver work (file listing + footer schema read + py4j), which
+    multiplies across multi-table queries and the 89-query gate. The memo
+    dict lives ON the session object so it dies with the session (no stale
+    DataFrames bound to a stopped JVM session, no id() reuse hazard).
+
     ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
     parquet reader rejects by default — read it as long and convert to a
     microsecond timestamp (Spark's native precision).
     """
+    cache: dict[tuple[str, str], DataFrame] | None = getattr(
+        spark, "_rspl_load_cache", None
+    )
+    if cache is None:
+        cache = {}
+        spark._rspl_load_cache = cache
+    key = (sf_dir, table)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    df = _load_uncached(spark, sf_dir, table)
+    cache[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

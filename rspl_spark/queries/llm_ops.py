@@ -179,8 +179,12 @@ ORDER BY c.doc_a, c.doc_b
 @query("q_minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE, tags=("llm", "dedup"))
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(d)
-    sig.cache()
+    # Materialize the signature table before the band self-join
+    # (localCheckpoint, not cache): the join references the signature
+    # subtree twice, so truncating lineage halves both the analysis tree
+    # and the uncached compute. At cluster scale the same role is played
+    # by writing signatures to a table and banding against that.
+    sig = D.minhash_signatures(d).localCheckpoint(eager=True)
     return D.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
@@ -242,8 +246,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.operators.dedup import connected_components_star, lsh_candidate_pairs
 
     d = load(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(d)
-    sig.cache()
+    sig = D.minhash_signatures(d).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sig, threshold=0.25)
     return connected_components_star(pairs).orderBy("doc_id")
 
