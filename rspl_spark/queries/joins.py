@@ -411,3 +411,69 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("signup_id")
     )
+
+
+# Q21-style: suppliers who kept multi-supplier orders waiting — the only
+# TPC-H shape with TWO correlated subqueries (EXISTS + NOT EXISTS) over
+# the same fact table. "Late" is adapted to l_shipdate > o_orderdate +
+# 60 days (the synthetic lineitem has no commit/receipt dates). The
+# oracle uses the literal correlated-subquery form; the Spark side uses
+# the distributed formulation: one per-order aggregate (supplier count,
+# late-supplier count) joined back to the late lineitems — decorrelation
+# by hand, which is exactly how this shape must run at scale.
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@query("q21_waiting_suppliers", oracle=_Q21_ORACLE, tags=("join", "agg", "topk"))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for late multi-supplier orders
+    (TPC-H Q21 shape, cf. dbgen queries/21.sql).
+
+    Scale: both correlated subqueries collapse into ONE per-order
+    aggregate pass (countDistinct supplier / late supplier) — the fact
+    table is scanned once for the aggregate and once for the late rows,
+    both shuffled on l_orderkey so the join is co-partitioned; supplier
+    is small-side (AQE broadcasts it); the final top-10 is
+    TakeOrderedAndProject, no global sort.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    lj = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lj.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    blamed = (
+        lj.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )

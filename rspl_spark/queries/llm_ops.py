@@ -289,7 +289,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _simhash_sql() -> str:
+def _simhash_body() -> str:
+    """(doc_id, simhash) derivation, reused by the signature query and
+    the near-dup pair oracle."""
     toks = "LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))"
     hs = f"LIST_TRANSFORM({toks}, t -> {_sql_hash('t')})"
     bits = " + ".join(
@@ -297,13 +299,75 @@ def _simhash_sql() -> str:
         f"THEN 1 ELSE -1 END)) >= 0 THEN {1 << i} ELSE 0 END)"
         for i in range(32)
     )
-    return f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM (SELECT doc_id, {hs} AS hs FROM documents) t ORDER BY doc_id"
+    return f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM (SELECT doc_id, {hs} AS hs FROM documents) t"
+
+
+def _simhash_sql() -> str:
+    return _simhash_body() + " ORDER BY doc_id"
 
 
 @query("q_simhash", oracle=_simhash_sql(), tags=("llm", "dedup"))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return D.simhash(d).orderBy("doc_id")
+
+
+# SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= 1 found by a
+# banded equi-join, NOT an all-pairs scan. Pigeonhole makes the banding
+# EXACT here: two 16-bit bands and at most 1 differing bit means at least
+# one band is identical, so every qualifying pair lands in some bucket —
+# recall is 100% by construction, and the oracle can therefore be the
+# literal O(n²) definition (fine at gate scale; the Spark side is the
+# 100 TB formulation, shuffle keyed on (band, value) like MinHash-LSH).
+
+_SIMHASH_NEARDUP_ORACLE = f"""
+WITH sh AS ({_simhash_body()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(BIT_COUNT(CAST(XOR(a.simhash, b.simhash) AS BIGINT)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(CAST(XOR(a.simhash, b.simhash) AS BIGINT)) <= 1
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_simhash_neardup_pairs", oracle=_SIMHASH_NEARDUP_ORACLE, tags=("llm", "dedup"))
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = D.simhash(d).localCheckpoint(eager=True)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -556,6 +620,79 @@ def q_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(ci, c) for ci, c in enumerate(cents)], "cid long, cemb array<double>"
     )
     return _ivf_topk(e, cent)
+
+
+# Embedding-cosine pair mining under cluster blocking: assign every
+# vector to its nearest trained-k-means cell, self-join WITHIN cells
+# only, keep pairs with cosine >= threshold. This is the standard
+# cluster-then-compare near-dup pattern for embedding corpora: the
+# all-pairs O(n²) collapses to sum over cells of O(n_c²), and the cell
+# id keys the shuffle so each cell's comparisons are one partition-local
+# task. The blocking is part of the query's SEMANTICS (both engines
+# compute the same deterministic cells), so the result is exactly
+# verifiable — unlike recall-based ANN, nothing here is approximate.
+
+_EMB_PAIR_THRESHOLD = 0.4
+
+
+def _embedding_pairs_oracle(k: int = 8, iters: int = _IVF_TRAINED_ITERS) -> str:
+    cos = _SQL_COS.format(a="ea.embedding", b="eb.embedding")
+    return (
+        _kmeans_ctes(k, iters)
+        + f""",
+dist AS (
+  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS d2
+  FROM ev e JOIN c{iters} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM dist
+  ) t WHERE rk = 1
+)
+SELECT vec_a, vec_b, score FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS score
+  FROM assign a
+  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+) t
+WHERE score >= {_EMB_PAIR_THRESHOLD}
+ORDER BY vec_a, vec_b"""
+    )
+
+
+@query(
+    "q_embedding_cosine_pairs",
+    oracle=_embedding_pairs_oracle(),
+    tags=("llm", "similarity", "dedup", "iterative"),
+)
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-embedding pairs via k-means cell blocking + in-cell cosine."""
+    from rspl_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=_IVF_TRAINED_ITERS)
+    assign = kmeans_assign(e, cents).select("vec_id", "cid").join(e, "vec_id")
+    a = assign.select(
+        F.col("cid"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, ["cid"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= _EMB_PAIR_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 # Embedding near-dup: nearest neighbor per vector (brute force at test SF;

@@ -331,3 +331,51 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.operators.text import tfidf_top_terms
 
     return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3).orderBy("doc_id", "rk")
+
+
+# Q12-style: conditional aggregation over a fact-fact join. The classic
+# Q12 buckets late shipments by ship mode; the synthetic lineitem has no
+# l_shipmode/l_commitdate/l_receiptdate, so "late" is adapted to
+# l_shipdate > o_orderdate + 60 days and the bucket key is l_returnflag
+# (same shape: join + SUM(CASE) pivot-style counters).
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q12_late_priority", oracle=_Q12_ORACLE, tags=("join", "agg"))
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment priority counts (TPC-H Q12 shape).
+
+    Scale: the year filter pushes to the lineitem scan; the fact-fact
+    join shuffles both sides on the order key (co-partitioned single
+    exchange); the SUM(CASE) counters combine map-side so the final
+    exchange carries one row per return flag.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
