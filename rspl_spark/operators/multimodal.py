@@ -125,6 +125,56 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def fake_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image/video resize kernel: the
+    'resized pixels' are sha256 of (target-dims, payload-hex). Same
+    hex-string-chain trick as fake_image_decode so DuckDB can replay it
+    and the gate query is hash-checked, not rows-only."""
+    seed = (payload or b"\x00").hex()
+    return hashlib.sha256(f"{width}x{height}:{seed}".encode()).hexdigest().encode()
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    kernel: Callable[[bytes, str, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize every image/video payload to (width, height); audio rows
+    pass through untouched.
+
+    Binary→binary transformation that PRESERVES the media schema (meta
+    width/height updated, payload replaced) so resize stages compose
+    with extract_features / frame-sampling downstream. Narrow op: the
+    kernel runs per Arrow batch in the executor Python worker; no
+    shuffle, partitioning preserved. With real codecs, inject
+    ``kernel=lambda p, k, w, h: PIL_resize(p, (w, h))``.
+    """
+    if kernel is None:
+        kernel = _resize_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            for r in rows:
+                if r["kind"] in ("image", "video"):
+                    r["payload"] = kernel(r["payload"], r["kind"], width, height)
+                    meta = dict(r["meta"]) if r["meta"] is not None else {}
+                    meta["width"] = width
+                    meta["height"] = height
+                    r["meta"] = meta
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _resize_stub(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    raise NotImplementedError(
+        "media codecs are not installed in this container; inject a resize "
+        "kernel via resize_media(kernel=...)"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: explode frame indices 0, n, 2n, …
     (metadata-driven — touches only ``meta.n_frames``, never payload;

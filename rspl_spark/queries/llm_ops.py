@@ -946,6 +946,71 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, decode=fake_image_decode).orderBy("media_id")
 
 
+# Multimodal resize stage: binary->binary mapInPandas that preserves the
+# media schema (payload replaced, meta.width/height updated) so resize
+# composes with decode/feature stages. The fake kernel is the same
+# hex-string sha256 device as fake_image_decode, so DuckDB replays it.
+
+_MULTIMODAL_RESIZE_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         encode(text) AS payload
+  FROM documents
+), s AS (
+  SELECT media_id, kind,
+         CASE WHEN octet_length(payload) = 0 THEN '00'
+              ELSE lower(hex(payload)) END AS seed,
+         octet_length(payload) AS raw_len
+  FROM m
+)
+SELECT media_id, kind,
+       CASE WHEN kind IN ('image', 'video') THEN 64 ELSE -1 END AS width,
+       CASE WHEN kind IN ('image', 'video') THEN 48 ELSE -1 END AS height,
+       CASE WHEN kind IN ('image', 'video')
+            THEN sha256('64x48:' || seed)
+            ELSE CAST(raw_len AS VARCHAR) END AS resized,
+       CAST(CASE WHEN kind IN ('image', 'video') THEN 64 ELSE raw_len END AS BIGINT)
+         AS n_bytes
+FROM s ORDER BY media_id
+"""
+
+
+@query("q_multimodal_resize", oracle=_MULTIMODAL_RESIZE_ORACLE, tags=("llm", "multimodal"))
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.multimodal import fake_resize, resize_media
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(90).alias("n_frames"),
+            F.lit("syn").alias("format"),
+        ).alias("meta"),
+    )
+    resized = resize_media(media, 64, 48, kernel=fake_resize)
+    is_visual = F.col("kind").isin("image", "video")
+    return resized.select(
+        "media_id",
+        "kind",
+        F.when(is_visual, F.col("meta.width")).otherwise(F.lit(-1)).alias("width"),
+        F.when(is_visual, F.col("meta.height")).otherwise(F.lit(-1)).alias("height"),
+        F.when(is_visual, F.decode(F.col("payload"), "UTF-8"))
+        .otherwise(F.length(F.col("payload")).cast("string"))
+        .alias("resized"),
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token counting, quality scoring, language ID heuristic,
 # document fingerprinting. All scalar codegen'd expressions.

@@ -91,3 +91,32 @@ def test_media_stats_prunes_payload(spark, media, tmp_path):
     assert "payload" not in read_schema
     rows = {r["kind"]: r["n"] for r in stats.collect()}
     assert rows == {"image": 10, "audio": 10, "video": 10}
+
+def test_resize_composes_with_features(spark, media):
+    """resize is schema-preserving: meta dims updated, audio untouched,
+    and the output feeds extract_features unchanged."""
+    from rspl_spark.operators.multimodal import fake_resize, resize_media
+
+    resized = resize_media(media, 32, 24, kernel=fake_resize)
+    assert resized.schema == MEDIA_SCHEMA
+    rows = {r["media_id"]: r for r in resized.collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    for mid, r in rows.items():
+        if r["kind"] in ("image", "video"):
+            assert (r["meta"]["width"], r["meta"]["height"]) == (32, 24)
+            assert r["payload"] != orig[mid]["payload"]
+            assert len(r["payload"]) == 64  # sha256 hex digest bytes
+        else:
+            assert r["payload"] == orig[mid]["payload"]
+            assert r["meta"]["width"] == orig[mid]["meta"]["width"]
+    # composes: features over resized media still one narrow pipeline
+    feats = extract_features(resized, decode=fake_image_decode)
+    assert feats.count() == 30
+
+
+def test_resize_stub_contract(spark, media):
+    from rspl_spark.operators.multimodal import resize_media
+
+    with pytest.raises(Exception) as ei:
+        resize_media(media, 8, 8).collect()
+    assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
