@@ -316,6 +316,36 @@ def test_streaming_dedup_with_watermark(spark):
         assert keys == ["k1", "k2", "k3"]  # second k1 dropped across batches
 
 
+def test_streaming_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: the state-BOUNDED streaming dedup —
+    per-key state expires once the watermark passes, so state size is
+    O(keys per horizon) instead of O(all keys ever). The 100 TB streaming
+    dedup path: plain dropDuplicates grows state forever."""
+    with tempfile.TemporaryDirectory() as tmp:
+        c1 = spark.createDataFrame(
+            [("k1", "2024-01-01 00:01:00"), ("k2", "2024-01-01 00:02:00")],
+            "k string, ts_s string",
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+        c2 = spark.createDataFrame(
+            # dup k1 inside the 1h horizon (dropped) + a fresh key
+            [("k1", "2024-01-01 00:30:00"), ("k3", "2024-01-01 00:40:00")],
+            "k string, ts_s string",
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+        write_stream_chunks(spark, tmp, [c1, c2])
+        stream = file_stream(spark, tmp, "k string, ts timestamp")
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("t_sdedup_ww")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        keys = sorted(r["k"] for r in spark.table("t_sdedup_ww").collect())
+        assert keys == ["k1", "k2", "k3"]
+
+
 def test_paced_generator_stream(spark):
     """demands.rs over streaming: the Babylonian √2 generator paced by
     demand ticks across micro-batches — element 10 must hit the golden
