@@ -48,6 +48,24 @@ def kmeans_fit(
     driver-side (k × d doubles); the data never leaves the cluster.
     Distance: squared L2.
     """
+    # Memoize fitted centroids per (input df, params) on the session:
+    # several gate queries train the same codebook on the same memoized
+    # load() DataFrame — the fit is deterministic, so re-running it is
+    # pure waste (driver-side iterations each cost a full job + analysis
+    # of the k*d-literal assignment expression). Keyed on the DataFrame
+    # object (load() returns the same object per session) so a different
+    # input trains fresh.
+    spark = df.sparkSession
+    cache: dict = getattr(spark, "_rspl_kmeans_cache", None)
+    if cache is None:
+        cache = {}
+        spark._rspl_kmeans_cache = cache
+    # the cached entry pins the df object so its id() cannot be reused
+    # by a successor DataFrame after GC (which would alias the key)
+    key = (id(df), vec_col, id_col, k, iters)
+    if key in cache:
+        return [list(c) for c in cache[key][1]]
+
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -68,6 +86,7 @@ def kmeans_fit(
             for d_i, val in dims.items():
                 new_centroids[ci][d_i] = val
         centroids = new_centroids
+    cache[key] = (df, [list(c) for c in centroids])
     return centroids
 
 
