@@ -49,14 +49,20 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep/drop signal: length score + repetition penalty, in [0, 1]."""
+def quality_expr(text_col: str = "text"):
+    """Quality score as a reusable column expression (so pipelines can
+    fuse it into a single scan instead of joining operator outputs)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks).cast("double")
     uniq = F.greatest(F.size(F.array_distinct(toks)), F.lit(1)).cast("double")
     length_score = F.least(F.lit(1.0), n / 60)
     rep_penalty = F.lit(1.0) - F.least(F.lit(1.0), n / uniq / 5)
-    quality = F.round(length_score * 0.5 + rep_penalty * 0.5, 6)
+    return F.round(length_score * 0.5 + rep_penalty * 0.5, 6)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep/drop signal: length score + repetition penalty, in [0, 1]."""
+    quality = quality_expr(text_col)
     return df.select(
         id_col,
         quality.alias("quality"),
@@ -64,14 +70,35 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-word-hit heuristic with a deterministic argmax over
-    LANG_MARKERS; 'unknown' when nothing hits."""
+def _lang_hits_exprs(text_col: str = "text"):
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     hits = {}
     for lang, words in LANG_MARKERS.items():
         arr = F.array(*[F.lit(w) for w in words])
         hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return hits
+
+
+def _lang_pred_from_hits(en, de, fr, es):
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+
+
+def lang_pred_expr(text_col: str = "text"):
+    """Predicted language as one reusable column expression."""
+    h = _lang_hits_exprs(text_col)
+    return _lang_pred_from_hits(h["en"], h["de"], h["fr"], h["es"])
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word-hit heuristic with a deterministic argmax over
+    LANG_MARKERS; 'unknown' when nothing hits."""
+    hits = _lang_hits_exprs(text_col)
     out = df.select(
         id_col,
         hits["en"].cast("long").alias("en_hits"),
@@ -80,14 +107,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         hits["es"].cast("long").alias("es_hits"),
     )
     en, de, fr, es = (F.col(c) for c in ("en_hits", "de_hits", "fr_hits", "es_hits"))
-    pred = (
-        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
-        .when((de >= fr) & (de >= es) & (de > 0), "de")
-        .when((fr >= es) & (fr > 0), "fr")
-        .when(es > 0, "es")
-        .otherwise("unknown")
-    )
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn("pred_lang", _lang_pred_from_hits(en, de, fr, es))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1106,6 +1106,76 @@ ORDER BY doc_id
 """
 
 
+# End-to-end corpus-cleaning pipeline — the canonical training-data
+# prep flow (quality filter → language filter → normalized dedup) FUSED
+# into one scan: the signals are column expressions (operators/text.py
+# exposes them as expression builders), so there are no self-joins of
+# operator outputs; the only shuffle is the dedup window on the
+# normalization hash. At 100 TB this is one pass over the corpus plus
+# one hash-partitioned exchange.
+
+_QUALITY_SQL_EXPR = """ROUND(LEAST(1.0, CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE) / 60)
+               * 0.5
+               + (1.0 - LEAST(1.0, CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE)
+                                   / GREATEST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))), 1) / 5))
+               * 0.5, 6)"""
+
+
+def _pipeline_oracle() -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_QUALITY_SQL_EXPR} AS quality,
+         {_lang_hits_sql("en")} AS en_hits,
+         {_lang_hits_sql("de")} AS de_hits,
+         {_lang_hits_sql("fr")} AS fr_hits,
+         {_lang_hits_sql("es")} AS es_hits,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+         MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS norm_h
+  FROM documents
+), lang AS (
+  SELECT *,
+         CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+              WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+              WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+              WHEN es_hits > 0 THEN 'es'
+              ELSE 'unknown' END AS pred_lang
+  FROM scored
+), kept AS (
+  SELECT * FROM lang WHERE quality >= 0.5 AND pred_lang = 'en'
+)
+SELECT doc_id, quality, pred_lang, n_tokens FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_h ORDER BY doc_id) AS rk FROM kept
+) t WHERE rk = 1
+ORDER BY doc_id"""
+
+
+@query("q_corpus_clean_pipeline", oracle=_pipeline_oracle(), tags=("llm", "text", "dedup"))
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter, language-filter, and normalize-dedup a corpus in
+    one fused pass (see module comment above for the scale shape)."""
+    from rspl_spark.operators.text import lang_pred_expr, quality_expr
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    scored = d.select(
+        "doc_id",
+        quality_expr().alias("quality"),
+        lang_pred_expr().alias("pred_lang"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5(norm).alias("norm_h"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    w = Window.partitionBy("norm_h").orderBy("doc_id")
+    return (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "quality", "pred_lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @query("q_language_id", oracle=_LANGID_ORACLE, tags=("llm", "text"))
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.operators.text import language_id
