@@ -24,6 +24,10 @@ FLAGSHIPS = [
     "q_minhash_lsh_pairs",
     "q_cosine_topk_bruteforce",
     "q_sessionize",
+    "q12_late_priority",
+    "q21_waiting_suppliers",
+    "q_simhash_neardup_pairs",
+    "q_corpus_clean_pipeline",
 ]
 
 
