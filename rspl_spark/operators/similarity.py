@@ -48,28 +48,34 @@ def kmeans_fit(
     driver-side (k × d doubles); the data never leaves the cluster.
     Distance: squared L2.
     """
-    # Memoize fitted centroids per (input df, params) on the session:
-    # several gate queries train the same codebook on the same memoized
-    # load() DataFrame — the fit is deterministic, so re-running it is
-    # pure waste (driver-side iterations each cost a full job + analysis
-    # of the k*d-literal assignment expression). Keyed on the DataFrame
-    # object (load() returns the same object per session) so a different
-    # input trains fresh.
+    # Memoize the centroid TRAJECTORY per (input df, k) on the session:
+    # several gate queries train codebooks on the same memoized load()
+    # DataFrame with different iteration counts, and Lloyd iteration n is
+    # a pure function of iteration n-1 — so fit(iters=2) is a prefix of
+    # fit(iters=3). The cache stores every iteration's snapshot and
+    # extends it on demand; re-running from scratch would pay a full job
+    # + analysis of the k*d-literal assignment expression per iteration.
+    # Keyed on the DataFrame object (load() returns the same object per
+    # session); the entry pins df so its id() cannot be reused by a
+    # successor DataFrame after GC (which would alias the key).
     spark = df.sparkSession
     cache: dict = getattr(spark, "_rspl_kmeans_cache", None)
     if cache is None:
         cache = {}
         spark._rspl_kmeans_cache = cache
-    # the cached entry pins the df object so its id() cannot be reused
-    # by a successor DataFrame after GC (which would alias the key)
-    key = (id(df), vec_col, id_col, k, iters)
+    key = (id(df), vec_col, id_col, k)
     if key in cache:
-        return [list(c) for c in cache[key][1]]
+        traj = cache[key][1]
+    else:
+        init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+        traj = [[[float(x) for x in r[vec_col]] for r in init_rows]]
+        cache[key] = (df, traj)
+    if len(traj) > iters:
+        return [list(c) for c in traj[iters]]
 
-    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    centroids = [list(c) for c in traj[-1]]
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for _ in range(iters):
+    for _ in range(len(traj) - 1, iters):
         cid = _nearest_centroid_expr(dbl, centroids)
         assigned = df.select(cid.alias("cid"), dbl.alias("v"))
         updated = (
@@ -86,7 +92,7 @@ def kmeans_fit(
             for d_i, val in dims.items():
                 new_centroids[ci][d_i] = val
         centroids = new_centroids
-    cache[key] = (df, [list(c) for c in centroids])
+        traj.append([list(c) for c in centroids])
     return centroids
 
 
