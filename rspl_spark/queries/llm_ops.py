@@ -400,13 +400,23 @@ ORDER BY query_id, rk
 @query("q_cosine_topk_bruteforce", oracle=_BRUTE_TOPK_ORACLE, tags=("llm", "similarity"))
 def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    # Per-side prep (cast + norm once per row, only the dot per pair) and
+    # a repartition of the streamed candidate side: the interpreted
+    # higher-order dot is the per-pair cost, and the small parquet would
+    # otherwise stream through ONE task.
+    cand = _with_unit_prep(e, "vec_id", "a_emb", "a_nrm").repartition(32)
+    q = _with_unit_prep(e.filter(F.col("vec_id") < 10), "query_id", "b_emb", "b_nrm")
     # Broadcast the small query set; candidates stream through map-side.
-    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    pairs = cand.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
     scored = pairs.select(
-        "query_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score")
+        "query_id",
+        "vec_id",
+        (dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))).alias("raw_score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
     return (
@@ -712,16 +722,40 @@ ORDER BY vec_id
 """
 
 
+def _with_unit_prep(e: DataFrame, id_alias: str, emb_alias: str, nrm_alias: str) -> DataFrame:
+    """Per-side cosine prep: double-cast array + L2 norm computed ONCE
+    per input row, BEFORE the pair join — the per-pair work then reduces
+    to a single dot product + division. Evaluation order matches
+    cosine_expr exactly (cast→multiply→sum, sqrt per side, na*nb) so
+    results are bit-compatible with the fused form."""
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(F.col("vec_id").alias(id_alias), dbl.alias(emb_alias)).withColumn(
+        nrm_alias,
+        F.sqrt(F.aggregate(F.col(emb_alias), F.lit(0.0), lambda s, v: s + v * v)),
+    )
+
+
 @query("q_embedding_nearest_neighbor", oracle=_NN_ORACLE, tags=("llm", "similarity", "dedup"))
 def q_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id"), F.col("embedding"))
-    b = e.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("b_emb"))
+    # Higher-order-function expressions (the per-pair dot) are interpreted,
+    # not codegen'd — and the small parquet arrives as ONE partition, so
+    # the broadcast-NL join would run single-threaded. Spread the streamed
+    # side so the O(n²) scoring parallelizes.
+    a = _with_unit_prep(e, "vec_id", "a_emb", "a_nrm").repartition(32)
+    b = _with_unit_prep(e, "nn_id", "b_emb", "b_nrm")
     pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("nn_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("raw_score"), F.asc("nn_id"))
     return (
         pairs.select(
-            "vec_id", "nn_id", cosine(F.col("embedding"), F.col("b_emb")).alias("raw_score")
+            "vec_id",
+            "nn_id",
+            (dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))).alias("raw_score"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
