@@ -467,38 +467,58 @@ ORDER BY query_id, rk
 """
 
 
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
 def _ivf_topk(e: DataFrame, cent: DataFrame, n_queries: int = 10, n_probe: int = 2, k: int = 5) -> DataFrame:
     """Shared IVF flow: assign all vectors to their nearest codebook cell
-    (broadcast codebook, codegen'd cosine), probe each query's n_probe
-    nearest cells, exact-search only within — candidate set shrinks by
-    ~cells/probes and the cell id keys the shuffle."""
+    (broadcast codebook), probe each query's n_probe nearest cells,
+    exact-search only within — candidate set shrinks by ~cells/probes and
+    the cell id keys the shuffle. Casts and norms are hoisted per side
+    (vectors once, codebook once) so per-pair work is one dot product;
+    the streamed vector side is spread over partitions because the
+    interpreted higher-order dot would otherwise run in one task."""
+    prep = _with_unit_prep(e, "vec_id", "emb", "nrm").repartition(32)
+    # double-cast BEFORE the norm/dot so float codebooks (the untrained
+    # first-k-vectors variant) compute in double like the oracle does
+    cdbl = F.transform(F.col("cemb"), lambda x: x.cast("double"))
+    cnorm = F.sqrt(F.aggregate(cdbl, F.lit(0.0), lambda s, v: s + v * v))
+    centp = cent.select("cid", cdbl.alias("cemb"), cnorm.alias("cnrm"))
+    csim = (_dot(F.col("emb"), F.col("cemb")) / F.nullif(F.col("nrm") * F.col("cnrm"), F.lit(0.0))).alias("csim")
     # Assignment: every vector scored against the broadcast codebook.
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("cemb")).alias("csim")
-        )
+        prep.crossJoin(F.broadcast(centp))
+        .select("vec_id", "emb", "nrm", "cid", csim)
         .withColumn("crk", F.row_number().over(w_assign))
         .filter(F.col("crk") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "emb", "nrm", "cid")
     )
-    q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = prep.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "q_emb", "cid", cosine(F.col("q_emb"), F.col("cemb")).alias("csim"))
+        q.crossJoin(F.broadcast(centp))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            "cid",
+            (_dot(F.col("q_emb"), F.col("cemb")) / F.nullif(F.col("q_nrm") * F.col("cnrm"), F.lit(0.0))).alias("csim"),
+        )
         .withColumn("crk", F.row_number().over(w_probe))
         .filter(F.col("crk") <= n_probe)
-        .select("query_id", "q_emb", "cid")
+        .select("query_id", "q_emb", "q_nrm", "cid")
     )
     cand = probes.join(assign, "cid").filter(F.col("vec_id") != F.col("query_id"))
     w_top = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
     return (
         cand.select(
-            "query_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score")
+            "query_id",
+            "vec_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0))).alias("raw_score"),
         )
         .withColumn("rk", F.row_number().over(w_top))
         .filter(F.col("rk") <= k)
