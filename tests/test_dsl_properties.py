@@ -126,3 +126,72 @@ def test_compiled_equals_eval_on_random_chains(spark):
         df = to_stream_df(spark, xs)
         got = [r["value"] for r in compile_batch(sp, df).orderBy("seq").collect()]
         assert got == want, f"spec={spec}"
+
+
+def test_simhash_banding_complete_on_random_docs(spark):
+    """Pigeonhole property, checked empirically: the 2×16-bit banded
+    equi-join finds EXACTLY the hamming≤1 pairs that an all-pairs scan
+    finds — banding is candidate pruning, never recall loss."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.dedup import simhash
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(100)
+    ]
+    # guaranteed collisions: simhash is order-insensitive over distinct
+    # tokens, so a token-permuted copy has hamming 0 to its source
+    for i in range(100, 120):
+        toks = docs[i - 100][1].split()
+        rng.shuffle(toks)
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 1
+    }
+
+    sh = simhash(df)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= 1)
+        .distinct()
+        .collect()
+    }
+    assert banded == brute
+    assert brute  # random short docs over a small vocab must collide
