@@ -1,0 +1,123 @@
+"""Physical-plan property regression suite: the plan SHAPE is the scale
+contract, so assert it, don't just benchmark it. Each headline query
+pins the invariants that keep it viable at 100 TB — filters reaching the
+parquet scan, pruned read schemas, top-k pushdown instead of global
+sorts, no cartesian products on fact tables, and no Python in plans that
+claim to be codegen'd."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from rspl_spark.catalog import load
+from rspl_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_registry()
+
+
+def _plan(spark, reg, name: str, mode: str = "simple") -> str:
+    return (
+        reg[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+    )
+
+
+def _final_plan(spark, reg, name: str) -> str:
+    """Plan AFTER execution: AQE has finalized, so WholeStageCodegen
+    spans are visible."""
+    df = reg[name].fn(spark, SF)
+    df.collect()
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def test_q1_filter_pushed_and_schema_pruned(spark, reg):
+    plan = _plan(spark, reg, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # lineitem has 11 columns; Q1 must read only the 7 it touches
+    rs = re.search(r"ReadSchema: struct<([^\n]*)", plan).group(1)
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+    # "*(n)" node prefixes are the whole-stage-codegen span markers
+    assert "*(" in _final_plan(spark, reg, "q1_pricing_summary")
+
+
+def test_q3_topk_pushdown_no_global_sort(spark, reg):
+    plan = _plan(spark, reg, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    # top-k must NOT materialize as Sort + GlobalLimit
+    assert "GlobalLimit" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_broadcasts_are_dim_only(spark, reg):
+    """Bounded dims (region/nation) may carry broadcast hints; SF-scaled
+    tables must reach the join unhinted (AQE decides at runtime)."""
+    import rspl_spark.queries.joins as J
+    import inspect
+
+    src = inspect.getsource(J.q5_local_supplier)
+    for tbl in ("customer", "supplier", "lineitem", "orders"):
+        assert f"broadcast({tbl[0]}" not in src.lower().replace(" ", "")
+    plan = _plan(spark, reg, "q5_local_supplier")
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_no_cartesian_and_single_sig_subtree(spark, reg):
+    plan = _plan(spark, reg, "q_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    # banding is an equi-join: a hash-join on the band key, never BNLJ
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_neardup_is_equi_join(spark, reg):
+    plan = _plan(spark, reg, "q_simhash_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compiled_dsl_chain_has_no_python(spark, reg):
+    plan = _plan(spark, reg, "q_dsl_map_filter")
+    assert "EvalPython" not in plan
+    assert "*(" in _final_plan(spark, reg, "q_dsl_map_filter")
+
+
+def test_corpus_pipeline_single_scan_single_exchange(spark, reg):
+    plan = _plan(spark, reg, "q_corpus_clean_pipeline")
+    assert plan.count("FileScan parquet") == 1
+    # one exchange for the dedup window + the final presentation sort
+    assert plan.count("Exchange") <= 2
+    assert "WindowGroupLimit" in plan  # map-side keeper pruning
+
+
+def test_q21_single_fact_agg_no_cartesian(spark, reg):
+    plan = _plan(spark, reg, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_window_pass(spark, reg):
+    plan = _plan(spark, reg, "q_asof_join")
+    # the one-pass formulation: no join node at all
+    assert "Join" not in plan or "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_scan_prunes_props(spark):
+    """Metadata-only event queries must not read the wide JSON props
+    column."""
+    e = load(spark, SF, "events")
+    agg = e.groupBy("event_type").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    rs = plan.split("ReadSchema:")[-1]
+    assert "props" not in rs
