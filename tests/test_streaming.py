@@ -340,3 +340,69 @@ def test_tws_pelican_capability_timer_parity(spark):
             assert ped == "red"
         if ped == "green":
             assert veh == "red"
+
+
+@tws
+def test_tws_list_and_map_state(spark):
+    """The remaining transformWithState state-type surface: ListState
+    (bounded recent-values buffer) and MapState (per-key distinct
+    counts), both surviving micro-batch boundaries. This is the state
+    shape of a streaming dedup/profile operator: O(horizon) list + one
+    map entry per distinct value, per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from rspl_spark.streaming.tws_runtime import ensure_rocksdb_state_store
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            val = StructType([StructField("v", LongType())])
+            self._recent = handle.getListState("recent", val)
+            self._counts = handle.getMapState("counts", val, val)
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = pd.concat([pdf for pdf in rows if len(pdf)], ignore_index=True)
+            batch = batch.sort_values("seq", kind="mergesort")
+            for v in batch["value"]:
+                v = int(v)
+                self._recent.appendValue((v,))
+                prev = self._counts.getValue((v,)) if self._counts.containsKey((v,)) else None
+                self._counts.updateValue((v,), ((prev[0] if prev else 0) + 1,))
+            # keep only the last 3 in the list state (bounded buffer)
+            vals = [t[0] for t in self._recent.get()][-3:]
+            self._recent.put([(v,) for v in vals])
+            n_distinct = sum(1 for _ in self._counts.iterator())
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "recent": [",".join(map(str, vals))],
+                    "n_distinct": [n_distinct],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ensure_rocksdb_state_store(spark)
+    chunks = [
+        [("k", 0, 10), ("k", 1, 20), ("k", 2, 10)],
+        [("k", 3, 30), ("k", 4, 20)],
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = _chunked_values(spark, chunks, tmp)
+        out = stream.groupBy("key").transformWithStateInPandas(
+            Profile(),
+            outputStructType="key string, recent string, n_distinct long",
+            outputMode="append",
+            timeMode="none",
+        )
+        run_to_memory_sink(out, "t_tws_listmap")
+        rows = spark.table("t_tws_listmap").collect()
+        by_batch = {r["recent"]: r["n_distinct"] for r in rows}
+        # batch 1: recent [10,20,10] → "10,20,10", 2 distinct
+        # batch 2: list state carried over → last3 of [10,20,10,30,20], 3 distinct
+        assert by_batch == {"10,20,10": 2, "10,30,20": 3}
