@@ -582,6 +582,137 @@ c{i} AS (
 
 
 
+# LSH-bucketed ANN (sign random projection): the OTHER classic ANN scale
+# path next to IVF. 16 deterministic +/-1 hyperplanes (integer-hash
+# signs, generated once driver-side — no RNG) give each vector a 16-bit
+# sketch; 4 bands x 4 bits bucket the corpus; a query searches only the
+# vectors sharing a band. Banding-then-exact-rerank is the semantics
+# (mirrored in the oracle), so the result is exactly verifiable. At
+# scale the band value keys the shuffle. Band width tunes recall vs
+# candidate volume: this synthetic corpus has no close neighbors (max
+# pairwise cosine ~0.5), so narrow 4-bit bands are the honest operating
+# point; high-similarity corpora would widen them.
+
+_SRP_PLANES = 16
+_SRP_DIM = 64
+
+
+def _srp_signs(p: int) -> list[int]:
+    # splitmix-ish integer hash; deterministic, identical in the oracle
+    return [
+        1 if ((p * _SRP_DIM + d) * 2654435761 % 4294967296) >> 31 else -1
+        for d in range(_SRP_DIM)
+    ]
+
+
+def _srp_sketch_col(emb: Column) -> Column:
+    """16-bit SRP sketch as a long: bit p = (dot(emb, plane_p) >= 0)."""
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    bits = None
+    for p in range(_SRP_PLANES):
+        signs = F.array(*[F.lit(float(s)) for s in _srp_signs(p)])
+        dot = F.aggregate(
+            F.zip_with(dbl, signs, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("long")
+
+
+def _srp_sketch_sql(emb: str) -> str:
+    terms = []
+    for p in range(_SRP_PLANES):
+        signs = "[" + ", ".join(f"{float(s)}" for s in _srp_signs(p)) + "]"
+        dot = (
+            f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP({emb}, {signs}), "
+            f"pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_SRP_ORACLE = f"""
+WITH sk AS (
+  SELECT vec_id, embedding, {_srp_sketch_sql("embedding")} AS sketch
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, embedding, b.band, (sketch // POWER(16, b.band)::BIGINT) % 16 AS bv
+  FROM sk, (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id
+  FROM bands q JOIN bands v ON q.band = v.band AND q.bv = v.bv
+  WHERE q.vec_id < 10 AND q.vec_id <> v.vec_id
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT c.query_id, c.vec_id,
+         ROUND({_SQL_COS.format(a="eq.embedding", b="ev.embedding")}, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
+                            ORDER BY {_SQL_COS.format(a="eq.embedding", b="ev.embedding")} DESC,
+                                     c.vec_id) AS rk
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings ev ON ev.vec_id = c.vec_id
+) t WHERE rk <= 5
+ORDER BY query_id, rk
+"""
+
+
+@query("q_cosine_topk_srp", oracle=_SRP_ORACLE, tags=("llm", "similarity"))
+def q_cosine_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k under SRP/LSH bucketing: candidates share a sketch band
+    with the query, then exact cosine rerank."""
+    e = load(spark, sf_dir, "embeddings")
+    prep = (
+        _with_unit_prep(e, "vec_id", "emb", "nrm")
+        .withColumn("sketch", _srp_sketch_col(F.col("emb")))
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    bands = prep.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sketch", 4 * b).bitwiseAND(F.lit(0xF)).alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "emb", "nrm", "b.band", "b.bv")
+    qb = bands.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "band",
+        "bv",
+    )
+    cand = (
+        qb.join(bands, ["band", "bv"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "q_nrm", "vec_id", "emb", "nrm")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0))).alias("raw_score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("raw_score", 6).alias("score"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
 # IVF with a TRAINED codebook: centroids come from 2 Lloyd iterations
 # (deterministic init) instead of the first-8-vectors placeholder — real
 # cells follow the data distribution, which is what gives IVF its recall

@@ -77,3 +77,25 @@ def test_ivf_trained_recall_vs_bruteforce(spark):
     assert total == 50
     recall = hits / total
     assert recall >= 0.8, f"recall@5 = {recall}"
+
+
+def test_srp_lsh_recall_vs_bruteforce(spark):
+    """SRP/LSH-bucketed ANN: 2x8-bit bands on 16 hyperplanes must still
+    recover a usable fraction of the true top-5 on the testdata. The
+    floor is lower than IVF's (bucketing is data-oblivious), but a
+    collapse would mean the sketch or banding is broken."""
+    from rspl_spark.queries import load_registry
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    truth = {}
+    for r in reg["q_cosine_topk_bruteforce"].fn(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in reg["q_cosine_topk_srp"].fn(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert total == 50
+    recall = hits / total
+    assert recall >= 0.3, f"recall@5 = {recall}"
