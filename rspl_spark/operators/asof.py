@@ -34,3 +34,25 @@ def asof_last(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.max(mark).over(w))
+
+
+def asof_last_within(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    mark: Column,
+    out_col: str,
+    tolerance_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """``asof_last`` with a staleness bound (pandas ``merge_asof``'s
+    ``tolerance``): matches older than ``tolerance_seconds`` become null.
+
+    Same single window pass — the bound is a scalar post-condition on the
+    running max, so the scale shape is unchanged.
+    """
+    out = asof_last(df, key_col, ts_col, mark, out_col, tiebreak_col)
+    fresh = (
+        F.col(ts_col).cast("long") - F.col(out_col).cast("long")
+    ) <= F.lit(tolerance_seconds)
+    return out.withColumn(out_col, F.when(fresh, F.col(out_col)))

@@ -367,6 +367,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# As-of with a staleness bound (pandas merge_asof tolerance): purchases
+# older than 30 minutes stop matching. Same one-pass window shape.
+
+_ASOF_TOL_ORACLE = """
+SELECT event_id, user_id, ts,
+       CASE WHEN EPOCH(ts) - EPOCH(last_purchase_ts) <= 1800
+            THEN last_purchase_ts END AS last_purchase_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+  FROM events
+) t
+WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+@query("q_asof_join_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("join", "asof"))
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.asof import asof_last_within
+
+    e = load(spark, sf_dir, "events")
+    marked = asof_last_within(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        mark=F.when(F.col("event_type") == "purchase", F.col("ts")),
+        out_col="last_purchase_ts",
+        tolerance_seconds=1800,
+        tiebreak_col="event_id",
+    )
+    return (
+        marked.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+        .orderBy("event_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Point-in-range (interval) join: events of the same user within 1 hour
 # after each signup. Equi on user_id keys the shuffle; range is a filter.
