@@ -1196,6 +1196,95 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Deterministic train/val/test split: assignment by CONTENT HASH, not
+# randomness — reproducible across runs, machines, and engines, and
+# stable under re-partitioning (the property rand()-based splits lack).
+# 90/5/5 by portable hash of the document text.
+
+_SPLIT_ORACLE = f"""
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS BIGINT) AS n_tokens
+FROM (
+  SELECT text,
+         CASE WHEN {_sql_hash("text")} % 100 < 90 THEN 'train'
+              WHEN {_sql_hash("text")} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) t
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query("q_deterministic_split", oracle=_SPLIT_ORACLE, tags=("llm", "text"))
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = portable_hash(F.col("text")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.select(split.alias("split"), toks.alias("nt"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+# Token packing: assign documents to fixed-budget context windows (bins)
+# by running token count — the standard sequence-packing approximation
+# (greedy in doc_id order, bin = floor(cumulative_before / budget)).
+# One window pass partitioned by source; at scale each source packs
+# independently (the shuffle key), exactly how packing shards on a
+# cluster.
+
+_PACK_BUDGET = 2048
+
+_PACK_ORACLE = f"""
+SELECT source, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS bin_tokens
+FROM (
+  SELECT source, doc_id, nt,
+         CAST((SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt)
+              // {_PACK_BUDGET} AS BIGINT) AS bin
+  FROM (SELECT source, doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS nt
+        FROM documents) t
+) p
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
+@query("q_token_packing", oracle=_PACK_ORACLE, tags=("llm", "text"))
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select("source", "doc_id", nt.alias("nt")).withColumn(
+        "bin", ((F.sum("nt").over(w) - F.col("nt")) / _PACK_BUDGET).cast("long")
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token counting, quality scoring, language ID heuristic,
 # document fingerprinting. All scalar codegen'd expressions.
