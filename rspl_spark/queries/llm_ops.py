@@ -1196,6 +1196,50 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Benchmark-contamination check: training docs sharing word 3-shingles
+# with a held-out benchmark set (here: doc_id < 10). The decontamination
+# pass every training-data pipeline runs before release. Scale shape:
+# the benchmark shingle set is tiny → broadcast; the corpus side
+# explodes shingles once and semi-aggregates per doc — no all-pairs.
+
+_CONTAMINATION_ORACLE = f"""
+WITH cs AS (
+  SELECT doc_id, UNNEST(sh) AS s
+  FROM {_sql_sig_source()} src
+),
+bs AS (
+  SELECT DISTINCT s FROM cs WHERE doc_id < 10
+)
+SELECT c.doc_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_shared_shingles
+FROM cs c JOIN bs ON c.s = bs.s
+WHERE c.doc_id >= 10
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@query("q_contamination", oracle=_CONTAMINATION_ORACLE, tags=("llm", "dedup"))
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.dedup import with_hashed_shingles
+
+    d = load(spark, sf_dir, "documents")
+    # one materialization of the shingle table — both the benchmark and
+    # corpus branches read it, and the md5 shingle expression is the
+    # expensive part (same pattern as the LSH signature table)
+    sh = with_hashed_shingles(d).localCheckpoint(eager=True)
+    corpus = sh.select("doc_id", F.explode("sh").alias("s"))
+    bench = (
+        corpus.filter(F.col("doc_id") < 10).select("s").distinct()
+    )
+    return (
+        corpus.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
 # Deterministic train/val/test split: assignment by CONTENT HASH, not
 # randomness — reproducible across runs, machines, and engines, and
 # stable under re-partitioning (the property rand()-based splits lack).
