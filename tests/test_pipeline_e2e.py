@@ -103,3 +103,69 @@ def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     assert "lang" in seg
     n_en = cleaned.filter(F.col("lang") == "en").count()
     assert back.count() == n_en and n_en > 0
+
+
+def test_streaming_token_packing_matches_batch(spark):
+    """Token packing as a streaming STATEFUL op: the per-source
+    cumulative token counter is a Mealy machine (Get token count, Put
+    bin index), so the engine's keyed FSM runner IS the streaming
+    packer — state carries across micro-batches and the bin sequence
+    matches the batch running-sum formulation exactly."""
+    from pyspark.sql.window import Window
+
+    from rspl_spark.dsl import Get, Put
+    from rspl_spark.streaming import run_mealy_stream
+
+    B = 2048
+
+    def packer():
+        def from_state(cum):
+            return Get(lambda nt: Put(cum // B, lambda: from_state(cum + nt)))
+
+        return from_state(0)
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.col("source").alias("key"),
+            F.col("doc_id").alias("seq"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("value"),
+        )
+    )
+    # batch truth: running sum per source ordered by doc_id
+    w = (
+        Window.partitionBy("key")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = docs.withColumn("bin", ((F.sum("value").over(w) - F.col("value")) / B).cast("long"))
+    truth = {
+        k: [r["bin"] for r in rows]
+        for k, rows in (
+            (k, sorted(g, key=lambda r: r["seq"]))
+            for k, g in __import__("itertools").groupby(
+                sorted(batch.collect(), key=lambda r: (r["key"], r["seq"])),
+                key=lambda r: r["key"],
+            )
+        )
+    }
+
+    c1 = docs.filter(F.col("seq") < 250).orderBy("seq")
+    c2 = docs.filter(F.col("seq") >= 250).orderBy("seq")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1, c2])
+        stream = file_stream(spark, tmp, "key string, seq long, value long")
+        out = run_mealy_stream(stream, packer, "long")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_pack_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got_rows = spark.table("t_pack_stream").collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["key"], r["seq"])):
+        got.setdefault(r["key"], []).append(r["value"])
+    assert got == truth
