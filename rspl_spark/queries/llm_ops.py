@@ -1283,9 +1283,13 @@ def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token packing: assign documents to fixed-budget context windows (bins)
 # by running token count — the standard sequence-packing approximation
 # (greedy in doc_id order, bin = floor(cumulative_before / budget)).
-# One window pass partitioned by source; at scale each source packs
-# independently (the shuffle key), exactly how packing shards on a
-# cluster.
+# One window pass partitioned by source. Packing is inherently
+# sequential WITHIN a partition key; at 100 TB a handful of giant
+# sources would serialize, so production sharding packs per
+# (source, hash(doc_id) % n_shards) — same query with a composite
+# partition key, at the cost of at most n_shards underfilled bins per
+# source. The gate form keys by source alone because the oracle must
+# replay the exact sequence.
 
 _PACK_BUDGET = 2048
 
