@@ -35,7 +35,10 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         .alias("n_words"),
         F.round(
             F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
-            / F.length(text_col),
+            # NULLIF: an empty document would raise DIVIDE_BY_ZERO under
+            # ANSI mode (Spark 4 default) and kill the whole job; null
+            # is the right "undefined ratio" answer.
+            / F.nullif(F.length(text_col), F.lit(0)),
             6,
         ).alias("nonspace_ratio"),
         F.round(

@@ -1350,7 +1350,7 @@ SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
        CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
-       ROUND(CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE) / LENGTH(text), 6) AS nonspace_ratio,
+       ROUND(CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE) / NULLIF(LENGTH(text), 0), 6) AS nonspace_ratio,
        ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
                    t -> LIST_CONTAINS({list(_STOPWORDS)}, t))) AS DOUBLE)
              / GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 1), 6) AS stopword_ratio,
