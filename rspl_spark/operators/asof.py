@@ -52,7 +52,11 @@ def asof_last_within(
     running max, so the scale shape is unchanged.
     """
     out = asof_last(df, key_col, ts_col, mark, out_col, tiebreak_col)
+    # Compare at MICROSECOND precision (Spark's native timestamp
+    # resolution): casting to long floors to whole seconds, which keeps
+    # matches whose true gap is in (tol, tol+1) — a silent off-by-up-to-
+    # one-second disagreement with exact-epoch implementations.
     fresh = (
-        F.col(ts_col).cast("long") - F.col(out_col).cast("long")
-    ) <= F.lit(tolerance_seconds)
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(out_col))
+    ) <= F.lit(int(tolerance_seconds) * 1_000_000)
     return out.withColumn(out_col, F.when(fresh, F.col(out_col)))

@@ -67,6 +67,11 @@ def kmeans_fit(
     if key in cache:
         traj = cache[key][1]
     else:
+        # bounded: evict oldest entries so per-call DataFrames (which
+        # never hit — fresh object each call) cannot grow the cache or
+        # pin inputs without limit in a long-lived session
+        while len(cache) >= 8:
+            cache.pop(next(iter(cache)))
         init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
         traj = [[[float(x) for x in r[vec_col]] for r in init_rows]]
         cache[key] = (df, traj)

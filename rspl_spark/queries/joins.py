@@ -372,7 +372,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_TOL_ORACLE = """
 SELECT event_id, user_id, ts,
-       CASE WHEN EPOCH(ts) - EPOCH(last_purchase_ts) <= 1800
+       CASE WHEN EPOCH_US(ts) - EPOCH_US(last_purchase_ts) <= 1800000000
             THEN last_purchase_ts END AS last_purchase_ts
 FROM (
   SELECT event_id, user_id, ts, event_type,

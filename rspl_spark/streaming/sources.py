@@ -115,8 +115,24 @@ def decode_kafka_records(
         F.from_json(F.col("value").cast("string"), value_schema).alias("j")
     ).select(f"j.{key_col}", f"j.{seq_col}", f"j.{value_col}")
     if seed_df is not None:
+        if parsed.isStreaming and not seed_df.isStreaming:
+            # Spark refuses a streaming/batch union, so lift the batch
+            # seed into a one-shot file stream first (written once to a
+            # session-lifetime temp dir). Callers keep the natural API:
+            # the seed is whatever little batch frame they built.
+            seed_df = _batch_as_stream(seed_df)
         parsed = seed_df.unionByName(parsed)
     return parsed
+
+
+def _batch_as_stream(df: DataFrame) -> DataFrame:
+    """Materialize a (small) batch frame and re-read it as a streaming
+    source — the standard device for prepending finite rows to a stream."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rspl_seed_")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return df.sparkSession.readStream.schema(df.schema).parquet(d)
 
 
 def seeded_batch_stream(seed_df: DataFrame, stream_df: DataFrame) -> DataFrame:

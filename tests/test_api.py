@@ -117,3 +117,33 @@ def test_alternate_maps_scalable_ordinal(spark):
         for r in compile_batch(sp, df, dense_seq=True).orderBy("seq").collect()
     ]
     assert got2 == want
+
+
+def test_dense_input_skips_renumber_and_serial_window(spark):
+    """dense_input=True on a length-preserving term: the compiled plan
+    must contain NO window at all (seq passes through), and a filtering
+    term must renumber via the partitioned parallel ordinal, never an
+    unpartitioned global window."""
+    vals = list(range(50))
+    df = to_stream_df(spark, vals)
+
+    # length-preserving: alternate(map,map) — seq passthrough, no window
+    out = stream_of(df, dense_input=True)._with(
+        alternate(map_sp(lambda v: v * 10), map_sp(lambda v: v + 1))
+    ).to_df()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan
+    got = [r["value"] for r in out.orderBy("seq").collect()]
+    assert got == list(eval_sp(alternate(map_sp(lambda v: v * 10), map_sp(lambda v: v + 1)), vals))
+
+    # gap-producing term: renumbered, but only by PARTITIONED windows
+    filt = (
+        stream_of(df, dense_input=True)
+        .filter(lambda v: v % 2 == 0, expr_fn=lambda c: c % 2 == 0)
+        .to_df()
+    )
+    fplan = filt._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", fplan):
+        assert m.group(1).strip().startswith("_pid") or "," in m.group(1)
+    assert [r["seq"] for r in filt.orderBy("seq").collect()] == list(range(25))

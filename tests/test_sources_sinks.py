@@ -121,6 +121,45 @@ def test_kafka_record_decode_and_seed(spark):
     assert rows == [(0, -1), (1, 0), (2, 10), (3, 20), (4, 30)]
 
 
+def test_kafka_decode_seed_on_streaming_frame(spark):
+    """The seed path against a REAL streaming raw frame: Spark refuses a
+    streaming/batch union, so decode_kafka_records must lift the batch
+    seed into a stream. Before the fix this raised AnalysisException at
+    query start."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rspl_spark.streaming import decode_kafka_records
+    from rspl_spark.streaming.sources import file_stream, write_stream_chunks
+
+    records = [
+        (bytearray(_json.dumps({"key": "k", "seq": i + 1, "value": i * 10}).encode()),)
+        for i in range(3)
+    ]
+    batch = spark.createDataFrame(records, "value binary")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [batch])
+        raw = file_stream(spark, tmp, "value binary")
+        assert raw.isStreaming
+        seed = spark.createDataFrame([("k", 0, -1)], "key string, seq long, value long")
+        out = decode_kafka_records(raw, "key string, seq long, value long", seed_df=seed)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_kafka_seed_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [
+            (r["seq"], r["value"])
+            for r in spark.table("t_kafka_seed_stream").orderBy("seq").collect()
+        ]
+        assert rows == [(0, -1), (1, 0), (2, 10), (3, 20)]
+
+
 def test_kafka_stream_option_plumbing(spark):
     """kafka_stream builds the reader with the right source options; the
     kafka connector jar is absent here, so constructing the plan must
