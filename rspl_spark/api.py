@@ -73,13 +73,23 @@ class RStream:
     def alternate_with(self, sp: StreamProcessor) -> "RStream":
         term = self._term if self._term is not None else map_sp(lambda x: x)
         return RStream(
-            self._df, self._value_col, self._seq_col, self._key_col, _alternate(term, sp)
+            self._df,
+            self._value_col,
+            self._seq_col,
+            self._key_col,
+            _alternate(term, sp),
+            dense_input=self._dense_input,
         )
 
     def bind(self, f) -> "RStream":
         term = self._term if self._term is not None else map_sp(lambda x: x)
         return RStream(
-            self._df, self._value_col, self._seq_col, self._key_col, _bind(term, f)
+            self._df,
+            self._value_col,
+            self._seq_col,
+            self._key_col,
+            _bind(term, f),
+            dense_input=self._dense_input,
         )
 
     def to_df(self, out_type: str | None = None, dense_seq: bool = True) -> DataFrame:
@@ -116,6 +126,14 @@ class RStream:
                 return out
             except CompileError:
                 pass
+            except Exception:
+                # A one-lambda term whose function is Python-only blows
+                # up when applied to a Column (TypeError/ValueError, not
+                # CompileError). If the caller supplied out_type they
+                # explicitly sanctioned the interpreter — fall back;
+                # otherwise surface the real error.
+                if out_type is None:
+                    raise
         if out_type is None:
             raise CompileError(
                 "term is stateful (or keyed) — pass out_type for the interpreter path"

@@ -9,7 +9,17 @@ Python scalars and pyspark Columns* (plain operators: ``lambda x: x * 2``,
 ``lambda x: x > 0``) so one lambda serves both the compiled path (applied
 to a Column) and the interpreted path (applied to row values). When that's
 impossible, pass ``py_fn=`` for the interpreter / ``expr_fn=`` for the
-compiler explicitly.
+compiler explicitly. Passing ONLY ``py_fn`` marks the stage
+interpreter-only (the compiler raises CompileError instead of applying a
+Python-only function to a Column).
+
+CAVEAT — operators whose Python and Spark-SQL semantics differ must NOT
+use the one-lambda style: ``%`` on negative operands is the canonical
+trap (Python: sign of divisor, -7 % 3 == 2; Spark/Rust: remainder keeps
+the dividend's sign, -7 % 3 == -1 — the REFERENCE semantics, since rspl
+is Rust). For such operators pass an explicit pair, e.g.
+``expr_fn=lambda c: F.pmod(c, 3)`` with the matching ``py_fn``, or accept
+that only the compiled path mirrors the reference.
 """
 
 from __future__ import annotations
@@ -25,7 +35,11 @@ class MapSP(StreamProcessor):
 
     def __init__(self, fn: Callable[[Any], Any], expr_fn=None, py_fn=None):
         self.fn = fn
-        self.expr_fn = expr_fn or fn
+        # py_fn-only marks the stage interpreter-only: expr_fn is None
+        # and the compiler raises CompileError (a Python-only function
+        # applied to a Column raises TypeError mid-compile otherwise,
+        # which callers cannot distinguish from a real bug)
+        self.expr_fn = expr_fn if expr_fn is not None else (None if py_fn is not None else fn)
         self.py_fn = py_fn or fn
 
     def step(self) -> StreamProcessor:
@@ -37,7 +51,7 @@ class FilterSP(StreamProcessor):
 
     def __init__(self, pred: Callable[[Any], Any], expr_fn=None, py_fn=None):
         self.pred = pred
-        self.expr_fn = expr_fn or pred
+        self.expr_fn = expr_fn if expr_fn is not None else (None if py_fn is not None else pred)
         self.py_fn = py_fn or pred
 
     def step(self) -> StreamProcessor:
@@ -95,7 +109,10 @@ class ComposeSP(StreamProcessor):
                 # Fusion: hand s1's element straight to s2's continuation.
                 sp1, sp2 = s1.lazy_tail(), s2.cont(s1.value)
                 continue
-            return Get(lambda a, s1=s1, sp2=sp2: ComposeSP(s1.cont(a), sp2))
+            # capture the already-stepped s2 (Get.step is identity), not
+            # the raw sp2: re-stepping a deep downstream chain on every
+            # input element would cost O(pipeline depth) per element
+            return Get(lambda a, s1=s1, s2=s2: ComposeSP(s1.cont(a), s2))
 
 
 class AlternateSP(StreamProcessor):
@@ -124,10 +141,22 @@ class BindSP(StreamProcessor):
         self.f = f
 
     def step(self) -> StreamProcessor:
-        s = self.sp.step()
-        if isinstance(s, Put):
-            return self.f(s.value).step()
-        return Get(lambda a: BindSP(s.cont(a), self.f))
+        # Iterative, not recursive: a chain of Put-headed binds (the
+        # FSM-states-as-binds pattern) must not grow the Python stack —
+        # each selection continues the LOOP, preserving core.py's
+        # trampolined stack-safety contract. A term whose selections
+        # never reach a Get or a non-bind processor is semantically
+        # divergent and loops here (as it would in the reference).
+        sp, f = self.sp, self.f
+        while True:
+            s = sp.step()
+            if isinstance(s, Put):
+                nxt = f(s.value)
+                if isinstance(nxt, BindSP):
+                    sp, f = nxt.sp, nxt.f
+                    continue
+                return nxt.step()
+            return Get(lambda a, s=s, f=f: BindSP(s.cont(a), f))
 
 
 class GenerateSP(StreamProcessor):

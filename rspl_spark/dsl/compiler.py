@@ -84,11 +84,19 @@ def compile_batch(
         )
     out = df
     for stage in _stages(sp):
+        if stage.expr_fn is None:
+            raise CompileError(
+                f"{type(stage).__name__} was built with py_fn only — "
+                "interpreter-only stage; use rspl_spark.dsl.interpreter"
+            )
         v = F.col(value_col)
         if isinstance(stage, FilterSP):
             out = out.filter(stage.expr_fn(v))
         elif isinstance(stage, MapSP):
-            out = out.select(F.col(seq_col), stage.expr_fn(v).alias(value_col))
+            # withColumn, not a 2-column select: pass-through columns
+            # (stream keys, metadata) survive map stages exactly as they
+            # survive filter stages — a uniform output contract.
+            out = out.withColumn(value_col, stage.expr_fn(v))
         else:  # pragma: no cover
             raise CompileError(f"unexpected stage {type(stage).__name__}")
     return out
@@ -99,6 +107,10 @@ def _compile_bind(sp: BindSP, df: DataFrame, value_col: str, seq_col: str) -> Da
     emission of sp.sp selects — but is not part of — the output stream."""
     if not is_stateless(sp.sp):
         raise CompileError("bind head must be stateless for compilation")
+    # Pin the input lineage: the head's limit(1).collect() job and the
+    # caller's later execution of the returned plan both read df —
+    # without this, an expensive upstream (join, parse) computes twice.
+    df = df.localCheckpoint(eager=False)
     head = compile_batch(sp.sp, df, value_col, seq_col)
     first = head.orderBy(seq_col).limit(1).collect()
     if not first:
@@ -121,7 +133,11 @@ def with_dense_ordinal(df: DataFrame, seq_col: str, ord_col: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        # "auto" on AQE-managed platforms (e.g. Databricks) is not an int
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n_parts = max(df.rdd.getNumPartitions(), 1)
     d = df.repartitionByRange(n_parts, F.col(seq_col)).localCheckpoint(eager=False)
     pid = F.spark_partition_id()
     counts = {

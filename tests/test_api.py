@@ -147,3 +147,50 @@ def test_dense_input_skips_renumber_and_serial_window(spark):
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", fplan):
         assert m.group(1).strip().startswith("_pid") or "," in m.group(1)
     assert [r["seq"] for r in filt.orderBy("seq").collect()] == list(range(25))
+
+
+def test_py_only_fn_falls_back_to_interpreter(spark):
+    """A stage built with py_fn only is interpreter-only: the compiler
+    must raise CompileError (not TypeError mid-compile), and to_df with
+    out_type must reach the interpreter. A one-lambda Python-only
+    function likewise falls back when out_type sanctions it."""
+    import math
+
+    vals = [1, 2, 3, 4]
+    df = to_stream_df(spark, vals)
+    out = (
+        stream_of(df)
+        .map(lambda v: v, py_fn=lambda v: math.factorial(v))
+        .to_df(out_type="long")
+    )
+    assert [r["value"] for r in out.orderBy("seq").collect()] == [1, 2, 6, 24]
+
+    # one polymorphic-LOOKING lambda that is actually Python-only
+    out2 = stream_of(df).map(lambda v: math.factorial(v)).to_df(out_type="long")
+    assert [r["value"] for r in out2.orderBy("seq").collect()] == [1, 2, 6, 24]
+
+    # without out_type the real error surfaces (not swallowed)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        stream_of(df).map(lambda v: math.factorial(v)).to_df()
+
+
+def test_alternate_with_preserves_dense_input(spark):
+    """alternate_with must forward the dense-input declaration so the
+    compiled alternate uses seq parity directly — no ordinal machinery,
+    no window in the plan."""
+    vals = list(range(20))
+    df = to_stream_df(spark, vals)
+    out = (
+        stream_of(df, dense_input=True)
+        .map(lambda v: v * 10)
+        .alternate_with(map_sp(lambda v: v + 1))
+        .to_df()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan
+    want = list(
+        eval_sp(alternate(map_sp(lambda v: v * 10), map_sp(lambda v: v + 1)), vals)
+    )
+    got = [r["value"] for r in out.orderBy("seq").collect()]
+    assert got == want

@@ -261,3 +261,23 @@ def test_compose_emits_all_determined_outputs_on_finite_prefix():
     reference's order would strand trailing outputs behind a Get)."""
     sp = compose(filter_sp(lambda n: n % 2 == 0), map_sp(lambda n: n * 10))
     assert take(sp, range(10), 100) == [0, 20, 40, 60, 80]
+
+
+def test_bind_chain_is_stack_safe():
+    """A DEEP chain of Put-headed binds resolved within a single step()
+    (FSM-states-as-binds with no intervening Get) must not grow the
+    Python stack — 100k chained selections used to RecursionError."""
+    from rspl_spark.dsl import Get, Put, bind, generate
+
+    def echo():
+        return Get(lambda a: Put(a, echo))
+
+    def state(n):
+        if n >= 100_000:
+            return echo()
+        # Put-headed bind selecting the next bind directly: the whole
+        # 100k-deep selection chain unfolds inside ONE step() call
+        return bind(generate(lambda s: (s, s + 1), n + 1), state)
+
+    out = list(itertools.islice(eval_sp(state(0), itertools.repeat(7)), 3))
+    assert out == [7, 7, 7]
