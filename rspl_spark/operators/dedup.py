@@ -127,18 +127,24 @@ def lsh_candidate_pairs(
     bands dedup in the final agg. Returns (doc_a, doc_b, est_jaccard).
     """
     n_slots = len(MINHASH_COEFS)
+    if n_slots % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide the {n_slots} signature slots")
     per_band = n_slots // n_bands
     # One explode instead of an n_bands-way union: the union form repeats
     # the (expensive) signature expression subtree once per band — n_bands×
     # the planning work and, uncached, n_bands× the runtime signature
-    # computation. Exploding an array of (band, h1, h2) structs keeps a
-    # single signature subtree and one pass over the rows.
+    # computation. Exploding an array of (band, key) structs keeps a
+    # single signature subtree and one pass over the rows. The band key
+    # concatenates ALL of the band's per_band slots (values are integers,
+    # so ':'-joined strings are collision-free) — every n_bands dividing
+    # the slot count works, not just the two-slot default.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.col(f"mh{per_band * b}").alias("h1"),
-                F.col(f"mh{per_band * b + 1}").alias("h2"),
+                F.concat_ws(
+                    ":", *[F.col(f"mh{per_band * b + i}") for i in range(per_band)]
+                ).alias("bkey"),
             )
             for b in range(n_bands)
         ]
@@ -151,8 +157,7 @@ def lsh_candidate_pairs(
         "doc_id",
         *[f"mh{j}" for j in range(n_slots)],
         F.col("_b.band").alias("band"),
-        F.col("_b.h1").alias("h1"),
-        F.col("_b.h2").alias("h2"),
+        F.col("_b.bkey").alias("bkey"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     matches = sum(
@@ -163,8 +168,7 @@ def lsh_candidate_pairs(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -272,9 +276,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the fixpoint check above was the last reader of the PREVIOUS
+        # labels — release it, or every iteration pins another snapshot
+        # in executor storage for the job's lifetime
+        if i > 0:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    und.unpersist()
     if changed != 0:
         import warnings
 

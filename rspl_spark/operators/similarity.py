@@ -148,9 +148,14 @@ def kmeans_assign(
 @pandas_udf(DoubleType())
 def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized cosine: each batch becomes two (n, d) numpy
-    matrices; one fused BLAS pass per batch."""
+    matrices; one fused BLAS pass per batch. Zero-norm vectors yield
+    null — the same "undefined similarity" answer as cosine_expr's
+    NULLIF guard, so the two kernels stay interchangeable (a raw 0/0
+    would emit NaN, which silently poisons averages and comparisons)."""
     ma = np.stack(a.to_numpy())
     mb = np.stack(b.to_numpy())
     dots = np.einsum("ij,ij->i", ma, mb)
     norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-    return pd.Series(dots / norms)
+    zero = norms == 0
+    out = dots / np.where(zero, 1.0, norms)
+    return pd.Series(np.where(zero, np.nan, out)).where(~zero, None)

@@ -23,22 +23,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import BinaryType, StructField, StructType
 
-from rspl_spark.operators.dedup import MINHASH_COEFS, minhash_cols, minhash_sig
-from rspl_spark.operators.dedup import shingle_combine, portable_hash, MERSENNE_P
+from rspl_spark.operators.dedup import MINHASH_COEFS, minhash_signatures
 
 _N = len(MINHASH_COEFS)
 _BUCKET_STATE = StructType([StructField("seen", BinaryType())])
 
 
 def _signatures(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    th = F.transform(toks, lambda t: portable_hash(t) % MERSENNE_P)
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), th.alias("th"))
-        .select("doc_id", shingle_combine(F.col("th")).alias("sh"))
-        .select("doc_id", minhash_sig(F.col("sh")).alias("sig"))
-        .select("doc_id", *minhash_cols(F.col("sig")))
-    )
+    # one source of truth: the batch kernel (staged projections, CSE-safe)
+    out = minhash_signatures(docs, text_col=text_col, id_col=id_col)
+    return out if id_col == "doc_id" else out.withColumnRenamed(id_col, "doc_id")
 
 
 def streaming_lsh_dedup(
@@ -56,21 +50,29 @@ def streaming_lsh_dedup(
     emitted once per bucket — downstream consumers dedup by (a, b), as
     the batch formulation does with its final groupBy.
     """
+    if _N % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide the {_N} signature slots")
     per_band = _N // n_bands
     sig = _signatures(docs, text_col, id_col)
-    bands = None
-    for band in range(n_bands):
-        part = sig.select(
-            "doc_id",
-            *[f"mh{j}" for j in range(_N)],
+    # single explode, not an n_bands-way union (one signature subtree —
+    # same rationale as the batch lsh_candidate_pairs); the bucket key
+    # covers ALL of the band's slots so any n_bands dividing the slot
+    # count produces disjoint bands
+    buckets = F.array(
+        *[
             F.concat_ws(
                 ":",
                 F.lit(band),
-                F.col(f"mh{per_band * band}"),
-                F.col(f"mh{per_band * band + 1}"),
-            ).alias("bucket"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+                *[F.col(f"mh{per_band * band + i}") for i in range(per_band)],
+            )
+            for band in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[f"mh{j}" for j in range(_N)],
+        F.explode(buckets).alias("bucket"),
+    )
 
     out_schema = "doc_a long, doc_b long, est_jaccard double"
 

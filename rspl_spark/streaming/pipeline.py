@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import BinaryType, StructField, StructType
 
-from rspl_spark.operators.text import language_id, quality_score
+from rspl_spark.operators.text import lang_pred_expr, quality_expr
 
 _SEEN_STATE = StructType([StructField("seen", BinaryType())])
 
@@ -43,15 +43,23 @@ def curate_stream(
     (the dedup stage is applyInPandasWithState); the batch equivalent is
     operators.text.quality_score/language_id + operators.dedup.exact_dedup.
     """
-    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
-    lang = language_id(docs, text_col, id_col).select(id_col, "pred_lang")
+    # FUSED signal computation (quality_expr/lang_pred_expr exist for
+    # exactly this): one narrow projection over the stream. The previous
+    # formulation joined quality_score/language_id outputs back onto the
+    # source — three scans, and in streaming mode two unwatermarked
+    # stream-stream self-joins whose state retains the whole corpus.
     scored = (
-        docs.select(id_col, text_col)
-        .join(q, id_col)
-        .join(lang, id_col)
+        docs.select(
+            id_col,
+            text_col,
+            quality_expr(text_col).alias("quality"),
+            lang_pred_expr(text_col).alias("pred_lang"),
+        )
         .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(*keep_langs))
         .withColumn("h", F.md5(F.col(text_col)))
-        .withColumn("bucket", F.abs(F.hash("h")) % n_hash_buckets)
+        # pmod, not abs: abs(hash) overflows under ANSI mode when hash
+        # lands on Integer.MIN_VALUE (one doc in ~2^32 kills the query)
+        .withColumn("bucket", F.pmod(F.hash("h"), F.lit(n_hash_buckets)))
     )
 
     out_schema = f"`{id_col}` long, `{text_col}` string, quality double, pred_lang string"
@@ -59,9 +67,14 @@ def curate_stream(
     def dedup(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         seen: set = pickle.loads(state.get[0]) if state.exists else set()
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(id_col)
-            for r in pdf.itertuples(index=False):
+        # Materialize ALL Arrow chunks and sort ONCE: a bucket's
+        # micro-batch may span several chunks in no guaranteed order, and
+        # the first-seen keeper must be the min doc_id of the batch
+        # (same hazard as stateful.py's run_mealy_stream, same fix).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(id_col)
+            for r in batch.itertuples(index=False):
                 h = getattr(r, "h")
                 if h in seen:
                     continue

@@ -19,11 +19,17 @@ def print_stream(df: DataFrame, n: int, seq_col: str = "seq") -> DataFrame:
     leaves the remainder consumable. The driver-side show() is bounded
     (n rows), the remainder stays lazy/distributed.
     """
-    head = df.orderBy(seq_col).limit(n)
-    head.show(n, truncate=False)
-    rows = head.select(seq_col).collect()
+    # ONE action: collect the head, print from the collected rows. Two
+    # separate actions (show + collect) re-run the orderBy/limit and can
+    # disagree when seq has ties — printing one set while advancing past
+    # another. The cut below assumes seq is a total order for THIS stream
+    # (the single-stream contract of the reference's print; keyed frames
+    # with per-key ordinals need a per-key cut instead).
+    rows = df.orderBy(seq_col).limit(n).collect()
     if not rows:
         return df.filter(F.lit(False))
+    for r in rows:
+        print(r.asDict())
     last_seq = max(r[seq_col] for r in rows)
     return df.filter(F.col(seq_col) > last_seq)
 
@@ -37,7 +43,9 @@ def to_console(stream_df: DataFrame, timeout_s: int = 60):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"console sink did not finish within {timeout_s}s")
     return q
 
 
@@ -52,5 +60,9 @@ def to_parquet_sink(stream_df: DataFrame, path: str, checkpoint: str, timeout_s:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # a False return means STILL RUNNING: surfacing it prevents callers
+    # reading a partially-written sink as the complete AvailableNow result
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"parquet sink did not finish within {timeout_s}s")
     return q

@@ -155,5 +155,9 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_s: int = 120):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # a False return means STILL RUNNING — callers would read a
+    # partially-populated memory table as the complete result
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"memory sink {name!r} did not finish within {timeout_s}s")
     return q
