@@ -197,10 +197,14 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_jaccard: float = 0.1
 ) -> DataFrame:
     """Exact pairwise word-shingle Jaccard ≥ min_jaccard (the verifier)."""
+    # localCheckpoint, not cache(): the shingle table is read three times
+    # (sizes + both join sides) and a per-call cache() entry is never
+    # unpersisted — in a long-lived session each invocation would pin
+    # another copy. Checkpoint blocks are released when the DataFrame is
+    # garbage-collected (ContextCleaner), so this is self-limiting.
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.explode(string_shingles(F.col(text_col))).alias("s")
-    )
-    sh.cache()
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rspl_spark.catalog import load, register_views
+from rspl_spark.catalog import load
 from rspl_spark.queries import query
 
 _GLOBAL_ORACLE = """
@@ -169,7 +169,9 @@ ORDER BY returnflag, linestatus
 
 @query("q_grouping_sets", oracle=_GSETS_ORACLE, tags=("agg",))
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    # only lineitem is queried — registering all 10 views costs ~1s of
+    # avoidable driver work on first call
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

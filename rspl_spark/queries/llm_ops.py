@@ -1379,16 +1379,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality score: weighted combination of the stats — the "keep or drop"
 # signal of a training-data pipeline.
 
-_QUALITY_ORACLE = """
-SELECT doc_id, quality,
-       CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS keep
-FROM (
-  SELECT doc_id,
-         ROUND(LEAST(1.0, CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE) / 60)
+_QUALITY_SQL_EXPR = """ROUND(LEAST(1.0, CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE) / 60)
                * 0.5
                + (1.0 - LEAST(1.0, CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE)
                                    / GREATEST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))), 1) / 5))
-               * 0.5, 6) AS quality
+               * 0.5, 6)"""
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id, quality,
+       CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS keep
+FROM (
+  SELECT doc_id, {_QUALITY_SQL_EXPR} AS quality
   FROM documents
 ) t
 ORDER BY doc_id
@@ -1415,15 +1416,20 @@ def _lang_hits_sql(lang: str) -> str:
     )
 
 
+_LANG_CASE_SQL = (
+    "CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en' "
+    "WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de' "
+    "WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr' "
+    "WHEN es_hits > 0 THEN 'es' "
+    "ELSE 'unknown' END"
+)
+
+
 _LANGID_ORACLE = f"""
 SELECT doc_id,
        CAST(en_hits AS BIGINT) AS en_hits, CAST(de_hits AS BIGINT) AS de_hits,
        CAST(fr_hits AS BIGINT) AS fr_hits, CAST(es_hits AS BIGINT) AS es_hits,
-       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
-            WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
-            WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
-            WHEN es_hits > 0 THEN 'es'
-            ELSE 'unknown' END AS pred_lang
+       {_LANG_CASE_SQL} AS pred_lang
 FROM (
   SELECT doc_id,
          {_lang_hits_sql("en")} AS en_hits,
@@ -1444,12 +1450,6 @@ ORDER BY doc_id
 # normalization hash. At 100 TB this is one pass over the corpus plus
 # one hash-partitioned exchange.
 
-_QUALITY_SQL_EXPR = """ROUND(LEAST(1.0, CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE) / 60)
-               * 0.5
-               + (1.0 - LEAST(1.0, CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE)
-                                   / GREATEST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))), 1) / 5))
-               * 0.5, 6)"""
-
 
 def _pipeline_oracle() -> str:
     return f"""
@@ -1465,11 +1465,7 @@ WITH scored AS (
   FROM documents
 ), lang AS (
   SELECT *,
-         CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
-              WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
-              WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
-              WHEN es_hits > 0 THEN 'es'
-              ELSE 'unknown' END AS pred_lang
+         {_LANG_CASE_SQL} AS pred_lang
   FROM scored
 ), kept AS (
   SELECT * FROM lang WHERE quality >= 0.5 AND pred_lang = 'en'

@@ -377,12 +377,14 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
     bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return (
+    counts = (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .orderBy("rk")
     )
+    # top-20 via orderBy+limit (TakeOrderedAndProject — fully parallel),
+    # NOT a partition-less row_number window, which would single-task
+    # sort the whole vocabulary; the rank window then runs over <=20 rows
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return top.withColumn("rk", F.row_number().over(w)).orderBy("rk")

@@ -152,10 +152,13 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUME_ORACLE = """
 SELECT s_suppkey,
-       ROUND(CUME_DIST() OVER (ORDER BY FLOOR(s_acctbal / 500)), 6) AS cd,
-       ROUND(NTH_VALUE(s_acctbal, 2) OVER (ORDER BY s_acctbal, s_suppkey
+       ROUND(CUME_DIST() OVER (PARTITION BY s_nationkey
+             ORDER BY FLOOR(s_acctbal / 500)), 6) AS cd,
+       ROUND(NTH_VALUE(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+             ORDER BY s_acctbal, s_suppkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_bal,
-       ROUND(LAST_VALUE(s_acctbal) OVER (ORDER BY s_acctbal, s_suppkey
+       ROUND(LAST_VALUE(s_acctbal) OVER (PARTITION BY s_nationkey
+             ORDER BY s_acctbal, s_suppkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS max_bal
 FROM supplier
 ORDER BY s_suppkey
@@ -165,9 +168,14 @@ ORDER BY s_suppkey
 @query("q_window_cume", oracle=_CUME_ORACLE, tags=("window",))
 def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
-    w_tie = Window.orderBy(F.floor(F.col("s_acctbal") / 500))
-    w_full = Window.orderBy("s_acctbal", "s_suppkey").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # partitioned by nation: cume_dist/nth_value over an UNpartitioned
+    # window would single-task sort the whole (SF-growing) supplier
+    # table — per-nation distribution stats are the scale-safe shape
+    w_tie = Window.partitionBy("s_nationkey").orderBy(F.floor(F.col("s_acctbal") / 500))
+    w_full = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_acctbal", "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return s.select(
         "s_suppkey",
