@@ -1,0 +1,172 @@
+"""Corpus-curation operators for training-data pipelines: document
+chunking, deterministic source mixing, stratified sampling, quantile
+quality cuts, and PII/noise scrubbing.
+
+These extend the reference's capability surface the way the LLM ops do
+(SURVEY.md §2.2 "LLM-data-pipeline extensions") — each is a pure
+DataFrame transformation built from codegen'd expressions, no Python in
+the hot path, and each has a DuckDB-expressible definition so the gate
+can hash-verify it.
+
+Scale notes (the 100 TB contract):
+- ``chunk_tokens`` is a narrow per-row op (sequence + posexplode); the
+  row blowup is inherent to chunking, the work is one scan, no shuffle.
+- ``mix_sources`` / ``hash_sample`` are stateless hash-Bernoulli filters
+  — pushed to the scan, no shuffle, deterministic across retries (a
+  ``rand()`` sample is NOT retry-stable on task re-execution; a content
+  hash is).
+- ``stratified_sample`` shuffles once on the stratum key; at extreme
+  scale pre-prune with ``hash_sample`` so the window sees a bounded
+  candidate set per stratum instead of the full table.
+- ``quality_quantile_cut`` computes per-group thresholds as a TINY
+  aggregate (|groups| rows) broadcast back — never a percent_rank
+  window over an SF-growing partition (languages are few; such a window
+  would put a whole language in one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rspl_spark.operators.dedup import portable_hash
+
+SAMPLE_MOD = 1_000_000
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks
+    (window tokens long, advancing by stride — the standard LLM
+    pretraining chunker; stride < window gives window-stride overlap).
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens), one row per
+    chunk, last chunk possibly short but never empty.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    piece = F.col("_start")  # 1-based token offset of this chunk
+    return (
+        df.select(id_col, toks.alias("_toks"), F.posexplode(starts).alias("_i", "_start"))
+        .select(
+            id_col,
+            F.col("_i").cast("long").alias("chunk_idx"),
+            F.array_join(F.slice("_toks", piece, window), " ").alias("chunk_text"),
+            F.size(F.slice("_toks", piece, window)).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def sample_hash(*cols: Column) -> Column:
+    """Deterministic uniform sampling key in [0, SAMPLE_MOD): portable
+    60-bit md5 hash of the concatenated key, reduced mod 10^6. Identical
+    in DuckDB (see queries.curation._SQL_SAMPLE_HASH); stable across
+    task retries, unlike rand()."""
+    return portable_hash(F.concat_ws(":", *cols)) % SAMPLE_MOD
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_rate: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted source mixing: keep each row of source s
+    with probability weights.get(s, default_rate), decided by a content
+    hash (retry-stable, reproducible across runs and engines).
+
+    This is the "data mixing" step of corpus assembly — upsampling is
+    out of scope (a hash filter can only thin); rates must be in [0,1].
+    """
+    rate = F.lit(float(default_rate))
+    for s, w in sorted(weights.items()):
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"rate for {s!r} outside [0,1]: {w}")
+        rate = F.when(F.col(source_col) == s, F.lit(float(w))).otherwise(rate)
+    key = sample_hash(F.col(source_col), F.col(id_col).cast("string"))
+    return df.filter(key < (rate * SAMPLE_MOD).cast("long"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rows ranked inside
+    each stratum by their sampling hash (uniform order), ties broken by
+    id; the first k survive. One shuffle on the stratum key."""
+    key = sample_hash(F.lit("strat"), F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def quality_quantile_cut(
+    df: DataFrame,
+    score_col: Column,
+    group_col: str,
+    keep_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each group by score: per-group
+    threshold = exact percentile(1 - keep_frac), computed as a
+    |groups|-row aggregate and broadcast-joined back (NOT a window over
+    the full table — groups are few and huge at scale).
+
+    At 100 TB swap ``F.percentile`` for ``F.approx_percentile`` (the
+    exact percentile buffers each group's values on one reducer); the
+    testdata gate uses the exact form so DuckDB can replay it.
+    """
+    scored = df.withColumn("_score", score_col)
+    cuts = scored.groupBy(group_col).agg(
+        F.percentile("_score", 1.0 - keep_frac).alias("_cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), group_col)
+        .filter(F.col("_score") >= F.col("_cut"))
+        .drop("_cut")
+        .withColumnRenamed("_score", "score")
+    )
+
+
+# RE2-safe patterns (no lookaround) so Spark (Java regex) and DuckDB
+# (RE2) agree byte-for-byte on every replacement.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ \t\n]+"
+LONG_DIGITS_RE = r"[0-9]{6,}"
+
+
+def scrub_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, URLs, and long digit runs; collapse whitespace.
+    One chained regexp projection — a single scan, fully pushed down."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, URL_RE, "<URL>")
+    t = F.regexp_replace(t, LONG_DIGITS_RE, "<NUM>")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(
+        id_col,
+        t.alias("clean_text"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
+        .cast("long")
+        .alias("n_urls"),
+    )

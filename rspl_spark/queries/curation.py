@@ -1,0 +1,183 @@
+"""Corpus-curation gate queries: chunking, source mixing, stratified
+sampling, quantile quality cuts, PII scrubbing (operators in
+rspl_spark.operators.curation).
+
+Every query replays its full definition in DuckDB SQL — including the
+deterministic sampling hash (the same md5-based portable hash the dedup
+queries use), so sampling decisions are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+from rspl_spark.operators import curation as C
+from rspl_spark.operators.text import quality_expr
+from rspl_spark.queries import query
+from rspl_spark.queries.llm_ops import _QUALITY_SQL_EXPR, _sql_hash
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping 64-token windows, stride 48.
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+       ARRAY_TO_STRING(LIST_SLICE(toks, s, LEAST(s + 63, LEN(toks))), ' ') AS chunk_text,
+       CAST(LEN(LIST_SLICE(toks, s, LEAST(s + 63, LEN(toks)))) AS BIGINT) AS n_chunk_tokens
+FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks FROM documents) d,
+     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks), 1), 48)) AS gs(s)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("q_chunk_documents", oracle=_CHUNK_ORACLE, tags=("llm", "curation"))
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.chunk_tokens(d, window=64, stride=48).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted source mixing (hash-Bernoulli thinning).
+# Rates are picked so rate*10^6 is exact in binary floating point.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.125
+
+_MIX_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_sql_hash("CONCAT_WS(':', source, CAST(doc_id AS VARCHAR))")} % {C.SAMPLE_MOD}
+      < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 0
+                    ELSE 125000 END
+ORDER BY doc_id
+"""
+
+
+@query("q_mix_sources", oracle=_MIX_ORACLE, tags=("llm", "curation"))
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        C.mix_sources(d, _MIX_WEIGHTS, _MIX_DEFAULT)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sample: exactly 5 docs per language, hash-ranked.
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_hash("CONCAT_WS(':', 'strat', CAST(doc_id AS VARCHAR))")} % {C.SAMPLE_MOD},
+                    doc_id
+         ) AS rk
+  FROM documents
+) t
+WHERE rk <= 5
+ORDER BY doc_id
+"""
+
+
+@query("q_stratified_sample", oracle=_STRAT_ORACLE, tags=("llm", "curation"))
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        C.stratified_sample(d, "lang", 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile quality cut: keep the top half of each language by quality
+# score; threshold = per-language exact median, broadcast back.
+# ---------------------------------------------------------------------------
+
+_QCUT_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_QUALITY_SQL_EXPR} AS score FROM documents
+),
+cuts AS (
+  SELECT lang, QUANTILE_CONT(score, 0.5) AS cut FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.score
+FROM scored s JOIN cuts c ON s.lang = c.lang
+WHERE s.score >= c.cut
+ORDER BY s.doc_id
+"""
+
+
+@query("q_quality_quantile_cut", oracle=_QCUT_ORACLE, tags=("llm", "curation"))
+def q_quality_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        C.quality_quantile_cut(d, quality_expr(), "lang", keep_frac=0.5)
+        .select("doc_id", "lang", "score")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / noise scrubbing. The synthetic corpus has no real PII, so the
+# query injects deterministic emails/URLs/digit-runs first (replayed
+# identically in the oracle), then scrubs them back out — the redaction
+# actually fires and the hash proves both engines agree on every byte.
+# ---------------------------------------------------------------------------
+
+
+def _inject_spark(text, doc_id):
+    t = F.concat(
+        text,
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(F.lit(" see https://example.org/page/"), doc_id.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(doc_id % 13 == 0, F.lit(" ref 1234567890")).otherwise(F.lit("")),
+    )
+    return t
+
+
+_INJECT_SQL = """text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' see https://example.org/page/' || CAST(doc_id AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' ref 1234567890' ELSE '' END"""
+
+_SCRUB_ORACLE = f"""
+SELECT doc_id,
+       TRIM(REGEXP_REPLACE(
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(noisy, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{C.URL_RE}', '<URL>', 'g'),
+           '{C.LONG_DIGITS_RE}', '<NUM>', 'g'),
+         '\\s+', ' ', 'g')) AS clean_text,
+       CAST(LEN(REGEXP_EXTRACT_ALL(noisy, '{C.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(LEN(REGEXP_EXTRACT_ALL(noisy, '{C.URL_RE}')) AS BIGINT) AS n_urls
+FROM (SELECT doc_id, {_INJECT_SQL} AS noisy FROM documents) t
+ORDER BY doc_id
+"""
+
+
+@query("q_scrub_text", oracle=_SCRUB_ORACLE, tags=("llm", "curation"))
+def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    noisy = d.select(
+        "doc_id", _inject_spark(F.col("text"), F.col("doc_id")).alias("text")
+    )
+    return C.scrub_text(noisy).orderBy("doc_id")

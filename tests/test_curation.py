@@ -1,0 +1,141 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py):
+chunking invariants, deterministic sampling, quantile cuts, scrubbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from rspl_spark.operators import curation as C
+from rspl_spark.operators.text import quality_expr
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, **r) for i, r in enumerate(rows)])
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_covers_every_token_exactly_under_nonoverlap(spark):
+    # stride == window → a partition: concatenating chunks restores the doc.
+    df = _docs(spark, [{"text": " ".join(f"t{i}" for i in range(10))}])
+    out = C.chunk_tokens(df, window=4, stride=4).orderBy("chunk_idx").collect()
+    assert [r.chunk_idx for r in out] == [0, 1, 2]
+    assert " ".join(r.chunk_text for r in out) == " ".join(f"t{i}" for i in range(10))
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 2]
+
+
+def test_chunk_overlap_width(spark):
+    # stride < window → consecutive chunks share window-stride tokens.
+    df = _docs(spark, [{"text": " ".join(f"t{i}" for i in range(8))}])
+    out = C.chunk_tokens(df, window=4, stride=2).orderBy("chunk_idx").collect()
+    for a, b in zip(out, out[1:]):
+        ta, tb = a.chunk_text.split(), b.chunk_text.split()
+        assert ta[2:] == tb[: len(ta) - 2]
+
+
+def test_chunk_short_doc_yields_one_chunk(spark):
+    df = _docs(spark, [{"text": "only three tokens"}])
+    out = C.chunk_tokens(df, window=64, stride=48).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 3
+
+
+def test_chunk_rejects_bad_params(spark):
+    df = _docs(spark, [{"text": "x"}])
+    with pytest.raises(ValueError):
+        C.chunk_tokens(df, window=0, stride=4)
+    with pytest.raises(ValueError):
+        C.chunk_tokens(df, window=4, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# mix_sources / stratified_sample — determinism and rate behavior
+# ---------------------------------------------------------------------------
+
+
+def test_mix_rate_zero_and_one(spark):
+    df = _docs(spark, [{"text": "x", "source": s} for s in ["a"] * 50 + ["b"] * 50])
+    out = C.mix_sources(df, {"a": 1.0, "b": 0.0}, default_rate=0.5)
+    srcs = [r.source for r in out.collect()]
+    assert srcs.count("a") == 50 and srcs.count("b") == 0
+
+
+def test_mix_is_deterministic_across_runs(spark):
+    df = _docs(spark, [{"text": "x", "source": "a"} for _ in range(200)])
+    kept1 = sorted(r.doc_id for r in C.mix_sources(df, {}, 0.25).collect())
+    kept2 = sorted(r.doc_id for r in C.mix_sources(df, {}, 0.25).collect())
+    assert kept1 == kept2
+    # rate ~respected (hash-uniform, generous band)
+    assert 20 <= len(kept1) <= 80
+
+
+def test_mix_rejects_out_of_range_rate(spark):
+    df = _docs(spark, [{"text": "x", "source": "a"}])
+    with pytest.raises(ValueError):
+        C.mix_sources(df, {"a": 1.5}, 0.5)
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    df = _docs(
+        spark,
+        [{"text": "x", "lang": lang} for lang in ["en"] * 30 + ["de"] * 30 + ["fr"] * 2],
+    )
+    out = C.stratified_sample(df, "lang", 5).groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in out}
+    # strata smaller than k survive whole
+    assert counts == {"en": 5, "de": 5, "fr": 2}
+
+
+# ---------------------------------------------------------------------------
+# quality_quantile_cut
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_cut_keeps_top_half_per_group(spark):
+    rows = [
+        {"text": " ".join(["w%d" % i for i in range(n)]), "lang": lang}
+        for lang in ("en", "de")
+        for n in (5, 10, 20, 40, 60)
+    ]
+    df = _docs(spark, rows)
+    out = C.quality_quantile_cut(df, quality_expr(), "lang", keep_frac=0.5)
+    per_lang = out.groupBy("lang").count().collect()
+    # median cut with >= keeps ceil(n/2) = 3 of 5 per group
+    assert all(r["count"] == 3 for r in per_lang)
+    # every kept score >= every dropped score within its group
+    kept = {(r.lang, r.doc_id) for r in out.collect()}
+    scored = df.withColumn("s", quality_expr()).collect()
+    for lang in ("en", "de"):
+        ks = [r.s for r in scored if (r.lang, r.doc_id) in kept and r.lang == lang]
+        ds = [r.s for r in scored if (r.lang, r.doc_id) not in kept and r.lang == lang]
+        assert min(ks) >= max(ds)
+
+
+# ---------------------------------------------------------------------------
+# scrub_text
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_redacts_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            {"text": "mail me at a.b+c@foo.co or x@y.io  thanks"},
+            {"text": "docs: https://ex.org/a?b=1 and http://t.co/xyz"},
+            {"text": "card 1234567890 pin 12345"},
+            {"text": "clean   text    here"},
+        ],
+    )
+    out = {r.doc_id: r for r in C.scrub_text(df).collect()}
+    assert out[0].clean_text == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[0].n_emails == 2
+    assert out[1].clean_text == "docs: <URL> and <URL>"
+    assert out[1].n_urls == 2
+    # only runs of >= 6 digits are masked
+    assert out[2].clean_text == "card <NUM> pin 12345"
+    assert out[3].clean_text == "clean text here"
