@@ -61,11 +61,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def _load_uncached(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
+        # TIMESTAMP(NANOS) handling differs across Spark builds: some read
+        # it only under legacy nanosAsLong (→ long nanos), newer readers
+        # produce TIMESTAMP_NTZ directly (truncated to micros). Request the
+        # legacy form, then branch on what the reader actually returned so
+        # both environments yield the same TimestampType column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # NTZ → session-tz timestamp: the sessions here run UTC, where this
+        # is value-identical to the legacy long→timestamp_micros path.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 

@@ -193,6 +193,44 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def duplicated_shingle_fraction(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document fraction of its distinct word 3-shingles that also
+    occur in at least one OTHER document — the corpus-level signal behind
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), at shingle granularity:
+    a document whose shingles are mostly shared is boilerplate or a
+    near-copy even when no single pair-join candidate fires.
+
+    Shape: explode distinct shingles once, count distinct docs per
+    shingle (shuffle keyed on shingle — uniform unless one shingle
+    dominates the corpus), join back, re-aggregate per doc. Both
+    aggregations are partial-agg friendly; nothing is quadratic.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(string_shingles(F.col(text_col))).alias("s"),
+    )
+    docs_per = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        sh.join(docs_per, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_jaccard: float = 0.1
 ) -> DataFrame:

@@ -125,6 +125,59 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _gram_counts(base: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(id, gram, n) occurrence counts of token k-grams. One explode +
+    one partial-agg shuffle keyed on (doc, gram) — the shape that scales
+    to arbitrarily long documents (a per-row HOF count would be
+    O(len·distinct) inside one task)."""
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return (
+        base.select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models", §A1.1): the fraction of the document
+    covered by its most frequent token / 2-gram, and the fraction of
+    3-gram occurrences that are repeats. High values flag boilerplate
+    and degenerate (looping) text that survives length/stopword filters.
+
+    Token-fraction variant (the paper counts characters; tokens keep the
+    oracle exact under multi-space normalization). Per gram size: one
+    explode + two keyed aggregations, all partial-agg friendly.
+    """
+    base = df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+
+    def per_doc(k: int, prefix: str) -> DataFrame:
+        dup = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        return (
+            _gram_counts(base, k, id_col)
+            .groupBy(id_col)
+            .agg(
+                F.max("n").alias(f"_{prefix}_top"),
+                F.sum("n").alias(f"_{prefix}_total"),
+                dup.alias(f"_{prefix}_dup"),
+            )
+        )
+    t1, t2, t3 = per_doc(1, "t1"), per_doc(2, "t2"), per_doc(3, "t3")
+    out = t1.join(t2, id_col).join(t3, id_col)
+    frac = lambda a, b: F.round(F.col(a).cast("double") / F.col(b), 6)  # noqa: E731
+    return out.select(
+        id_col,
+        F.col("_t1_total").cast("long").alias("n_tokens"),
+        frac("_t1_top", "_t1_total").alias("top_token_frac"),
+        frac("_t2_top", "_t2_total").alias("top_bigram_frac"),
+        frac("_t3_dup", "_t3_total").alias("dup_trigram_frac"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
