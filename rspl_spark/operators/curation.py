@@ -74,6 +74,15 @@ def sample_hash(*cols: Column) -> Column:
     return portable_hash(F.concat_ws(":", *cols)) % SAMPLE_MOD
 
 
+def _split_weight(w: float) -> tuple[int, int]:
+    """(full_copies, fractional_ppm) of a mixing weight — integer parts
+    so Spark and DuckDB never disagree on float rounding."""
+    if w < 0.0:
+        raise ValueError(f"mixing weight must be >= 0, got {w}")
+    full = int(w)
+    return full, round((w - full) * SAMPLE_MOD)
+
+
 def mix_sources(
     df: DataFrame,
     weights: dict[str, float],
@@ -81,20 +90,41 @@ def mix_sources(
     source_col: str = "source",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Deterministic weighted source mixing: keep each row of source s
-    with probability weights.get(s, default_rate), decided by a content
-    hash (retry-stable, reproducible across runs and engines).
+    """Deterministic weighted source mixing: each row of source s is
+    emitted ``weights.get(s, default_rate)`` times in expectation,
+    decided by a content hash (retry-stable, reproducible across runs
+    and engines — a rand() sample is neither).
 
-    This is the "data mixing" step of corpus assembly — upsampling is
-    out of scope (a hash filter can only thin); rates must be in [0,1].
+    Weights may exceed 1 (upsampling, the corpus-assembly "data mixing"
+    knob for high-quality sources): a weight w emits floor(w) full
+    copies of every row plus one extra copy of rows whose hash falls
+    under frac(w) — so w=2.5 repeats every row twice and half the rows
+    a third time. When upsampling is in play the output gains a
+    ``copy_idx`` column (1-based) distinguishing the repeats; when every
+    weight is <= 1 the op stays a pure scan-pushed filter with the input
+    schema (no explode, no extra column).
+
+    Scale: the <=1 path is a stateless filter at the scan; the
+    upsampling path is a narrow per-row explode of at most ceil(w)
+    elements — no shuffle either way.
     """
-    rate = F.lit(float(default_rate))
-    for s, w in sorted(weights.items()):
-        if not 0.0 <= w <= 1.0:
-            raise ValueError(f"rate for {s!r} outside [0,1]: {w}")
-        rate = F.when(F.col(source_col) == s, F.lit(float(w))).otherwise(rate)
+    fulls_ppms = {s: _split_weight(w) for s, w in weights.items()}
+    d_full, d_ppm = _split_weight(default_rate)
+    full_e, ppm_e = F.lit(d_full), F.lit(d_ppm)
+    for s, (fw, pw) in sorted(fulls_ppms.items()):
+        full_e = F.when(F.col(source_col) == s, F.lit(fw)).otherwise(full_e)
+        ppm_e = F.when(F.col(source_col) == s, F.lit(pw)).otherwise(ppm_e)
     key = sample_hash(F.col(source_col), F.col(id_col).cast("string"))
-    return df.filter(key < (rate * SAMPLE_MOD).cast("long"))
+    n_copies = full_e + F.when(key < ppm_e, F.lit(1)).otherwise(F.lit(0))
+    if max([default_rate, *weights.values()], default=default_rate) <= 1.0:
+        return df.filter(n_copies > 0)
+    # sequence(1, 0) would step BACKWARDS to [1, 0]; a NULL instead makes
+    # explode drop the zero-copy rows. explode must be the top-level
+    # expression (generators can't nest), so the long cast is a second step.
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies.cast("int")))
+    return df.withColumn("copy_idx", F.explode(copies)).withColumn(
+        "copy_idx", F.col("copy_idx").cast("long")
+    )
 
 
 def stratified_sample(

@@ -208,10 +208,14 @@ def duplicated_shingle_fraction(
     dominates the corpus), join back, re-aggregate per doc. Both
     aggregations are partial-agg friendly; nothing is quadratic.
     """
+    # localCheckpoint: the exploded shingle table feeds both the per-
+    # shingle doc counts and the probe side of the join below; without
+    # materialization the split/transform/explode runs twice per query
+    # (same rationale as ngram_jaccard_pairs).
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(string_shingles(F.col(text_col))).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     docs_per = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         sh.join(docs_per, "s")

@@ -46,11 +46,29 @@ def salted_join(
     """
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
+    # Replicating the dim side n_salts times is only invisible when every
+    # dim row needs a fact match to appear (inner/semi) or when unmatched
+    # rows come from the un-replicated fact side (left/anti). For
+    # right/full outer, an unmatched dim row would surface once per salt.
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not preserve semantics for how={how!r}: "
+            "dim rows without a fact match would appear n_salts times. "
+            "Use inner/left/semi/anti, or a plain join for outer variants."
+        )
+    if "_salt" in fact.columns or "_salt" in dim.columns:
+        raise ValueError(
+            "input already has a '_salt' column; rename it before salted_join"
+        )
     cols = salt_on if salt_on is not None else fact.columns
     f = fact.withColumn("_salt", F.pmod(F.xxhash64(*cols), F.lit(n_salts)))
+    # explode must be top-level (generators can't nest in a cast)
     d = dim.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).cast("long")
-    )
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
     return f.join(d, [key, "_salt"], how).drop("_salt")
 
 
@@ -63,12 +81,14 @@ def skew_safe_count_distinct(
     which partial-aggregates (each map task emits one partial count per
     key). No single task ever sees a hot key's full value set.
 
-    Output: (keys…, n_distinct).
+    Output: (keys…, n_distinct). NULL values are ignored, matching SQL
+    COUNT(DISTINCT): dropDuplicates keeps one (keys, NULL) row, but
+    count(_v) skips it, so a NULL-only key yields 0.
     """
     v = F.col(value) if isinstance(value, str) else value
     return (
         df.select(*keys, v.alias("_v"))
         .dropDuplicates([*keys, "_v"])
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+        .agg(F.count(F.col("_v")).cast("long").alias("n_distinct"))
     )

@@ -129,12 +129,17 @@ def _gram_counts(base: DataFrame, k: int, id_col: str) -> DataFrame:
     """(id, gram, n) occurrence counts of token k-grams. One explode +
     one partial-agg shuffle keyed on (doc, gram) — the shape that scales
     to arbitrarily long documents (a per-row HOF count would be
-    O(len·distinct) inside one task)."""
+    O(len·distinct) inside one task).
+
+    Documents with fewer than k tokens emit NO grams (no truncated
+    pseudo-gram), so downstream fractions come out NULL instead of
+    scoring a 1-token doc as maximally repetitive."""
     toks = F.col("_toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return (
-        base.select(id_col, F.explode(grams).alias("gram"))
+        base.filter(F.size(toks) >= k)
+        .select(id_col, F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -151,7 +156,9 @@ def repetition_signals(
 
     Token-fraction variant (the paper counts characters; tokens keep the
     oracle exact under multi-space normalization). Per gram size: one
-    explode + two keyed aggregations, all partial-agg friendly.
+    explode + two keyed aggregations, all partial-agg friendly. Docs
+    shorter than k tokens yield NULL for the k-gram fractions (left
+    joins from the 1-gram side) rather than a degenerate 1.0.
     """
     base = df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
 
@@ -167,7 +174,7 @@ def repetition_signals(
             )
         )
     t1, t2, t3 = per_doc(1, "t1"), per_doc(2, "t2"), per_doc(3, "t3")
-    out = t1.join(t2, id_col).join(t3, id_col)
+    out = t1.join(t2, [id_col], "left").join(t3, [id_col], "left")
     frac = lambda a, b: F.round(F.col(a).cast("double") / F.col(b), 6)  # noqa: E731
     return out.select(
         id_col,
@@ -189,12 +196,15 @@ def tfidf_top_terms(
     is scanned once."""
     n_docs_df = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = df.select(id_col, F.explode(F.split(F.trim(text_col), r"\s+")).alias("term"))
+    tf_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n"))
+    # Doc totals as a groupBy+join rather than sum().over(partitionBy(doc)):
+    # the aggregate partial-combines map-side and the join avoids the
+    # window's per-partition sort over the full (doc, term) table.
+    doc_totals = tf_counts.groupBy(id_col).agg(F.sum("n").alias("_doc_n"))
     tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "tf", F.col("n").cast("double") / F.sum("n").over(Window.partitionBy(id_col))
-        )
+        tf_counts.join(doc_totals, id_col)
+        .withColumn("tf", F.col("n").cast("double") / F.col("_doc_n"))
+        .drop("_doc_n")
     )
     dfreq = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     scored = (

@@ -57,6 +57,7 @@ def load_registry() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        scale_queries,
         windows,
     )
 

@@ -69,6 +69,57 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Upsampling source mix: weights > 1 repeat rows (floor(w) full copies +
+# a hash-decided fractional extra). The oracle replays the integer
+# (full_copies, fractional_ppm) split so no float rounding can drift.
+# ---------------------------------------------------------------------------
+
+_MIXUP_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+_MIXUP_DEFAULT = 0.5
+
+
+def _mixup_case_sql() -> tuple[str, str]:
+    fulls, ppms = [], []
+    for s, w in sorted(_MIXUP_WEIGHTS.items()):
+        full, ppm = C._split_weight(w)
+        fulls.append(f"WHEN '{s}' THEN {full}")
+        ppms.append(f"WHEN '{s}' THEN {ppm}")
+    d_full, d_ppm = C._split_weight(_MIXUP_DEFAULT)
+    return (
+        f"CASE source {' '.join(fulls)} ELSE {d_full} END",
+        f"CASE source {' '.join(ppms)} ELSE {d_ppm} END",
+    )
+
+
+_MIXUP_FULL_SQL, _MIXUP_PPM_SQL = _mixup_case_sql()
+
+_MIXUP_ORACLE = f"""
+SELECT doc_id, source, lang,
+       CAST(UNNEST(GENERATE_SERIES(1, n_copies)) AS BIGINT) AS copy_idx
+FROM (
+  SELECT doc_id, source, lang,
+         ({_MIXUP_FULL_SQL})
+         + CASE WHEN {_sql_hash("CONCAT_WS(':', source, CAST(doc_id AS VARCHAR))")} % {C.SAMPLE_MOD}
+                     < ({_MIXUP_PPM_SQL})
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+) t
+WHERE n_copies >= 1
+ORDER BY doc_id, copy_idx
+"""
+
+
+@query("q_mix_sources_upsampled", oracle=_MIXUP_ORACLE, tags=("llm", "curation"))
+def q_mix_sources_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        C.mix_sources(d, _MIXUP_WEIGHTS, _MIXUP_DEFAULT)
+        .select("doc_id", "source", "lang", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stratified sample: exactly 5 docs per language, hash-ranked.
 # ---------------------------------------------------------------------------
 

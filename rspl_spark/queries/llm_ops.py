@@ -1341,6 +1341,61 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sharded token packing: the 100 TB form of the packer above. Keying the
+# running sum by (source, hash(doc_id) % n_shards) bounds every window
+# partition to 1/n_shards of a source, so a handful of giant sources no
+# longer serialize onto single tasks; the cost is at most one underfilled
+# trailing bin per shard. The shard hash is the portable md5 hash, so the
+# oracle replays the exact same document-to-shard assignment and greedy
+# sequence.
+
+_PACK_SHARDS = 4
+
+_PACK_SHARDED_ORACLE = f"""
+SELECT source, shard, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS bin_tokens
+FROM (
+  SELECT source, shard, doc_id, nt,
+         CAST((SUM(nt) OVER (PARTITION BY source, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt)
+              // {_PACK_BUDGET} AS BIGINT) AS bin
+  FROM (SELECT source,
+               CAST({_sql_hash("CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS BIGINT) AS shard,
+               doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS nt
+        FROM documents) t
+) p
+GROUP BY source, shard, bin
+ORDER BY source, shard, bin
+"""
+
+
+@query("q_token_packing_sharded", oracle=_PACK_SHARDED_ORACLE, tags=("llm", "text"))
+def q_token_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    shard = (portable_hash(F.col("doc_id").cast("string")) % _PACK_SHARDS).cast("long")
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select(
+        "source", shard.alias("shard"), F.col("doc_id"), nt.alias("nt")
+    ).withColumn(
+        "bin", ((F.sum("nt").over(w) - F.col("nt")) / _PACK_BUDGET).cast("long")
+    )
+    return (
+        binned.groupBy("source", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("source", "shard", "bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token counting, quality scoring, language ID heuristic,
 # document fingerprinting. All scalar codegen'd expressions.

@@ -370,6 +370,63 @@ ORDER BY rk
 """
 
 
+# Gopher-style within-document repetition signals (operators.text.
+# repetition_signals): top-token / top-bigram coverage and repeated-
+# trigram fraction. Docs shorter than k tokens get NULL k-gram fractions
+# (no truncated pseudo-grams), replayed by the oracle's LEN(ts) >= k
+# filters + left joins.
+
+_REP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ts FROM documents
+),
+c1 AS (
+  SELECT doc_id, gram, COUNT(*) AS n
+  FROM (SELECT doc_id, UNNEST(ts) AS gram FROM base) x
+  GROUP BY doc_id, gram
+),
+a1 AS (SELECT doc_id, MAX(n) AS top, SUM(n) AS total FROM c1 GROUP BY doc_id),
+c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS n
+  FROM (SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ts)),
+                      i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        FROM base WHERE LEN(ts) >= 2) x
+  GROUP BY doc_id, gram
+),
+a2 AS (SELECT doc_id, MAX(n) AS top, SUM(n) AS total FROM c2 GROUP BY doc_id),
+c3 AS (
+  SELECT doc_id, gram, COUNT(*) AS n
+  FROM (SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS gram
+        FROM base WHERE LEN(ts) >= 3) x
+  GROUP BY doc_id, gram
+),
+a3 AS (
+  SELECT doc_id, SUM(n) AS total,
+         SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup
+  FROM c3 GROUP BY doc_id
+)
+SELECT a1.doc_id,
+       CAST(a1.total AS BIGINT) AS n_tokens,
+       ROUND(CAST(a1.top AS DOUBLE) / a1.total, 6) AS top_token_frac,
+       ROUND(CAST(a2.top AS DOUBLE) / a2.total, 6) AS top_bigram_frac,
+       ROUND(CAST(a3.dup AS DOUBLE) / a3.total, 6) AS dup_trigram_frac
+FROM a1 LEFT JOIN a2 ON a1.doc_id = a2.doc_id
+        LEFT JOIN a3 ON a1.doc_id = a3.doc_id
+ORDER BY a1.doc_id
+"""
+
+
+@query("q_repetition_signals", oracle=_REP_ORACLE, tags=("llm", "text"))
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.text import repetition_signals
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_signals(d).orderBy("doc_id")
+
+
 @query("q_top_bigrams", oracle=_BIGRAM_ORACLE, tags=("llm", "text"))
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -1,0 +1,236 @@
+"""Round-3 operator tests: skew-op edge semantics (NULLs, join-type
+validation, column collisions), upsampling source mix, sharded token
+packing (pandas replay parity), short-document repetition signals, and
+the bucketed gate join's zero-exchange plan."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.operators.curation import mix_sources
+from rspl_spark.operators.skew import salted_join, skew_safe_count_distinct
+
+
+# ---------------------------------------------------------------------------
+# skew_safe_count_distinct: SQL COUNT(DISTINCT) semantics incl. NULLs
+# ---------------------------------------------------------------------------
+
+
+def test_skew_count_distinct_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("a", None), ("b", None), ("b", None)],
+        "k string, v int",
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skew_safe_count_distinct(df, ["k"], "v").collect()
+    }
+    # SQL COUNT(DISTINCT v): NULLs are ignored; a NULL-only key counts 0
+    assert got == {"a": 2, "b": 0}
+
+    expected = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# salted_join: validation + parity with the plain join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, "k", how=how)
+
+
+def test_salted_join_rejects_salt_collision(spark):
+    fact = spark.createDataFrame([(1, 0)], "k int, _salt int")
+    dim = spark.createDataFrame([(1, "d")], "k int, v string")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(fact, dim, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(dim, fact, "k")
+
+
+def test_salted_join_parity_inner_and_left(spark):
+    fact = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 8, 1).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # dim misses some keys so the left join produces unmatched fact rows
+    dim = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 7).alias("dv"))
+    for how in ("inner", "left"):
+        plain = sorted(
+            fact.join(dim, "k", how).select("k", "v", "dv").collect()
+        )
+        salted = sorted(
+            salted_join(fact, dim, "k", n_salts=4, how=how)
+            .select("k", "v", "dv")
+            .collect()
+        )
+        assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# mix_sources: upsampling repeat factors
+# ---------------------------------------------------------------------------
+
+
+def _mix_input(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+def test_mix_sources_thinning_path_keeps_schema(spark):
+    d = _mix_input(spark)
+    out = mix_sources(d, {"s0": 1.0, "s1": 0.5}, 0.25)
+    assert out.columns == d.columns  # no copy_idx on the pure-filter path
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["s0"] == 100  # weight 1.0 keeps everything
+    assert 0 < per["s1"] < 100
+
+
+def test_mix_sources_upsampling_copies(spark):
+    d = _mix_input(spark)
+    out = mix_sources(d, {"s0": 2.5, "s1": 1.0, "s2": 0.0}, 0.5)
+    assert "copy_idx" in out.columns
+    pdf = out.toPandas()
+    per_doc = pdf.groupby(["source", "doc_id"]).size()
+    by_source = pdf.groupby("source")["doc_id"].nunique()
+    # w=2.5: every s0 row appears 2 or 3 times, both arms non-empty
+    s0 = per_doc.loc["s0"]
+    assert set(s0.unique()) == {2, 3}
+    # copy_idx is 1..n_copies per doc
+    s0_max = pdf[pdf.source == "s0"].groupby("doc_id")["copy_idx"].max()
+    s0_cnt = pdf[pdf.source == "s0"].groupby("doc_id")["copy_idx"].count()
+    assert (s0_max == s0_cnt).all()
+    # w=1.0: exactly one copy of every row
+    assert (per_doc.loc["s1"] == 1).all() and by_source["s1"] == 100
+    # w=0.0: source dropped entirely
+    assert "s2" not in pdf.source.unique()
+    # default 0.5 thins s3
+    assert 0 < by_source["s3"] < 100
+    # deterministic: a second run is identical
+    pdf2 = mix_sources(d, {"s0": 2.5, "s1": 1.0, "s2": 0.0}, 0.5).toPandas()
+    pd.testing.assert_frame_equal(
+        pdf.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True),
+        pdf2.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True),
+    )
+
+
+def test_mix_sources_rejects_negative(spark):
+    d = _mix_input(spark)
+    with pytest.raises(ValueError, match=">= 0"):
+        mix_sources(d, {"s0": -0.5}, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# sharded token packing: greedy replay parity + bin-shape invariants
+# ---------------------------------------------------------------------------
+
+
+def test_token_packing_sharded_replay_parity(spark):
+    from rspl_spark.queries.llm_ops import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        q_token_packing_sharded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_token_packing_sharded(spark, sf).toPandas()
+
+    # independent pandas replay of the same greedy sequence
+    from rspl_spark.catalog import load
+    from rspl_spark.operators.dedup import portable_hash
+
+    docs = (
+        load(spark, sf, "documents")
+        .select(
+            "source",
+            (portable_hash(F.col("doc_id").cast("string")) % _PACK_SHARDS)
+            .cast("long")
+            .alias("shard"),
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("nt"),
+        )
+        .toPandas()
+        .sort_values(["source", "shard", "doc_id"])
+    )
+    rows = []
+    for (src, sh), g in docs.groupby(["source", "shard"]):
+        cum = 0
+        for nt in g["nt"]:
+            rows.append((src, sh, cum // _PACK_BUDGET, nt))
+            cum += nt
+    ref = (
+        pd.DataFrame(rows, columns=["source", "shard", "bin", "nt"])
+        .groupby(["source", "shard", "bin"], as_index=False)
+        .agg(n_docs=("nt", "size"), bin_tokens=("nt", "sum"))
+    )
+    merged = got.merge(ref, on=["source", "shard", "bin"], suffixes=("", "_ref"))
+    assert len(merged) == len(got) == len(ref)
+    assert (merged.n_docs == merged.n_docs_ref).all()
+    assert (merged.bin_tokens == merged.bin_tokens_ref).all()
+
+    # conservation + at most ONE open (trailing) bin per (source, shard):
+    # every non-final bin's cumulative end reaches its budget boundary
+    assert got.bin_tokens.sum() == docs.nt.sum()
+    for (src, sh), g in got.groupby(["source", "shard"]):
+        g = g.sort_values("bin")
+        cum_end = g.bin_tokens.cumsum()
+        closed = cum_end >= (g.bin + 1) * _PACK_BUDGET
+        assert closed.iloc[:-1].all()  # only the last bin may be open
+
+
+# ---------------------------------------------------------------------------
+# repetition signals: short docs yield NULL k-gram fractions
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_short_docs_null(spark):
+    from rspl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "a a a a")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # 1-token doc: no bigrams/trigrams → NULL, not the degenerate 1.0
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] is None
+    assert got[1]["dup_trigram_frac"] is None
+    # 2-token doc: bigram defined, trigram NULL
+    assert got[2]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_trigram_frac"] is None
+    # repeated doc: "a a" occurs 3 times of 3 bigrams; "a a a" 2 of 2
+    assert got[3]["top_bigram_frac"] == 1.0
+    assert got[3]["dup_trigram_frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# bucketed gate join: zero Exchange on the join sides
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_gate_join_no_exchange(spark):
+    from rspl_spark.catalog import ensure_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table(ensure_bucketed(spark, sf, "lineitem", "l_orderkey"))
+        od = spark.table(ensure_bucketed(spark, sf, "orders", "o_orderkey"))
+        j = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
