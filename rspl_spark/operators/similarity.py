@@ -142,6 +142,56 @@ def kmeans_assign(
     )
 
 
+def unit_prep(e, id_alias: str, emb_alias: str, nrm_alias: str):
+    """Per-side cosine prep: double-cast array + L2 norm computed ONCE
+    per input row, BEFORE the pair join — the per-pair work then reduces
+    to a single dot product + division. Evaluation order matches
+    cosine_expr exactly (cast→multiply→sum, sqrt per side, na*nb) so
+    results are bit-compatible with the fused form."""
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(F.col("vec_id").alias(id_alias), dbl.alias(emb_alias)).withColumn(
+        nrm_alias,
+        F.sqrt(F.aggregate(F.col(emb_alias), F.lit(0.0), lambda s, v: s + v * v)),
+    )
+
+
+def exact_scored_pairs(
+    cand,
+    probes,
+    score_alias: str = "raw_score",
+    *,
+    allow_quadratic: bool = False,
+    broadcast_probes: bool = True,
+):
+    """ALL-PAIRS cosine scoring of ``cand`` (columns a_emb/a_nrm from
+    :func:`unit_prep`) against ``probes`` (b_emb/b_nrm): O(|cand|·|probes|)
+    pairs — the exact-semantics oracle/recall anchor, NOT the scale path.
+
+    Guarded: refuses to build the plan unless ``allow_quadratic=True``,
+    so nothing routes an SF-scaled table into a cartesian product by
+    accident. At corpus scale use the blocked formulations instead —
+    IVF cells (``q_cosine_topk_ivf_trained``), SRP sign-bands
+    (``q_cosine_topk_srp``), or trained-cell pair mining
+    (``q_embedding_cosine_pairs``); this operator is for provably small
+    probe sets (broadcast) and parity checks.
+    """
+    if not allow_quadratic:
+        raise ValueError(
+            "exact_scored_pairs is O(|cand| x |probes|): pass "
+            "allow_quadratic=True only for small/bounded inputs; the scale "
+            "paths are the IVF / SRP / trained-cell blocked operators."
+        )
+    right = F.broadcast(probes) if broadcast_probes else probes
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return cand.crossJoin(right).withColumn(
+        score_alias, dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))
+    )
+
+
 # DoubleType() (not the DDL string "double"): the string form parses the
 # DDL through the active session at import time — importable only with a
 # running SparkContext.

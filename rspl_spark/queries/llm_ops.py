@@ -34,6 +34,7 @@ from rspl_spark.operators.dedup import (
     portable_hash,
 )
 from rspl_spark.operators.similarity import cosine_expr as cosine
+from rspl_spark.operators.similarity import exact_scored_pairs, unit_prep
 from rspl_spark.queries import query
 
 # The Spark-side kernels live in rspl_spark.operators.{dedup,similarity}
@@ -301,6 +302,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, min_jaccard=0.1).orderBy("doc_a", "doc_b")
 
 
+# Corpus-level duplicated-shingle fraction (Lee et al. 2022 exact-substring
+# signal at shingle granularity): per doc, the share of its distinct
+# 3-shingles that occur in at least one other document.
+
+_SHINGLE_FRAC_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST({_sql_shingles()}) AS s FROM documents
+),
+dp AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN dp.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN dp.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS shared_frac
+FROM sh JOIN dp ON sh.s = dp.s
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
+@query("q_duplicated_shingle_fraction", oracle=_SHINGLE_FRAC_ORACLE, tags=("llm", "dedup"))
+def q_duplicated_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.duplicated_shingle_fraction(d).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (32-bit) over word tokens: per-bit weighted vote of token hashes.
 # ---------------------------------------------------------------------------
@@ -416,6 +443,9 @@ ORDER BY query_id, rk
 
 @query("q_cosine_topk_bruteforce", oracle=_BRUTE_TOPK_ORACLE, tags=("llm", "similarity"))
 def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k — the oracle anchor for the ANN variants. The
+    quadratic blow-up is bounded here by the broadcast 10-row query side
+    (n x 10, not n x n); corpus-scale search goes through IVF/SRP."""
     e = load(spark, sf_dir, "embeddings")
     # Per-side prep (cast + norm once per row, only the dot per pair) and
     # a repartition of the streamed candidate side: the interpreted
@@ -424,12 +454,10 @@ def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _with_unit_prep(e, "vec_id", "a_emb", "a_nrm").repartition(32)
     q = _with_unit_prep(e.filter(F.col("vec_id") < 10), "query_id", "b_emb", "b_nrm")
     # Broadcast the small query set; candidates stream through map-side.
-    pairs = cand.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    dot = _dot(F.col("a_emb"), F.col("b_emb"))
-    scored = pairs.select(
-        "query_id",
-        "vec_id",
-        (dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))).alias("raw_score"),
+    scored = (
+        exact_scored_pairs(cand, q, "raw_score", allow_quadratic=True)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "raw_score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
     return (
@@ -848,20 +876,35 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     cents = kmeans_fit(e, k=8, iters=_IVF_TRAINED_ITERS)
-    assign = kmeans_assign(e, cents).select("vec_id", "cid").join(e, "vec_id")
-    a = assign.select(
-        F.col("cid"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    # Per-side prep (cast + norm ONCE per row) before the in-cell self-
+    # join: the per-pair work is then a single dot + divide instead of
+    # the fused cosine recomputing both norms per pair — 3x less HOF
+    # evaluation on the quadratic-in-cell part. unit_prep's evaluation
+    # order is bit-compatible with cosine_expr.
+    assign = kmeans_assign(e, cents).select("vec_id", "cid")
+    prepped = _with_unit_prep(e, "vec_id", "emb", "nrm").join(assign, "vec_id")
+    a = prepped.select(
+        "cid",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
-    b = assign.select(
-        F.col("cid"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    b = prepped.select(
+        "cid",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
     )
+    dot = _dot(F.col("a_emb"), F.col("b_emb"))
     return (
         a.join(b, ["cid"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("score"),
+            F.round(
+                dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)), 6
+            ).alias("score"),
         )
         .filter(F.col("score") >= _EMB_PAIR_THRESHOLD)
         .orderBy("vec_a", "vec_b")
@@ -885,21 +928,17 @@ ORDER BY vec_id
 """
 
 
-def _with_unit_prep(e: DataFrame, id_alias: str, emb_alias: str, nrm_alias: str) -> DataFrame:
-    """Per-side cosine prep: double-cast array + L2 norm computed ONCE
-    per input row, BEFORE the pair join — the per-pair work then reduces
-    to a single dot product + division. Evaluation order matches
-    cosine_expr exactly (cast→multiply→sum, sqrt per side, na*nb) so
-    results are bit-compatible with the fused form."""
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return e.select(F.col("vec_id").alias(id_alias), dbl.alias(emb_alias)).withColumn(
-        nrm_alias,
-        F.sqrt(F.aggregate(F.col(emb_alias), F.lit(0.0), lambda s, v: s + v * v)),
-    )
+# Shared per-side cosine prep lives in operators.similarity.unit_prep;
+# the module-local name is kept for the many call sites below.
+_with_unit_prep = unit_prep
 
 
 @query("q_embedding_nearest_neighbor", oracle=_NN_ORACLE, tags=("llm", "similarity", "dedup"))
 def q_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest neighbor — DECLARED all-pairs semantics; this is the
+    oracle/recall anchor for the ANN queries and must not be pointed at a
+    corpus-scale table (the guarded exact_scored_pairs operator makes
+    that explicit; the scale paths are IVF/SRP/trained-cell blocking)."""
     e = load(spark, sf_dir, "embeddings")
     # Higher-order-function expressions (the per-pair dot) are interpreted,
     # not codegen'd — and the small parquet arrives as ONE partition, so
@@ -907,15 +946,12 @@ def q_embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side so the O(n²) scoring parallelizes.
     a = _with_unit_prep(e, "vec_id", "a_emb", "a_nrm").repartition(32)
     b = _with_unit_prep(e, "nn_id", "b_emb", "b_nrm")
-    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("nn_id"))
-    dot = _dot(F.col("a_emb"), F.col("b_emb"))
+    scored = exact_scored_pairs(
+        a, b, "raw_score", allow_quadratic=True, broadcast_probes=False
+    ).filter(F.col("vec_id") != F.col("nn_id"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("raw_score"), F.asc("nn_id"))
     return (
-        pairs.select(
-            "vec_id",
-            "nn_id",
-            (dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))).alias("raw_score"),
-        )
+        scored.select("vec_id", "nn_id", "raw_score")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", "nn_id", F.round("raw_score", 6).alias("score"))

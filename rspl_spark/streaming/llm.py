@@ -102,3 +102,68 @@ def streaming_lsh_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental IVF cell assignment of arriving embeddings against a
+    FROZEN codebook: the same codegen'd nearest-centroid kernel as batch
+    ``kmeans_assign``, applied to a streaming DataFrame.
+
+    This is a stateless NARROW projection — no shuffle, no state store —
+    so assignment scales with ingest parallelism; batch/stream parity is
+    exact because it is literally the same expression tree. This is the
+    ingest half of a streamed vector index: rows land in their cell
+    partitions as they arrive, and the (rare, heavyweight) codebook
+    refresh stays a separate driver-side concern (see
+    :func:`ivf_ingest_with_retrain`).
+    """
+    from rspl_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_ingest_with_retrain(
+    vectors: DataFrame,
+    initial_centroids: list[list[float]],
+    sink,
+    retrain_every: int = 0,
+    refit=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """``foreachBatch`` ingest loop: every micro-batch is assigned
+    against the CURRENT codebook and handed to ``sink(assigned_df,
+    batch_id)`` with an ``epoch`` column recording the codebook version;
+    every ``retrain_every`` batches, ``refit(batch_df, centroids) ->
+    new_centroids`` refreshes the codebook for SUBSEQUENT batches.
+
+    This mirrors the reference's capability-driver pattern
+    (examples/pelican.rs:310-337 — effects interpreted by a driver loop
+    outside the stream) and how a 100 TB pipeline ingests embeddings:
+    assignment is a frozen-codebook narrow op on the hot path; re-training
+    is an out-of-band driver decision (here: a hook), never part of the
+    per-row flow. Returns the started StreamingQuery builder — call
+    ``.start()``/``awaitTermination`` like any writeStream.
+    """
+    from pyspark.sql import functions as _F
+
+    from rspl_spark.operators.similarity import kmeans_assign
+
+    state = {"centroids": [list(c) for c in initial_centroids], "n": 0, "epoch": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = kmeans_assign(
+            batch_df, state["centroids"], vec_col=vec_col, id_col=id_col
+        ).withColumn("epoch", _F.lit(state["epoch"]))
+        sink(assigned, batch_id)
+        state["n"] += 1
+        if retrain_every and refit is not None and state["n"] % retrain_every == 0:
+            state["centroids"] = [list(c) for c in refit(batch_df, state["centroids"])]
+            state["epoch"] += 1
+
+    return vectors.writeStream.foreachBatch(handle)

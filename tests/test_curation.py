@@ -74,10 +74,13 @@ def test_mix_is_deterministic_across_runs(spark):
     assert 20 <= len(kept1) <= 80
 
 
-def test_mix_rejects_out_of_range_rate(spark):
+def test_mix_rejects_negative_rate(spark):
     df = _docs(spark, [{"text": "x", "source": "a"}])
     with pytest.raises(ValueError):
-        C.mix_sources(df, {"a": 1.5}, 0.5)
+        C.mix_sources(df, {"a": -0.5}, 0.5)
+    # weights > 1 are now the UPSAMPLING path (round 3), not an error:
+    # the output gains a copy_idx column
+    assert "copy_idx" in C.mix_sources(df, {"a": 1.5}, 0.5).columns
 
 
 def test_stratified_sample_exact_k_per_stratum(spark):

@@ -113,6 +113,34 @@ def test_asof_join_is_single_window_pass(spark, reg):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_pairs_operator_is_guarded(spark):
+    """The all-pairs scorer must refuse to build a plan unless the caller
+    explicitly owns the quadratic cost — no accidental O(n²) on an
+    SF-scaled table through the operator API."""
+    from rspl_spark.operators.similarity import exact_scored_pairs, unit_prep
+
+    e = load(spark, SF, "embeddings")
+    a = unit_prep(e, "vec_id", "a_emb", "a_nrm")
+    b = unit_prep(e, "query_id", "b_emb", "b_nrm")
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        exact_scored_pairs(a, b)
+    # and with the flag it builds (plan only, no execution)
+    exact_scored_pairs(a, b, allow_quadratic=True).explain(mode="simple")
+
+
+def test_similarity_queries_no_cartesian_outside_anchors(spark, reg):
+    """Every similarity-tagged query except the two DECLARED brute-force
+    oracle anchors must plan without a cartesian product."""
+    anchors = {"q_cosine_topk_bruteforce", "q_embedding_nearest_neighbor"}
+    checked = 0
+    for name, spec in reg.items():
+        if "similarity" in spec.tags and name not in anchors:
+            plan = _plan(spark, reg, name)
+            assert "CartesianProduct" not in plan, name
+            checked += 1
+    assert checked >= 5  # the ANN/pair-mining family is covered
+
+
 def test_events_scan_prunes_props(spark):
     """Metadata-only event queries must not read the wide JSON props
     column."""

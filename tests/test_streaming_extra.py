@@ -431,3 +431,88 @@ def test_fsm_timeout_feedback(spark):
         rows = spark.table("t_timeout").collect()
         got = {(r["key"], r["value"]) for r in rows}
         assert ("a", 99) in got  # walk emitted via timeout feedback
+
+
+def test_streaming_ivf_assign_batch_parity(spark):
+    """Streaming IVF cell assignment against a frozen codebook is the
+    SAME expression as batch kmeans_assign — finite-prefix parity, the
+    rspl way (tests/basic.rs style)."""
+    from rspl_spark.operators.similarity import kmeans_assign
+    from rspl_spark.streaming.llm import streaming_ivf_assign
+
+    cents = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0]]
+    rows = [(i, [float(i % 2 * 10 + d * 0.1) for d in range(4)]) for i in range(20)]
+    schema = "vec_id long, embedding array<double>"
+    static = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [static])
+        stream = file_stream(spark, tmp, schema)
+        q = (
+            streaming_ivf_assign(stream, cents)
+            .writeStream.format("memory")
+            .queryName("t_sivf")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["vec_id"], r["cid"], r["dist2"])
+            for r in spark.table("t_sivf").collect()
+        )
+    expected = sorted(
+        (r["vec_id"], r["cid"], r["dist2"])
+        for r in kmeans_assign(static, cents).collect()
+    )
+    assert got == expected  # exact parity, dist2 included
+
+
+def test_ivf_ingest_with_retrain_hook(spark):
+    """foreachBatch ingest: batch 1 assigns against the initial codebook
+    (epoch 0); the retrain hook then refreshes the codebook, and batch 2
+    assigns against the NEW one (epoch 1) — each epoch hash-matches the
+    batch kmeans_assign with the corresponding centroids."""
+    from rspl_spark.operators.similarity import kmeans_assign
+    from rspl_spark.streaming.llm import ivf_ingest_with_retrain
+
+    cents0 = [[0.0] * 4, [10.0] * 4]
+    cents1 = [[6.0] * 4, [10.0] * 4]  # refit moves cell 0: some vectors flip
+    schema = "vec_id long, embedding array<double>"
+    c1 = spark.createDataFrame(
+        [(i, [float(v)] * 4) for i, v in [(1, 1), (2, 7), (3, 9)]], schema
+    )
+    c2 = spark.createDataFrame(
+        [(i, [float(v)] * 4) for i, v in [(4, 1), (5, 7), (6, 9)]], schema
+    )
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(
+            (r["vec_id"], r["cid"], r["epoch"]) for r in df.collect()
+        )
+
+    def refit(batch_df, centroids):
+        assert len(centroids) == 2
+        return cents1
+
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1, c2])
+        stream = file_stream(spark, tmp, schema)
+        q = (
+            ivf_ingest_with_retrain(
+                stream, cents0, sink, retrain_every=1, refit=refit
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = sorted(collected)
+    exp0 = [(r["vec_id"], r["cid"], 0) for r in kmeans_assign(c1, cents0).collect()]
+    exp1 = [(r["vec_id"], r["cid"], 1) for r in kmeans_assign(c2, cents1).collect()]
+    assert got == sorted(exp0 + exp1)
+    # the refresh is OBSERVABLE on the SAME value: 7 sits past the cell
+    # boundary under cents0 (midpoint 5 → cell 1) but inside it under
+    # cents1's moved centroid (midpoint 8 → cell 0)
+    by_id = {v: c for v, c, _ in got}
+    assert by_id[2] == 1 and by_id[5] == 0

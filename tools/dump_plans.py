@@ -28,6 +28,12 @@ FLAGSHIPS = [
     "q21_waiting_suppliers",
     "q_simhash_neardup_pairs",
     "q_corpus_clean_pipeline",
+    "q_salted_join",
+    "q_skew_count_distinct",
+    "q_bucketed_join",
+    "q_token_packing_sharded",
+    "q_mix_sources_upsampled",
+    "q_repetition_signals",
 ]
 
 
