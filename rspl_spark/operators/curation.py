@@ -127,6 +127,91 @@ def mix_sources(
     )
 
 
+def token_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Token-budget accounting: per (source, length-bucket) document and
+    token totals — the corpus-shape report every packing/mixing decision
+    starts from. One narrow projection + one partial-agg shuffle keyed on
+    (source, bucket); the bucket key is bounded by max doc length, so the
+    aggregate stays tiny at any corpus scale.
+
+    Output: (source, bucket, bucket_lo, n_docs, n_tokens).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bucket = F.floor(nt / bucket_width).cast("long")
+    return (
+        df.select(source_col, bucket.alias("bucket"), nt.alias("_nt"))
+        .groupBy(source_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * bucket_width).cast("long"))
+    )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: Column,
+    scale: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted downsampling (the DCLM-style "sample in
+    proportion to quality" step): keep each row with probability
+    clamp(score * scale, 0, 1), decided by the deterministic content
+    hash — high-quality documents survive at a higher rate, and the
+    decision is retry-stable and engine-replayable (score and hash are
+    both pure expressions).
+
+    A stateless filter at the scan, like ``mix_sources``'s thinning
+    path; ``score`` is appended to the output for downstream audits.
+    """
+    clamped = F.least(
+        F.greatest(F.round(score_col * scale, 6), F.lit(0.0)), F.lit(1.0)
+    )
+    # round-then-cast: Spark's long cast TRUNCATES while DuckDB's rounds,
+    # so an integer-valued float like 499999.9999…  must be rounded
+    # explicitly before the cast on both sides
+    keep_ppm = F.round(clamped * SAMPLE_MOD, 0).cast("long")
+    key = sample_hash(F.col(source_col), F.col(id_col).cast("string"))
+    return df.withColumn("score", F.round(score_col, 6)).filter(key < keep_ppm)
+
+
+def temperature_weights(
+    df: DataFrame,
+    tau: float,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-scaled source-mixing weights (the multilingual /
+    multi-domain rebalancing rule, Raffel et al. 2020 §3.4.3 "Unsupervised
+    objectives" data mixing): sampling probability p_s ∝ count_s^tau,
+    re-expressed as a per-row repeat factor r_s = p_s · N / count_s so the
+    expected output corpus size stays N. tau < 1 flattens the mix — small
+    sources UPSAMPLE (r > 1, served by mix_sources' repeat path), large
+    sources thin.
+
+    Driver-side: one tiny aggregate (|sources| rows) collected, weights
+    rounded to 3 decimals so a SQL replay of the same arithmetic cannot
+    drift across engines' last-ulp pow differences.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    denom = sum(c**tau for _, c in sorted(counts.items()))
+    return {
+        s: round((c**tau / denom) * n_total / c, 3) for s, c in sorted(counts.items())
+    }
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -120,6 +120,116 @@ def q_mix_sources_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-length histogram: per (source, 64-token bucket) corpus shape.
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(bucket * 64 AS BIGINT) AS bucket_lo
+FROM (SELECT source, CAST(nt // 64 AS BIGINT) AS bucket, nt
+      FROM (SELECT source, LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS nt
+            FROM documents) raw) t
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
+@query("q_token_length_histogram", oracle=_HIST_ORACLE, tags=("llm", "curation"))
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.token_length_histogram(d).orderBy("source", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: keep probability = clamp(quality * 1.5, 0, 1),
+# hash-decided — high-quality docs survive at a higher rate.
+# ---------------------------------------------------------------------------
+
+_QW_SCALE = 1.5
+
+_QWS_ORACLE = f"""
+SELECT doc_id, source, ROUND(score, 6) AS score
+FROM (SELECT doc_id, source, {_QUALITY_SQL_EXPR} AS score FROM documents) t
+WHERE {_sql_hash("CONCAT_WS(':', source, CAST(doc_id AS VARCHAR))")} % {C.SAMPLE_MOD}
+      < CAST(ROUND(LEAST(GREATEST(ROUND(score * {_QW_SCALE}, 6), 0), 1) * {C.SAMPLE_MOD}, 0) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+@query("q_quality_weighted_sample", oracle=_QWS_ORACLE, tags=("llm", "curation"))
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        C.quality_weighted_sample(d, quality_expr(), scale=_QW_SCALE)
+        .select("doc_id", "source", "score")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (tau = 0.5): the testdata's 20 sources
+# are perfectly balanced, so the query first folds src0-src9 into one
+# 'web' mega-source (10x the others) — the weights then upsample every
+# small source (w ≈ 1.52) and thin 'web' (w ≈ 0.48), scale-invariantly.
+# The oracle re-derives the SAME weight arithmetic in SQL (3-decimal
+# rounding pins both engines past last-ulp pow differences).
+# ---------------------------------------------------------------------------
+
+_TEMP_TAU = 0.5
+_WEB_SOURCES = tuple(f"src{i}" for i in range(10))
+_FOLD_SQL = (
+    "CASE WHEN source IN ("
+    + ", ".join(f"'{s}'" for s in _WEB_SOURCES)
+    + ") THEN 'web' ELSE source END"
+)
+
+_TEMP_ORACLE = f"""
+WITH folded AS (
+  SELECT doc_id, lang, {_FOLD_SQL} AS source FROM documents
+),
+cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS c FROM folded GROUP BY source),
+tot AS (SELECT SUM(c) AS n, SUM(POW(c, {_TEMP_TAU})) AS denom FROM cnt),
+w AS (
+  SELECT source, ROUND(POW(c, {_TEMP_TAU}) / denom * n / c, 3) AS w
+  FROM cnt, tot
+),
+sized AS (
+  SELECT f.doc_id, f.source, f.lang,
+         CAST(FLOOR(w.w) AS BIGINT)
+         + CASE WHEN {_sql_hash("CONCAT_WS(':', f.source, CAST(f.doc_id AS VARCHAR))")} % {C.SAMPLE_MOD}
+                     < CAST(ROUND((w.w - FLOOR(w.w)) * {C.SAMPLE_MOD}, 0) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM folded f JOIN w ON f.source = w.source
+)
+SELECT doc_id, source, lang,
+       CAST(UNNEST(GENERATE_SERIES(1, n_copies)) AS BIGINT) AS copy_idx
+FROM sized
+WHERE n_copies >= 1
+ORDER BY doc_id, copy_idx
+"""
+
+
+@query("q_mix_temperature", oracle=_TEMP_ORACLE, tags=("llm", "curation", "iterative"))
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    folded = d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("source").isin(*_WEB_SOURCES), "web")
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    weights = C.temperature_weights(folded, tau=_TEMP_TAU)
+    return (
+        C.mix_sources(folded, weights, default_rate=0.0)
+        .select("doc_id", "source", "lang", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stratified sample: exactly 5 docs per language, hash-ranked.
 # ---------------------------------------------------------------------------
 

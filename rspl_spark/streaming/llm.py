@@ -21,7 +21,7 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
 from rspl_spark.operators.dedup import MINHASH_COEFS, minhash_signatures
 
@@ -99,6 +99,53 @@ def streaming_lsh_dedup(
         proc,
         outputStructType=out_schema,
         stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_PACK_STATE = StructType([StructField("cum", LongType())])
+
+
+def streaming_token_packing(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Streaming sequence packing: assign arriving documents to
+    fixed-budget context bins by running token count, the cumulative sum
+    carried ACROSS micro-batches in per-source state (one long per
+    source — constant-size state, no watermark needed).
+
+    Packing order is arrival order (doc_id within each micro-batch);
+    when arrival follows doc_id order the result is bin-identical to the
+    batch packer (``q_token_packing``) — asserted by the parity test.
+    Scale-out is by source key, the same discipline as the batch
+    sharded variant (``q_token_packing_sharded`` composes here too:
+    feed a (source, shard) composite key as ``source_col``).
+    """
+    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    rows = docs.select(source_col, id_col, nt.alias("nt"))
+    out_schema = f"{source_col} string, {id_col} long, nt long, bin long"
+
+    def proc(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        cum = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            for r in pdf.itertuples(index=False):
+                out.append((key[0], getattr(r, id_col), r.nt, cum // budget))
+                cum += int(r.nt)
+        state.update((cum,))
+        if out:
+            yield pd.DataFrame(out, columns=[source_col, id_col, "nt", "bin"])
+
+    return rows.groupBy(source_col).applyInPandasWithState(
+        proc,
+        outputStructType=out_schema,
+        stateStructType=_PACK_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

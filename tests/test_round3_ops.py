@@ -234,3 +234,28 @@ def test_bucketed_gate_join_no_exchange(spark):
         assert "Exchange" not in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+# ---------------------------------------------------------------------------
+# temperature weights: count^tau rebalancing math
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_weights_math(spark):
+    import math
+
+    from rspl_spark.operators.curation import temperature_weights
+
+    # 80 'web' rows vs 20 'code' rows; tau=0.5 flattens toward uniform
+    df = spark.createDataFrame(
+        [(i, "web" if i < 80 else "code") for i in range(100)],
+        "doc_id long, source string",
+    )
+    w = temperature_weights(df, tau=0.5)
+    denom = math.sqrt(80) + math.sqrt(20)
+    assert w["web"] == round(math.sqrt(80) / denom * 100 / 80, 3)
+    assert w["code"] == round(math.sqrt(20) / denom * 100 / 20, 3)
+    assert w["code"] > 1.0 > w["web"]  # small source upsampled, big thinned
+    # tau=1 is a no-op mix (weights all 1)
+    w1 = temperature_weights(df, tau=1.0)
+    assert w1 == {"web": 1.0, "code": 1.0}

@@ -516,3 +516,56 @@ def test_ivf_ingest_with_retrain_hook(spark):
     # cents1's moved centroid (midpoint 8 → cell 0)
     by_id = {v: c for v, c, _ in got}
     assert by_id[2] == 1 and by_id[5] == 0
+
+
+def test_streaming_token_packing_batch_parity(spark):
+    """Cross-batch sequence packing: the per-source cumulative token sum
+    carries through state, so bins assigned over two micro-batches equal
+    the batch packer run on the full prefix (arrival follows doc_id
+    order — the declared parity condition)."""
+    from pyspark.sql.window import Window
+
+    from rspl_spark.streaming.llm import streaming_token_packing
+
+    budget = 10
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "source string, doc_id long, text string"
+    )
+    # source a: docs of 4 tokens each → bins roll over INSIDE and ACROSS
+    # batches (cum 0,4,8 | 12,16 → bins 0,0,0,1,1 …)
+    c1 = mk([("a", i, "w x y z") for i in range(3)] + [("b", 0, "t1 t2")])
+    c2 = mk([("a", i, "w x y z") for i in range(3, 6)] + [("b", 1, "t3 t4")])
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1, c2])
+        stream = file_stream(spark, tmp, "source string, doc_id long, text string")
+        q = (
+            streaming_token_packing(stream, budget=budget)
+            .writeStream.format("memory")
+            .queryName("t_spack")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["source"], r["doc_id"], r["bin"])
+            for r in spark.table("t_spack").collect()
+        )
+    # batch replay on the union
+    static = c1.unionByName(c2)
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = sorted(
+        (r["source"], r["doc_id"], r["bin"])
+        for r in static.select("source", "doc_id", nt.alias("nt"))
+        .withColumn("bin", ((F.sum("nt").over(w) - F.col("nt")) / budget).cast("long"))
+        .collect()
+    )
+    assert got == expected
+    # and the state genuinely crossed batches: doc 3 of source a (first
+    # row of batch 2) lands in bin 1, not back in bin 0
+    assert ("a", 3, 1) in got
