@@ -36,6 +36,29 @@ def asof_last(
     return df.withColumn(out_col, F.max(mark).over(w))
 
 
+def asof_next(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    mark: Column,
+    out_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Forward as-of: for every row, the smallest ``ts`` at-or-after it
+    among rows where ``mark`` is non-null — pandas ``merge_asof``'s
+    ``direction='forward'`` (e.g. "time to next purchase"). The mirror
+    of :func:`asof_last`: same one-window-pass scale shape, frame
+    flipped to CURRENT ROW .. UNBOUNDED FOLLOWING with a running min.
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return df.withColumn(out_col, F.min(mark).over(w))
+
+
 def asof_last_within(
     df: DataFrame,
     key_col: str,

@@ -367,6 +367,42 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Forward as-of (merge_asof direction='forward'): for each click, the
+# NEXT purchase at-or-after it — same one-pass window, frame flipped.
+
+_ASOF_FWD_ORACLE = """
+SELECT event_id, user_id, ts, next_purchase_ts FROM (
+  SELECT event_id, user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+  FROM events
+) t
+WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+@query("q_asof_join_forward", oracle=_ASOF_FWD_ORACLE, tags=("join", "asof"))
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.asof import asof_next
+
+    e = load(spark, sf_dir, "events")
+    marked = asof_next(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        mark=F.when(F.col("event_type") == "purchase", F.col("ts")),
+        out_col="next_purchase_ts",
+        tiebreak_col="event_id",
+    )
+    return (
+        marked.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "next_purchase_ts")
+        .orderBy("event_id")
+    )
+
+
 # As-of with a staleness bound (pandas merge_asof tolerance): purchases
 # older than 30 minutes stop matching. Same one-pass window shape.
 

@@ -1240,6 +1240,77 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Metadata-driven multimodal ops: frame-sampling plan (explode frame
+# indices from meta.n_frames — payload never read) and the per-kind
+# metadata rollup. Meta varies per doc so the queries exercise real
+# arithmetic; the plan-pruning property (payload not in ReadSchema) is
+# asserted in test_multimodal.py.
+
+
+def _varied_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (320 + (F.col("doc_id") % 5) * 64).cast("int").alias("width"),
+            (240 + (F.col("doc_id") % 5) * 48).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (30 + F.col("doc_id") % 90).cast("int").alias("n_frames"),
+            F.lit("syn").alias("format"),
+        ).alias("meta"),
+    )
+
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT media_id, CAST(UNNEST(GENERATE_SERIES(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
+FROM (SELECT doc_id AS media_id, CAST(30 + doc_id % 90 AS INTEGER) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2) v
+ORDER BY media_id, frame_idx
+"""
+
+
+@query("q_media_frame_sample", oracle=_FRAME_SAMPLE_ORACLE, tags=("llm", "multimodal"))
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.multimodal import frame_sample_plan
+
+    plan = frame_sample_plan(_varied_media(spark, sf_dir), every_n=10)
+    return plan.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    ).orderBy("media_id", "frame_idx")
+
+
+_MEDIA_STATS_ORACLE = """
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(width), 6) AS avg_width,
+       ROUND(AVG(n_frames), 6) AS avg_frames
+FROM (SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             320 + (doc_id % 5) * 64 AS width,
+             30 + doc_id % 90 AS n_frames
+      FROM documents) m
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+@query("q_media_stats", oracle=_MEDIA_STATS_ORACLE, tags=("llm", "multimodal"))
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.multimodal import media_stats
+
+    stats = media_stats(_varied_media(spark, sf_dir))
+    return stats.select(
+        "kind",
+        F.col("n").cast("long").alias("n"),
+        F.round("avg_width", 6).alias("avg_width"),
+        F.round("avg_frames", 6).alias("avg_frames"),
+    ).orderBy("kind")
+
+
 # Benchmark-contamination check: training docs sharing word 3-shingles
 # with a held-out benchmark set (here: doc_id < 10). The decontamination
 # pass every training-data pipeline runs before release. Scale shape:
