@@ -34,6 +34,9 @@ FLAGSHIPS = [
     "q_token_packing_sharded",
     "q_mix_sources_upsampled",
     "q_repetition_signals",
+    "q_asof_join_forward",
+    "q_mix_temperature",
+    "q_quality_weighted_sample",
 ]
 
 
