@@ -111,17 +111,20 @@ def ensure_bucketed(
     slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"{table}_{slug}_b{n_buckets}_{key}"
     if not spark.catalog.tableExists(name):
+        # Pin the table location under the REPO's warehouse dir (explicit
+        # path → external table with bucket metadata in the catalog): the
+        # session default spark.sql.warehouse.dir is CWD-relative, and a
+        # driver process launched elsewhere must not scatter table dirs
+        # outside the repo.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo_root, "spark-warehouse", name.lower())
         # The in-memory Derby catalog resets per session but the warehouse
         # directory persists, so a leftover location from a prior run makes
         # the CTAS fail with LOCATION_ALREADY_EXISTS. Clear the orphan.
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        orphan = os.path.join(warehouse, name.lower())
-        if os.path.isdir(orphan):
+        if os.path.isdir(path):
             import shutil
 
-            shutil.rmtree(orphan, ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
         (
             load(spark, sf_dir, table)
             .repartition(n_buckets, key)
@@ -129,6 +132,7 @@ def ensure_bucketed(
             .sortBy(key)
             .mode("overwrite")
             .format("parquet")
+            .option("path", path)
             .saveAsTable(name)
         )
     return name

@@ -259,3 +259,78 @@ def test_temperature_weights_math(spark):
     # tau=1 is a no-op mix (weights all 1)
     w1 = temperature_weights(df, tau=1.0)
     assert w1 == {"web": 1.0, "code": 1.0}
+
+
+# ---------------------------------------------------------------------------
+# forward as-of: next marked event at-or-after each row
+# ---------------------------------------------------------------------------
+
+
+def test_asof_next_forward_semantics(spark):
+    from rspl_spark.operators.asof import asof_last, asof_next
+
+    rows = [
+        (1, 10, "click"), (1, 20, "purchase"), (1, 30, "click"),
+        (1, 40, "purchase"), (1, 50, "click"),
+        (2, 10, "click"),  # key with no purchase at all
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, typ string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "typ",
+        F.col("t").alias("eid"),
+    )
+    mark = F.when(F.col("typ") == "purchase", F.col("ts"))
+    nxt = {
+        (r["k"], r["eid"]): r["nx"]
+        for r in asof_next(df, "k", "ts", mark, "nx", "eid")
+        .filter(F.col("typ") == "click").collect()
+    }
+    assert int(nxt[(1, 10)].timestamp()) == 20   # next purchase after 10 is 20
+    assert int(nxt[(1, 30)].timestamp()) == 40   # after 30 is 40
+    assert nxt[(1, 50)] is None                  # nothing follows
+    assert nxt[(2, 10)] is None                  # key never purchases
+    # and the backward twin still matches on the mirrored case
+    lst = {
+        (r["k"], r["eid"]): r["lx"]
+        for r in asof_last(df, "k", "ts", mark, "lx", "eid")
+        .filter(F.col("typ") == "click").collect()
+    }
+    assert lst[(1, 10)] is None
+    assert int(lst[(1, 30)].timestamp()) == 20
+    assert int(lst[(1, 50)].timestamp()) == 40
+
+
+# ---------------------------------------------------------------------------
+# token-length histogram + quality-weighted sample
+# ---------------------------------------------------------------------------
+
+
+def test_token_length_histogram_buckets(spark):
+    from rspl_spark.operators.curation import token_length_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a", " ".join(["w"] * 10)), (2, "a", " ".join(["w"] * 70)),
+         (3, "b", " ".join(["w"] * 64))],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source"], r["bucket"]): (r["n_docs"], r["n_tokens"], r["bucket_lo"])
+        for r in token_length_histogram(df).collect()
+    }
+    assert got[("a", 0)] == (1, 10, 0)
+    assert got[("a", 1)] == (1, 70, 64)
+    assert got[("b", 1)] == (1, 64, 64)  # exactly 64 tokens → bucket 1
+    with pytest.raises(ValueError):
+        token_length_histogram(df, bucket_width=0)
+
+
+def test_quality_weighted_sample_monotone(spark):
+    from rspl_spark.operators.curation import quality_weighted_sample
+
+    # score 0 rows can never survive; score 1 rows always do
+    df = spark.createDataFrame(
+        [(i, "s", float(i % 2)) for i in range(200)],
+        "doc_id long, source string, q double",
+    )
+    kept = quality_weighted_sample(df, F.col("q"), scale=1.0).toPandas()
+    assert (kept.score == 1.0).all()          # every zero-score row dropped
+    assert len(kept) == 100                    # every one-score row kept
