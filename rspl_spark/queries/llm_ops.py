@@ -1400,11 +1400,10 @@ def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (greedy in doc_id order, bin = floor(cumulative_before / budget)).
 # One window pass partitioned by source. Packing is inherently
 # sequential WITHIN a partition key; at 100 TB a handful of giant
-# sources would serialize, so production sharding packs per
-# (source, hash(doc_id) % n_shards) — same query with a composite
-# partition key, at the cost of at most n_shards underfilled bins per
-# source. The gate form keys by source alone because the oracle must
-# replay the exact sequence.
+# sources would serialize — q_token_packing_sharded below is the
+# production form, keying the window by (source, hash(doc_id) %
+# n_shards) at the cost of at most one underfilled trailing bin per
+# shard. This per-source form stays as the exact-sequence baseline.
 
 _PACK_BUDGET = 2048
 
