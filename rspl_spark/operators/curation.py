@@ -118,6 +118,11 @@ def mix_sources(
     n_copies = full_e + F.when(key < ppm_e, F.lit(1)).otherwise(F.lit(0))
     if max([default_rate, *weights.values()], default=default_rate) <= 1.0:
         return df.filter(n_copies > 0)
+    if "copy_idx" in df.columns:
+        raise ValueError(
+            "input already has a 'copy_idx' column; rename it before an "
+            "upsampling mix (weights > 1 emit one)"
+        )
     # sequence(1, 0) would step BACKWARDS to [1, 0]; a NULL instead makes
     # explode drop the zero-copy rows. explode must be the top-level
     # expression (generators can't nest), so the long cast is a second step.

@@ -211,11 +211,12 @@ def duplicated_shingle_fraction(
     # localCheckpoint: the exploded shingle table feeds both the per-
     # shingle doc counts and the probe side of the join below; without
     # materialization the split/transform/explode runs twice per query
-    # (same rationale as ngram_jaccard_pairs).
+    # (same rationale as ngram_jaccard_pairs). eager=False so merely
+    # BUILDING the query (explain, plan dumps) doesn't execute the scan.
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(string_shingles(F.col(text_col))).alias("s"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     docs_per = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         sh.join(docs_per, "s")

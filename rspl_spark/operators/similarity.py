@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
@@ -142,14 +142,21 @@ def kmeans_assign(
     )
 
 
-def unit_prep(e, id_alias: str, emb_alias: str, nrm_alias: str):
+def unit_prep(
+    e: DataFrame,
+    id_alias: str,
+    emb_alias: str,
+    nrm_alias: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
     """Per-side cosine prep: double-cast array + L2 norm computed ONCE
     per input row, BEFORE the pair join — the per-pair work then reduces
     to a single dot product + division. Evaluation order matches
     cosine_expr exactly (cast→multiply→sum, sqrt per side, na*nb) so
     results are bit-compatible with the fused form."""
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return e.select(F.col("vec_id").alias(id_alias), dbl.alias(emb_alias)).withColumn(
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return e.select(F.col(id_col).alias(id_alias), dbl.alias(emb_alias)).withColumn(
         nrm_alias,
         F.sqrt(F.aggregate(F.col(emb_alias), F.lit(0.0), lambda s, v: s + v * v)),
     )

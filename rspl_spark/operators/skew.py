@@ -50,9 +50,11 @@ def salted_join(
     # dim row needs a fact match to appear (inner/semi) or when unmatched
     # rows come from the un-replicated fact side (left/anti). For
     # right/full outer, an unmatched dim row would surface once per salt.
+    # "cross" is excluded too: the join runs ON (key, _salt), so a cross
+    # request would silently degenerate to an inner equi-join.
     allowed = {"inner", "left", "left_outer", "leftouter",
                "left_semi", "leftsemi", "semi",
-               "left_anti", "leftanti", "anti", "cross"}
+               "left_anti", "leftanti", "anti"}
     if how.lower().replace(" ", "") not in allowed:
         raise ValueError(
             f"salted_join does not preserve semantics for how={how!r}: "
@@ -85,6 +87,8 @@ def skew_safe_count_distinct(
     COUNT(DISTINCT): dropDuplicates keeps one (keys, NULL) row, but
     count(_v) skips it, so a NULL-only key yields 0.
     """
+    if "_v" in keys:
+        raise ValueError("'_v' cannot be a grouping key; rename it first")
     v = F.col(value) if isinstance(value, str) else value
     return (
         df.select(*keys, v.alias("_v"))

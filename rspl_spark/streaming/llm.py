@@ -126,18 +126,26 @@ def streaming_token_packing(
     sharded variant (``q_token_packing_sharded`` composes here too:
     feed a (source, shard) composite key as ``source_col``).
     """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     rows = docs.select(source_col, id_col, nt.alias("nt"))
     out_schema = f"{source_col} string, {id_col} long, nt long, bin long"
 
     def proc(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         cum = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
+        # A group larger than the Arrow batch size arrives as SEVERAL
+        # chunks in arbitrary order — concatenate and sort ONCE, or the
+        # order-sensitive running sum diverges from the batch packer.
+        # This buffers the group's micro-batch slice in memory (3 narrow
+        # columns), which is the inherent cost of order-sensitive state.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(id_col)
-            for r in pdf.itertuples(index=False):
-                out.append((key[0], getattr(r, id_col), r.nt, cum // budget))
-                cum += int(r.nt)
+        out = []
+        for r in pdf.itertuples(index=False):
+            out.append((key[0], getattr(r, id_col), r.nt, cum // budget))
+            cum += int(r.nt)
         state.update((cum,))
         if out:
             yield pd.DataFrame(out, columns=[source_col, id_col, "nt", "bin"])

@@ -224,6 +224,9 @@ def test_bucketed_gate_join_no_exchange(spark):
     from rspl_spark.catalog import ensure_bucketed
 
     sf = "/root/testdata/sf0.001"
+    # save/restore, not unset: unset would fall back to Spark's 10MB
+    # built-in default, not the session fixture's configured threshold
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         li = spark.table(ensure_bucketed(spark, sf, "lineitem", "l_orderkey"))
@@ -233,7 +236,7 @@ def test_bucketed_gate_join_no_exchange(spark):
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Pre-bucketing both sides on the join key co-locates matching rows:
     the sort-merge join needs NO Exchange — at 100 TB this is the
     difference between reading and reshuffling the dataset."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
     try:
         o = load(spark, "/root/testdata/sf0.001", "orders")
@@ -40,7 +41,7 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         expected = o.join(c, o.o_custkey == c.c_custkey).count()
         assert j.count() == expected
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
 

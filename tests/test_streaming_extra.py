@@ -569,3 +569,57 @@ def test_streaming_token_packing_batch_parity(spark):
     # and the state genuinely crossed batches: doc 3 of source a (first
     # row of batch 2) lands in bin 1, not back in bin 0
     assert ("a", 3, 1) in got
+
+
+def test_streaming_token_packing_multi_chunk_group(spark):
+    """A group larger than the Arrow batch size arrives at the stateful
+    op as SEVERAL pandas chunks in arbitrary order; the packer must sort
+    the whole group once or the running sum diverges from the batch
+    packer (regression for the per-chunk sort bug)."""
+    from pyspark.sql.window import Window
+
+    from rspl_spark.streaming.llm import streaming_token_packing
+
+    budget = 7
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        # one source, 20 docs of 3 tokens → arrives as ≥7 Arrow chunks
+        static = spark.createDataFrame(
+            [("a", i, "t1 t2 t3") for i in range(20)],
+            "source string, doc_id long, text string",
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            write_stream_chunks(spark, tmp, [static])
+            stream = file_stream(
+                spark, tmp, "source string, doc_id long, text string"
+            )
+            q = (
+                streaming_token_packing(stream, budget=budget)
+                .writeStream.format("memory")
+                .queryName("t_spack_mc")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = sorted(
+                (r["doc_id"], r["bin"]) for r in spark.table("t_spack_mc").collect()
+            )
+        nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        expected = sorted(
+            (r["doc_id"], r["bin"])
+            for r in static.select("source", "doc_id", nt.alias("nt"))
+            .withColumn(
+                "bin", ((F.sum("nt").over(w) - F.col("nt")) / budget).cast("long")
+            )
+            .collect()
+        )
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
