@@ -450,3 +450,52 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(id_col, hs.alias("hs")).select(
         id_col, sh.cast("long").alias("simhash")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking over word tokens (the FastCDC idea at
+    token granularity): a chunk boundary falls AFTER any token whose
+    portable hash ≡ 0 (mod ``divisor``), giving ~divisor-token average
+    chunks whose boundaries depend only on content — an insertion shifts
+    at most one chunk instead of re-aligning every fixed-width window.
+    This is the exact-substring dedup primitive (Lee et al. 2022): dedup
+    by chunk hash survives edits that fixed chunking does not.
+
+    One narrow pass: the boundary computation is a per-row HOF pipeline
+    (no shuffle), the row blowup is the inherent one-row-per-chunk.
+    Output: (id, chunk_idx, chunk_hash, n_chunk_tokens).
+    """
+    if divisor < 1:
+        raise ValueError("divisor must be >= 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_h", F.transform(F.col("_toks"), lambda t: portable_hash(t) % MERSENNE_P)
+    )
+    n = F.size(F.col("_toks"))
+    idx = F.sequence(F.lit(1), n)
+    bounds = F.filter(idx, lambda i: F.element_at(F.col("_h"), i) % divisor == 0)
+    starts = F.concat(F.array(F.lit(1)), F.transform(bounds, lambda b: b + 1))
+    ends = F.concat(bounds, F.array(n))
+    # equal-length by construction; only the LAST span can be empty
+    # (boundary on the final token), so posexplode positions stay dense
+    # after the start<=end filter
+    spans = F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    chunk = F.array_join(
+        F.slice(F.col("_toks"), F.col("_span.s"), F.col("_span.e") - F.col("_span.s") + 1),
+        " ",
+    )
+    return (
+        base.select(id_col, "_toks", F.posexplode(spans).alias("_pos", "_span"))
+        .filter(F.col("_span.s") <= F.col("_span.e"))
+        .select(
+            id_col,
+            F.col("_pos").cast("long").alias("chunk_idx"),
+            F.md5(chunk).alias("chunk_hash"),
+            (F.col("_span.e") - F.col("_span.s") + 1).cast("long").alias("n_chunk_tokens"),
+        )
+    )

@@ -302,6 +302,77 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, min_jaccard=0.1).orderBy("doc_a", "doc_b")
 
 
+# Content-defined chunking (FastCDC at token granularity): boundaries
+# after tokens whose portable hash ≡ 0 (mod 8) — content-dependent, so
+# insertions shift one chunk, not every window. q_cdc_dup_chunks is the
+# exact-substring dedup readout: chunks recurring across documents.
+
+_CDC_DIVISOR = 8
+
+_CDC_CTE = f"""
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ts FROM documents
+),
+b2 AS (
+  SELECT doc_id, ts,
+         LIST_FILTER(RANGE(1, LEN(ts) + 1),
+                     i -> ({_sql_hash("ts[i]")} % {MERSENNE_P}) % {_CDC_DIVISOR} = 0) AS bounds
+  FROM base
+),
+b3 AS (
+  SELECT doc_id, ts,
+         LIST_PREPEND(1, LIST_TRANSFORM(bounds, b -> b + 1)) AS starts,
+         LIST_APPEND(bounds, LEN(ts)) AS ends
+  FROM b2
+),
+chunks AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+         MD5(ARRAY_TO_STRING(LIST_SLICE(ts, starts[u.i], ends[u.i]), ' ')) AS chunk_hash,
+         CAST(ends[u.i] - starts[u.i] + 1 AS BIGINT) AS n_chunk_tokens
+  FROM b3, UNNEST(RANGE(1, LEN(starts) + 1)) AS u(i)
+  WHERE starts[u.i] <= ends[u.i]
+)
+"""
+
+_CDC_ORACLE = _CDC_CTE + """
+SELECT doc_id, chunk_idx, chunk_hash, n_chunk_tokens
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("q_cdc_chunks", oracle=_CDC_ORACLE, tags=("llm", "dedup"))
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.cdc_chunks(d, divisor=_CDC_DIVISOR).orderBy("doc_id", "chunk_idx")
+
+
+_CDC_DUP_ORACLE = _CDC_CTE + """
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY chunk_hash
+"""
+
+
+@query("q_cdc_dup_chunks", oracle=_CDC_DUP_ORACLE, tags=("llm", "dedup"))
+def q_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    chunks = D.cdc_chunks(d, divisor=_CDC_DIVISOR)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_hash")
+    )
+
+
 # Corpus-level duplicated-shingle fraction (Lee et al. 2022 exact-substring
 # signal at shingle granularity): per doc, the share of its distinct
 # 3-shingles that occur in at least one other document.

@@ -337,3 +337,32 @@ def test_quality_weighted_sample_monotone(spark):
     kept = quality_weighted_sample(df, F.col("q"), scale=1.0).toPandas()
     assert (kept.score == 1.0).all()          # every zero-score row dropped
     assert len(kept) == 100                    # every one-score row kept
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking: edit stability (the reason CDC exists)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_edit_stability(spark):
+    from rspl_spark.operators.dedup import cdc_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 4).strip()
+    edited = "INSERTED " + base  # one token prepended at the front
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).toPandas()
+    h1 = set(out[out.doc_id == 1].chunk_hash)
+    h2 = set(out[out.doc_id == 2].chunk_hash)
+    # the edit perturbs ONLY the first chunk: every later boundary is
+    # content-determined, so the remaining chunks re-align and their
+    # hashes survive — the property fixed-width chunking does not have
+    assert len(h1 & h2) >= len(h1) - 1 and len(h1) > 2
+    # chunk sizes sum back to the token counts (no token lost/duplicated)
+    tok_counts = out.groupby("doc_id").n_chunk_tokens.sum()
+    assert tok_counts[1] == len(base.split())
+    assert tok_counts[2] == len(edited.split())
+    with pytest.raises(ValueError):
+        cdc_chunks(df, divisor=0)
