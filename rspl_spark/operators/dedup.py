@@ -245,9 +245,11 @@ def ngram_jaccard_pairs(
     # unpersisted — in a long-lived session each invocation would pin
     # another copy. Checkpoint blocks are released when the DataFrame is
     # garbage-collected (ContextCleaner), so this is self-limiting.
+    # eager=False: building the query (explain, plan dumps) must not
+    # execute the scan.
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.explode(string_shingles(F.col(text_col))).alias("s")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

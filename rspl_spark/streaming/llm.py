@@ -139,7 +139,13 @@ def streaming_token_packing(
         # order-sensitive running sum diverges from the batch packer.
         # This buffers the group's micro-batch slice in memory (3 narrow
         # columns), which is the inherent cost of order-sensitive state.
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        if not chunks:
+            # timed-out keys (if a timeout conf is ever added) arrive
+            # with an empty iterator — pd.concat would raise on it
+            state.update((cum,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if len(pdf):
             pdf = pdf.sort_values(id_col)
         out = []

@@ -366,3 +366,15 @@ def test_cdc_chunks_edit_stability(spark):
     assert tok_counts[2] == len(edited.split())
     with pytest.raises(ValueError):
         cdc_chunks(df, divisor=0)
+
+
+def test_unit_prep_custom_columns(spark):
+    from rspl_spark.operators.similarity import unit_prep
+
+    df = spark.createDataFrame(
+        [(7, [3.0, 4.0])], "doc_id long, emb array<double>"
+    )
+    row = unit_prep(
+        df, "qid", "b_emb", "b_nrm", vec_col="emb", id_col="doc_id"
+    ).collect()[0]
+    assert row["qid"] == 7 and row["b_nrm"] == 5.0  # 3-4-5 norm
