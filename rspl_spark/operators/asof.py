@@ -45,10 +45,18 @@ def asof_next(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Forward as-of: for every row, the smallest ``ts`` at-or-after it
-    among rows where ``mark`` is non-null — pandas ``merge_asof``'s
-    ``direction='forward'`` (e.g. "time to next purchase"). The mirror
-    of :func:`asof_last`: same one-window-pass scale shape, frame
-    flipped to CURRENT ROW .. UNBOUNDED FOLLOWING with a running min.
+    among rows where ``mark`` is non-null (e.g. "time to next
+    purchase"). The mirror of :func:`asof_last`: same one-window-pass
+    scale shape, frame flipped to CURRENT ROW .. UNBOUNDED FOLLOWING
+    with a running min.
+
+    Tie semantics: membership is POSITIONAL under the total
+    ``(ts, tiebreak)`` order — a marked row with an EQUAL ``ts`` but a
+    smaller ``tiebreak`` sorts before the current row and is therefore
+    NOT matched. This differs from pandas ``merge_asof``
+    ``direction='forward'``, which matches equal timestamps regardless
+    of intra-timestamp row order; the gate oracle replays the same
+    ROWS frame, so both engines agree on the positional definition.
     """
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = (

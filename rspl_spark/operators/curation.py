@@ -26,6 +26,8 @@ Scale notes (the 100 TB contract):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -176,8 +178,15 @@ def quality_weighted_sample(
     both pure expressions).
 
     A stateless filter at the scan, like ``mix_sources``'s thinning
-    path; ``score`` is appended to the output for downstream audits.
+    path; ``score`` is appended to the output for downstream audits
+    (raises if the input already carries a ``score`` column — the same
+    collision discipline as ``mix_sources``'s ``copy_idx`` guard).
     """
+    if "score" in df.columns:
+        raise ValueError(
+            "input already has a 'score' column; rename it before "
+            "quality_weighted_sample (the op emits one)"
+        )
     clamped = F.least(
         F.greatest(F.round(score_col * scale, 6), F.lit(0.0)), F.lit(1.0)
     )
@@ -204,7 +213,14 @@ def temperature_weights(
 
     Driver-side: one tiny aggregate (|sources| rows) collected, weights
     rounded to 3 decimals so a SQL replay of the same arithmetic cannot
-    drift across engines' last-ulp pow differences.
+    drift across engines' last-ulp pow differences. Rounding is
+    half-away-from-zero via ``floor(x*1000 + 0.5)`` — NOT Python's
+    ``round()`` (banker's) — and the denominator is summed in sorted
+    source order, so a SQL replay using ``FLOOR(w*1000 + 0.5)/1000`` and
+    an ordered aggregate (``SUM(... ORDER BY source)``) performs the
+    bit-identical IEEE operation sequence (see queries.curation
+    ``_TEMP_ORACLE``); a weight landing on a .0005 boundary can no
+    longer round differently across engines.
     """
     counts = {
         r[source_col]: r["n"]
@@ -213,7 +229,8 @@ def temperature_weights(
     n_total = sum(counts.values())
     denom = sum(c**tau for _, c in sorted(counts.items()))
     return {
-        s: round((c**tau / denom) * n_total / c, 3) for s, c in sorted(counts.items())
+        s: math.floor((c**tau / denom) * n_total / c * 1000.0 + 0.5) / 1000.0
+        for s, c in sorted(counts.items())
     }
 
 

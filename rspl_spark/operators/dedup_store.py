@@ -1,0 +1,213 @@
+"""Incremental corpus deduplication against a PERSISTED signature store.
+
+The batch dedup operators (:mod:`rspl_spark.operators.dedup`) recompute
+MinHash signatures for the whole corpus on every run. A real pipeline
+ingests daily increments into a 100 TB corpus: recomputing (and
+re-shuffling) the full history per increment is the single largest
+avoidable cost in the dedup stage. This module persists the banded
+signature table ONCE — bucketed by the LSH bucket key — and probes each
+increment against it co-located:
+
+- ``signature_band_rows``: (doc_id, mh0..mh7, bucket) — one row per
+  (doc, band), bucket = "band:slot values", the same single-explode
+  banding as the batch LSH join (dedup.py:120) and the streaming op
+  (streaming/llm.py:61).
+- ``create_signature_store``: CTAS the band rows into a managed parquet
+  table ``bucketBy(n, "bucket") sortBy("bucket")`` — the one-time cost
+  that every later increment amortizes.
+- ``dedup_increment``: near-dup pairs touching the increment (new-vs-
+  store and new-vs-new). The store side is read bucket-aligned, so the
+  join plan has ZERO store-side Exchange (asserted in
+  tests/test_incremental_dedup.py): only the (small) increment shuffles.
+  At 100 TB that is the difference between moving gigabytes and moving
+  the corpus.
+- ``append_increment``: append the increment's band rows into the store
+  (Spark appends per-bucket files, so bucketing metadata stays valid)
+  — the store stays current for the next day's batch.
+
+Pair semantics match the batch ``lsh_candidate_pairs``: canonical
+(doc_a < doc_b), est_jaccard = max over colliding buckets of the
+matching-slot fraction, optional threshold. Pairs wholly inside the
+store are NOT re-emitted (they were reported when their docs arrived).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rspl_spark.operators.dedup import MINHASH_COEFS, minhash_signatures
+
+_N = len(MINHASH_COEFS)
+
+
+def signature_band_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """(doc_id, mh0..mh7, bucket) band rows; one explode, one narrow pass.
+
+    The bucket key concatenates the band index with ALL of the band's
+    signature slots (integers ':'-joined — collision-free), so a single
+    string column both identifies the LSH bucket and serves as the
+    table's bucketing key.
+    """
+    if _N % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide the {_N} signature slots")
+    per_band = _N // n_bands
+    sig = minhash_signatures(docs, text_col=text_col, id_col=id_col)
+    if id_col != "doc_id":
+        sig = sig.withColumnRenamed(id_col, "doc_id")
+    buckets = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                *[F.col(f"mh{per_band * b + i}") for i in range(per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        *[f"mh{j}" for j in range(_N)],
+        F.explode(buckets).alias("bucket"),
+    )
+
+
+def create_signature_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str,
+    n_buckets: int = 8,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    overwrite: bool = False,
+) -> str:
+    """CTAS the banded signature table, bucketed + sorted on ``bucket``.
+
+    Idempotent unless ``overwrite``; returns the managed table name.
+    Location is pinned under the repo warehouse dir (same rationale as
+    catalog.ensure_bucketed: a driver launched elsewhere must not
+    scatter table dirs outside the repo).
+    """
+    if spark.catalog.tableExists(name):
+        if not overwrite:
+            return name
+        spark.sql(f"DROP TABLE {name}")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, "spark-warehouse", name.lower())
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    (
+        signature_band_rows(docs, text_col=text_col, id_col=id_col, n_bands=n_bands)
+        .repartition(n_buckets, "bucket")
+        .write.bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return name
+
+
+def append_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store: str,
+    n_buckets: int = 8,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append the increment's band rows into the store table.
+
+    Spark writes per-bucket files on append, so the table's bucket
+    layout (and the no-shuffle probe property) survives. Run AFTER
+    ``dedup_increment`` — an appended doc probing itself is a no-op
+    (equal ids are excluded) but wastes a bucket row comparison.
+    """
+    (
+        signature_band_rows(new_docs, text_col=text_col, id_col=id_col, n_bands=n_bands)
+        .repartition(n_buckets, "bucket")
+        .write.bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(store)
+    )
+
+
+def _est(a_prefix: str, b_prefix: str):
+    matches = sum(
+        F.when(F.col(f"{a_prefix}.mh{j}") == F.col(f"{b_prefix}.mh{j}"), 1).otherwise(0)
+        for j in range(_N)
+    )
+    return matches / F.lit(float(_N))
+
+
+def dedup_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store: str,
+    threshold: float | None = None,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) near-dup pairs touching the increment.
+
+    Two joins, both keyed on the single ``bucket`` column:
+    - increment × store: the store scan is bucket-aligned (ZERO
+      store-side Exchange — only the increment is shuffled to the
+      store's bucket layout);
+    - increment × increment: new docs colliding with each other
+      (a daily batch can contain its own duplicates).
+
+    A doc present in both sides (re-ingest) never pairs with itself
+    (equal ids excluded); pairs colliding in several buckets dedup in
+    the final aggregate, exactly like the batch ``lsh_candidate_pairs``.
+    """
+    new_bands = signature_band_rows(
+        new_docs, text_col=text_col, id_col=id_col, n_bands=n_bands
+    ).localCheckpoint(eager=False)
+    store_bands = spark.table(store)
+
+    n, s = new_bands.alias("n"), store_bands.alias("s")
+    cross = n.join(s, F.col("n.bucket") == F.col("s.bucket")).filter(
+        F.col("n.doc_id") != F.col("s.doc_id")
+    )
+    cross_pairs = cross.select(
+        F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+        F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+        _est("n", "s").alias("est_raw"),
+    )
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    within_pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _est("a", "b").alias("est_raw"),
+        )
+    )
+    out = (
+        cross_pairs.unionByName(within_pairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.max("est_raw"), 6).alias("est_jaccard"))
+    )
+    if threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out

@@ -173,8 +173,13 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are perfectly balanced, so the query first folds src0-src9 into one
 # 'web' mega-source (10x the others) — the weights then upsample every
 # small source (w ≈ 1.52) and thin 'web' (w ≈ 0.48), scale-invariantly.
-# The oracle re-derives the SAME weight arithmetic in SQL (3-decimal
-# rounding pins both engines past last-ulp pow differences).
+# The oracle re-derives the SAME weight arithmetic in SQL, with the
+# float plumbing pinned bit-for-bit: the denominator is an ORDERED
+# aggregate (SUM ... ORDER BY source — matching temperature_weights'
+# sorted-order Python sum, since float addition is order-sensitive) and
+# the 3-decimal rounding is the same half-away-from-zero
+# FLOOR(x*1000 + 0.5)/1000 on both sides (Python round() is banker's —
+# a weight on a .0005 boundary would flip the gate).
 # ---------------------------------------------------------------------------
 
 _TEMP_TAU = 0.5
@@ -190,9 +195,10 @@ WITH folded AS (
   SELECT doc_id, lang, {_FOLD_SQL} AS source FROM documents
 ),
 cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS c FROM folded GROUP BY source),
-tot AS (SELECT SUM(c) AS n, SUM(POW(c, {_TEMP_TAU})) AS denom FROM cnt),
+tot AS (SELECT SUM(c ORDER BY source) AS n,
+               SUM(POW(c, {_TEMP_TAU}) ORDER BY source) AS denom FROM cnt),
 w AS (
-  SELECT source, ROUND(POW(c, {_TEMP_TAU}) / denom * n / c, 3) AS w
+  SELECT source, FLOOR(POW(c, {_TEMP_TAU}) / denom * n / c * 1000.0 + 0.5) / 1000.0 AS w
   FROM cnt, tot
 ),
 sized AS (

@@ -8,10 +8,13 @@ Spark ops: rspl_spark.operators.skew, rspl_spark.catalog.ensure_bucketed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rspl_spark.catalog import ensure_bucketed, load
+from rspl_spark.operators.dedup_store import create_signature_store, dedup_increment
 from rspl_spark.operators.skew import salted_join, skew_safe_count_distinct
 from rspl_spark.queries import query
 
@@ -100,3 +103,54 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted bucketed signature store: the
+# corpus (doc_id % 3 != 0) is CTAS'd ONCE as band rows bucketed on the
+# LSH bucket key; the increment (doc_id % 3 == 0) probes it co-located
+# (zero store-side Exchange — asserted in tests/test_incremental_dedup.py)
+# and against itself. The oracle replays the two-batch sequence as one
+# full-corpus LSH pass filtered to pairs touching the increment — the
+# incremental path must be result-invisible.
+# ---------------------------------------------------------------------------
+
+
+def _incr_oracle() -> str:
+    from rspl_spark.queries.llm_ops import _sql_minhash, _sql_sig_source
+
+    est = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(8)
+    )
+    return f"""
+WITH sig AS (
+  SELECT doc_id, {", ".join(_sql_minhash(j) for j in range(8))}
+  FROM {_sql_sig_source()} t
+),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, mh2 AS h1, mh3 AS h2 FROM sig UNION ALL
+  SELECT doc_id, 2 AS band, mh4 AS h1, mh5 AS h2 FROM sig UNION ALL
+  SELECT doc_id, 3 AS band, mh6 AS h1, mh7 AS h2 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 3 = 0 OR b.doc_id % 3 = 0
+)
+SELECT c.doc_a, c.doc_b, ROUND(({est}) / 8.0, 6) AS est_jaccard
+FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+@query("q_incremental_dedup", oracle=_incr_oracle(), tags=("scale", "llm", "dedup"))
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = create_signature_store(
+        spark, d.filter(F.col("doc_id") % 3 != 0), f"sigstore_{slug}_b8"
+    )
+    new_docs = d.filter(F.col("doc_id") % 3 == 0)
+    return dedup_increment(spark, new_docs, store).orderBy("doc_a", "doc_b")

@@ -130,7 +130,11 @@ def streaming_token_packing(
         raise ValueError("budget must be positive")
     nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     rows = docs.select(source_col, id_col, nt.alias("nt"))
-    out_schema = f"{source_col} string, {id_col} long, nt long, bin long"
+    # schema derived from the input, not hardcoded — a string or int id
+    # passes through with its real type instead of silently miscasting
+    src_t = rows.schema[source_col].dataType.simpleString()
+    id_t = rows.schema[id_col].dataType.simpleString()
+    out_schema = f"`{source_col}` {src_t}, `{id_col}` {id_t}, nt long, bin long"
 
     def proc(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         cum = state.get[0] if state.exists else 0
@@ -147,11 +151,14 @@ def streaming_token_packing(
             return
         pdf = pd.concat(chunks, ignore_index=True)
         if len(pdf):
-            pdf = pdf.sort_values(id_col)
+            # positional column access (0=source, 1=id, 2=nt — pinned by
+            # the select above): itertuples+getattr breaks on column
+            # names that aren't valid Python identifiers
+            pdf = pdf.sort_values(pdf.columns[1])
         out = []
-        for r in pdf.itertuples(index=False):
-            out.append((key[0], getattr(r, id_col), r.nt, cum // budget))
-            cum += int(r.nt)
+        for doc_id, n in zip(pdf.iloc[:, 1], pdf.iloc[:, 2]):
+            out.append((key[0], doc_id, n, cum // budget))
+            cum += int(n)
         state.update((cum,))
         if out:
             yield pd.DataFrame(out, columns=[source_col, id_col, "nt", "bin"])

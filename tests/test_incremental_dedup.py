@@ -1,0 +1,112 @@
+"""Incremental dedup against the persisted bucketed signature store
+(operators/dedup_store.py): result parity with the batch LSH pass, the
+zero-store-side-Exchange probe plan, and the append → next-increment
+round trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+from rspl_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+from rspl_spark.operators.dedup_store import (
+    append_increment,
+    create_signature_store,
+    dedup_increment,
+    signature_band_rows,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF, "documents")
+
+
+def _batch_pairs_touching(spark, docs, pred):
+    """Reference: full-corpus batch LSH pairs filtered to those touching
+    the increment — what the incremental path must reproduce exactly."""
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(sig)
+    return pairs.filter(pred(F.col("doc_a")) | pred(F.col("doc_b")))
+
+
+def test_increment_matches_batch(spark, docs):
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    store = create_signature_store(
+        spark, store_docs, "sigstore_test_parity", overwrite=True
+    )
+    try:
+        got = dedup_increment(spark, new_docs, store).orderBy("doc_a", "doc_b")
+        want = _batch_pairs_touching(
+            spark, docs, lambda c: c % 3 == 0
+        ).orderBy("doc_a", "doc_b")
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_parity")
+
+
+def test_probe_join_has_no_store_side_exchange(spark, docs):
+    """The whole point of persisting the store bucketed: the probe join
+    reads the store aligned to its bucket layout, so the ONLY Exchange
+    in the probe plan is the (small) increment side. At 100 TB the store
+    never moves."""
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    store = create_signature_store(
+        spark, store_docs, "sigstore_test_plan", overwrite=True
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        probe = signature_band_rows(new_docs).alias("n")
+        j = probe.join(
+            spark.table(store).alias("s"), F.col("n.bucket") == F.col("s.bucket")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # exactly one shuffle: the increment side re-bucketing. The store
+        # scan contributes none (bucket-aligned read).
+        assert plan.count("Exchange") == 1
+        n_rows = j.count()
+        assert n_rows > 0  # collisions exist in the synthetic corpus
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_plan")
+
+
+def test_append_roundtrip(spark, docs):
+    """Day-2 flow: probe increment A, append it, then increment B must
+    see A's docs as store-side partners — identical to a batch pass over
+    the whole corpus filtered to pairs touching B."""
+    base = docs.filter(F.col("doc_id") % 3 == 1)
+    inc_a = docs.filter(F.col("doc_id") % 3 == 2)
+    inc_b = docs.filter(F.col("doc_id") % 3 == 0)
+    store = create_signature_store(spark, base, "sigstore_test_append", overwrite=True)
+    try:
+        dedup_increment(spark, inc_a, store).count()  # day-1 probe
+        append_increment(spark, inc_a, store)
+        got = dedup_increment(spark, inc_b, store).orderBy("doc_a", "doc_b")
+        want = _batch_pairs_touching(
+            spark, docs, lambda c: c % 3 == 0
+        ).orderBy("doc_a", "doc_b")
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+        # and the appended store still reads bucket-aligned: no store-side
+        # Exchange after an append (bucket metadata survives per-bucket
+        # file appends)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = signature_band_rows(inc_b).alias("n")
+            j = probe.join(
+                spark.table(store).alias("s"), F.col("n.bucket") == F.col("s.bucket")
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_append")
