@@ -41,6 +41,8 @@ def streaming_lsh_dedup(
     id_col: str = "doc_id",
     n_bands: int = 4,
     threshold: float = 0.5,
+    ttl_seconds: float | None = None,
+    max_per_bucket: int | None = 1024,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) pairs, emitted incrementally.
 
@@ -49,9 +51,31 @@ def streaming_lsh_dedup(
     slots) are suppressed. A pair colliding in several buckets may be
     emitted once per bucket — downstream consumers dedup by (a, b), as
     the batch formulation does with its final groupBy.
+
+    State is BOUNDED — a 100 TB ingest runs for months, and per-bucket
+    signature lists that only grow would eventually dominate the state
+    store:
+
+    - ``max_per_bucket`` (default 1024) caps each bucket's signature
+      list, evicting oldest-first (arrival order); a new doc is compared
+      against at most that many predecessors per bucket. Collisions are
+      hash-bucketed, so a bucket holding >1024 near-identical docs is
+      emitting pair floods anyway — the cap changes nothing for healthy
+      buckets. ``None`` disables the cap.
+    - ``ttl_seconds`` evicts signatures not refreshed within the horizon
+      (processing-time): each entry carries its arrival time; stale
+      entries are dropped on the bucket's next activity, and a bucket
+      idle past the TTL is removed wholesale via a processing-time
+      timeout. Pairs inside the TTL horizon are exactly the unbounded
+      op's pairs; older history is the BATCH path's job (the store-backed
+      ``dedup_increment`` is the full-history backstop).
     """
     if _N % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide the {_N} signature slots")
+    if max_per_bucket is not None and max_per_bucket < 1:
+        raise ValueError("max_per_bucket must be >= 1 (or None to disable)")
+    if ttl_seconds is not None and ttl_seconds <= 0:
+        raise ValueError("ttl_seconds must be positive (or None to disable)")
     per_band = _N // n_bands
     sig = _signatures(docs, text_col, id_col)
     # single explode, not an n_bands-way union (one signature subtree —
@@ -75,23 +99,43 @@ def streaming_lsh_dedup(
     )
 
     out_schema = "doc_a long, doc_b long, est_jaccard double"
+    ttl_ms = None if ttl_seconds is None else max(1, int(ttl_seconds * 1000))
 
     def proc(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # no arrival in this bucket for a full TTL window: every held
+            # signature is stale — drop the bucket's state entirely
+            state.remove()
+            return
+        # entries are (doc_id, signature, arrival_ms); arrival order is
+        # list order, which both evictions rely on
         seen: list[tuple] = pickle.loads(state.get[0]) if state.exists else []
+        now = state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
+        if ttl_ms is not None:
+            horizon = now - ttl_ms
+            seen = [e for e in seen if e[2] > horizon]
         pairs = []
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
             for row in pdf.itertuples(index=False):
                 new_sig = tuple(getattr(row, f"mh{j}") for j in range(_N))
-                for old_id, old_sig in seen:
+                for entry in seen:
+                    old_id, old_sig = entry[0], entry[1]
                     if old_id == row.doc_id:
                         continue
                     est = sum(a == b for a, b in zip(old_sig, new_sig)) / _N
                     if est >= threshold:
                         a, b = sorted((old_id, row.doc_id))
                         pairs.append((a, b, est))
-                seen.append((row.doc_id, new_sig))
-        state.update((cloudpickle.dumps(seen),))
+                seen.append((row.doc_id, new_sig, now))
+                if max_per_bucket is not None and len(seen) > max_per_bucket:
+                    del seen[: len(seen) - max_per_bucket]  # oldest-first
+        if seen:
+            state.update((cloudpickle.dumps(seen),))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
         if pairs:
             yield pd.DataFrame(pairs, columns=["doc_a", "doc_b", "est_jaccard"])
 
@@ -100,7 +144,11 @@ def streaming_lsh_dedup(
         outputStructType=out_schema,
         stateStructType=_BUCKET_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -623,3 +623,65 @@ def test_streaming_token_packing_multi_chunk_group(spark):
         assert got == expected
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_streaming_lsh_dedup_cap_bounds_state(spark):
+    """max_per_bucket=1 keeps only the newest signature per bucket:
+    identical docs across three batches pair only with their immediate
+    predecessor — the evicted batch-1 doc never partners batch 3. This
+    is the bounded-state guarantee for month-long ingests."""
+    from rspl_spark.streaming.llm import streaming_lsh_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    chunks = [
+        spark.createDataFrame([(i, base)], "doc_id long, text string")
+        for i in (1, 2, 3)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "doc_id long, text string")
+        pairs = streaming_lsh_dedup(stream, threshold=0.5, max_per_bucket=1)
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("t_slsh_cap")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["doc_a"], r["doc_b"]) for r in spark.table("t_slsh_cap").collect()}
+    assert (1, 2) in got  # doc 2 saw doc 1 (state held between batches)
+    assert (2, 3) in got  # doc 3 saw doc 2 (the one retained signature)
+    assert (1, 3) not in got  # doc 1 evicted by the cap before batch 3
+
+
+def test_streaming_lsh_dedup_ttl_evicts_old_signatures(spark):
+    """ttl_seconds evicts signatures older than the horizon: a duplicate
+    arriving after the TTL is NOT paired with the stale original, while
+    same-batch (inside-horizon) pairs still fire — batch parity holds
+    within the TTL window, full history is the batch path's job."""
+    from rspl_spark.streaming.llm import streaming_lsh_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    c1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    # batch 2 carries an internal duplicate pair (2, 3): proves detection
+    # still works inside the horizon after batch-1 state was aged out
+    c2 = spark.createDataFrame([(2, base), (3, base)], "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1, c2])
+        stream = file_stream(spark, tmp, "doc_id long, text string")
+        # micro-batches are >= 1s apart (file mtimes force separate
+        # triggers and pandas-state batches take >100ms); 1ms TTL makes
+        # everything from an earlier batch stale without wall-clock sleeps
+        pairs = streaming_lsh_dedup(stream, threshold=0.5, ttl_seconds=0.001)
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("t_slsh_ttl")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["doc_a"], r["doc_b"]) for r in spark.table("t_slsh_ttl").collect()}
+    assert (2, 3) in got  # inside-horizon duplicate found
+    assert (1, 2) not in got and (1, 3) not in got  # stale signature evicted
