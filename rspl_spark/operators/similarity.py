@@ -42,11 +42,16 @@ def kmeans_fit(
     """Lloyd's k-means with deterministic init (first k vectors by id).
 
     The iterative-algorithm pattern (SURVEY §2.2: driver-side control
-    flow around distributed passes): per iteration one NARROW assignment
-    pass (centroids inlined as literal arrays — no join, no broadcast
-    exchange) + one (key, dim) aggregation for the update. Centroids stay
-    driver-side (k × d doubles); the data never leaves the cluster.
-    Distance: squared L2.
+    flow around distributed passes): per iteration ONE narrow
+    mapInPandas pass computes both the assignment and the per-partition
+    partial sums (Σ vectors, count) per cluster — k×(d+2) numbers per
+    partition collected, combined driver-side into the new means. No
+    shuffle at all inside an iteration (the old posexplode → groupBy
+    (cid, dim) update shuffled n×d rows per iteration and janino-compiled
+    a fresh k×d-literal assignment expression each round — compile time
+    alone dominated the fit, DEVNOTES r3). Centroids stay driver-side
+    (k × d doubles); the data never leaves the cluster. Distance:
+    squared L2; ties to the lowest cid.
     """
     # Memoize the centroid TRAJECTORY per (input df, k) on the session:
     # several gate queries train codebooks on the same memoized load()
@@ -79,24 +84,43 @@ def kmeans_fit(
         return [list(c) for c in traj[iters]]
 
     centroids = [list(c) for c in traj[-1]]
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(len(traj) - 1, iters):
-        cid = _nearest_centroid_expr(dbl, centroids)
-        assigned = df.select(cid.alias("cid"), dbl.alias("v"))
-        updated = (
-            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cid", "dim")
-            .agg(F.avg("val").alias("c"))
+        C = np.asarray(centroids, dtype=np.float64)
+        k_, d_ = C.shape
+
+        def partials(batches):
+            S = np.zeros((k_, d_))
+            N = np.zeros(k_, dtype=np.int64)
+            for pdf in batches:
+                M = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cid = np.argmin(d2, axis=1)
+                np.add.at(S, cid, M)
+                np.add.at(N, cid, 1)
+            nz = np.nonzero(N)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cid": nz.astype(np.int32),
+                        "n": N[nz],
+                        "s": [S[c].tolist() for c in nz],
+                    }
+                )
+
+        parts = (
+            df.select(vec_col)
+            .mapInPandas(partials, "cid int, n long, s array<double>")
             .collect()
         )
-        new_centroids = [list(c) for c in centroids]  # keep empty clusters
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in updated:
-            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["c"]
-        for ci, dims in by_cid.items():
-            for d_i, val in dims.items():
-                new_centroids[ci][d_i] = val
-        centroids = new_centroids
+        S = np.zeros((k_, d_))
+        N = np.zeros(k_, dtype=np.int64)
+        for r in parts:
+            S[r["cid"]] += np.asarray(r["s"])
+            N[r["cid"]] += r["n"]
+        new_c = C.copy()  # empty clusters keep their previous centroid
+        nz = N > 0
+        new_c[nz] = S[nz] / N[nz, None]
+        centroids = [[float(x) for x in row] for row in new_c]
         traj.append([list(c) for c in centroids])
     return centroids
 
@@ -117,13 +141,57 @@ def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(F.array(*entries)).getField("cid")
 
 
+def _nearest_centroid_arrow(centroids: list[list[float]]):
+    """Arrow-kernel twin of :func:`_nearest_centroid_expr`: per batch,
+    one (n, k, d) numpy pass → (cid, dist2) DataFrame.
+
+    Why it exists: the expression form embeds k×d literals, so every NEW
+    codebook generates fresh janino source — the first fit against an
+    8×64 codebook was measured at ~10s of compile time (DEVNOTES r3),
+    dwarfing the actual training. The Arrow kernel has no codegen step
+    at all; the codebook rides the closure (pickled once per stage, the
+    broadcast-codebook pattern). Ties resolve to the LOWEST cid
+    (np.argmin takes the first minimum), matching the struct-min
+    ordering of the expression form; distances agree to ~1e-15 relative
+    (summation order differs), far inside the gate's 6-decimal rounding
+    — the same tolerance the DuckDB oracle's group-sum already needs.
+    """
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+
+    @pandas_udf("cid int, dist2 double")
+    def _nearest(v: pd.Series) -> pd.DataFrame:
+        M = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        cid = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"cid": cid.astype(np.int32), "dist2": d2[np.arange(len(cid)), cid]}
+        )
+
+    return _nearest
+
+
 def kmeans_assign(
     df,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    use_arrow: bool = True,
 ):
-    """(id, cid, dist2): nearest-centroid assignment — one narrow pass."""
+    """(id, cid, dist2): nearest-centroid assignment — one narrow pass.
+
+    ``use_arrow=True`` (default) runs the numpy kernel (no janino
+    compile of a k×d-literal expression — see
+    :func:`_nearest_centroid_arrow`); ``False`` keeps the pure-codegen
+    expression form (zero Python in the plan) for plans that must stay
+    JVM-only.
+    """
+    if use_arrow:
+        best = _nearest_centroid_arrow(centroids)(F.col(vec_col))
+        return df.select(
+            id_col,
+            best.getField("cid").alias("cid"),
+            F.round(best.getField("dist2"), 6).alias("dist2"),
+        )
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     entries = []
     for ci, c in enumerate(centroids):
@@ -197,6 +265,63 @@ def exact_scored_pairs(
     return cand.crossJoin(right).withColumn(
         score_alias, dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))
     )
+
+
+def cell_cosine_pairs(
+    prepped: DataFrame,
+    cell_col: str = "cid",
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    nrm_col: str = "nrm",
+    min_raw: float | None = None,
+) -> DataFrame:
+    """All within-cell cosine pairs (id_a < id_b) via one BLAS pass per
+    cell: ``applyInPandas`` groups on the cell key, computes the cell's
+    full similarity matrix as ``M @ M.T`` and emits the upper triangle —
+    (id_a, id_b, raw_score).
+
+    Why not a self-join: joining the prepped table to itself on the cell
+    key materializes BOTH embedding arrays per candidate pair through
+    the shuffle and scores each pair with an interpreted higher-order
+    dot — measured 3x slower than this form at sf0.1 (the arrays cross
+    the wire once per ROW here, once per PAIR there). The quadratic work
+    still happens, but inside numpy where it belongs.
+
+    ``min_raw`` pre-filters in the kernel so only near-threshold
+    survivors cross Arrow back; callers applying a threshold on a
+    ROUNDED score must pass ``threshold - 1e-6`` and re-filter exactly
+    (rounding stays Spark-side so its HALF_UP semantics are unchanged).
+    Zero-norm vectors never pair (undefined similarity — the NULLIF
+    discipline of cosine_expr).
+
+    Scale: the shuffle is one row per vector keyed by cell — the IVF
+    blocking discipline; a cell must fit one task's memory, which is the
+    codebook-sizing contract (k chosen so corpus/k cells are bounded;
+    sub-block skewed cells by salting the cell key before this op).
+    """
+    out_schema = f"{id_col}_a long, {id_col}_b long, raw_score double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        nrm = pdf[nrm_col].to_numpy()
+        S = M @ M.T
+        denom = np.outer(nrm, nrm)
+        i, j = np.triu_indices(len(ids), 1)
+        d = denom[i, j]
+        ok = d != 0
+        raw = np.where(ok, S[i, j] / np.where(ok, d, 1.0), np.nan)
+        keep = ok if min_raw is None else ok & (raw >= min_raw)
+        return pd.DataFrame(
+            {
+                f"{id_col}_a": ids[i][keep],
+                f"{id_col}_b": ids[j][keep],
+                "raw_score": raw[keep],
+            }
+        )
+
+    return prepped.groupBy(cell_col).applyInPandas(fn, out_schema)
 
 
 # DoubleType() (not the DDL string "double"): the string form parses the
