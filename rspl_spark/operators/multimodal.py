@@ -10,11 +10,15 @@ Design (north star: multimodal support at 100 TB):
   Arrow transfer, batch size bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container — the
-decode kernel is injectable; ``fake_image_decode`` is the deterministic
+Heavy codecs (PIL/librosa/ffmpeg) are NOT in this container — the decode
+kernel is injectable; ``fake_image_decode`` is the deterministic
 stand-in used by tests, ``decode_stub`` raises NotImplementedError with
-the integration contract. The Spark-side plumbing (schemas, batching,
-partition behavior) is real and tested either way.
+the integration contract. One REAL codec ships here regardless:
+:func:`decode_pgm`, a pure-numpy PGM (portable graymap) parser — binary
+P5 and ASCII P2, header comments, 8- and 16-bit rasters — exercised
+end-to-end by the hash-gated ``q_multimodal_decode_pgm`` query. The
+Spark-side plumbing (schemas, batching, partition behavior) is real and
+tested either way.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -77,6 +82,103 @@ def decode_stub(payload: bytes, kind: str):
         "media codecs are not installed in this container; inject a decoder "
         "via extract_features(decode=...)"
     )
+
+
+def decode_pgm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy PGM decoder — a REAL codec with zero dependencies.
+
+    Handles the full netpbm graymap spec: binary ``P5`` and ASCII ``P2``,
+    ``#`` comments anywhere in the header, arbitrary header whitespace,
+    and 16-bit rasters (maxval > 255, big-endian per spec). Returns
+    ``(pixels, maxval)`` with pixels shaped (height, width), dtype uint8
+    or uint16.
+
+    This is the injectable-decoder contract made concrete: plug it into
+    :func:`extract_features` via :func:`pgm_decode_bytes`, or use
+    :func:`pgm_features` for a typed feature record.
+    """
+    if payload[:2] not in (b"P5", b"P2"):
+        raise ValueError("not a PGM payload (want P5 or P2 magic)")
+    ascii_fmt = payload[:2] == b"P2"
+    i, tokens = 2, []
+    while len(tokens) < 3:
+        while i < len(payload):
+            c = payload[i]
+            if c == 0x23:  # '#': comment to end of line
+                while i < len(payload) and payload[i] not in (0x0A, 0x0D):
+                    i += 1
+            elif chr(c).isspace():
+                i += 1
+            else:
+                break
+        j = i
+        while j < len(payload) and not chr(payload[j]).isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PGM header")
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"invalid PGM dims/maxval: {w}x{h} max {maxval}")
+    if ascii_fmt:
+        vals = np.array(payload[i:].split()[: w * h], dtype=np.int64)
+        if len(vals) < w * h:
+            raise ValueError("truncated P2 raster")
+        return vals.astype(np.uint16 if maxval > 255 else np.uint8).reshape(h, w), maxval
+    i += 1  # exactly ONE whitespace byte separates maxval from the raster
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    need = w * h * dtype.itemsize
+    raster = payload[i : i + need]
+    if len(raster) < need:
+        raise ValueError("truncated P5 raster")
+    return np.frombuffer(raster, dtype=dtype).reshape(h, w), maxval
+
+
+def pgm_decode_bytes(payload: bytes, kind: str) -> bytes:
+    """Adapter matching the ``extract_features(decode=...)`` signature:
+    decoded pixel block as native-order bytes."""
+    arr, _ = decode_pgm(payload)
+    return np.ascontiguousarray(arr).tobytes()
+
+
+PGM_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, maxval int, "
+    "n_pixels long, mean_gray double, pixel_md5 string"
+)
+
+
+def pgm_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode each PGM payload (REAL parse — dims come from the header,
+    not metadata) and emit a typed feature record: dimensions, pixel
+    count, mean gray level, md5 of the raw raster. mapInPandas, narrow,
+    payload column read only here (metadata queries stay pruned)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "maxval": [],
+                "n_pixels": [],
+                "mean_gray": [],
+                "pixel_md5": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                arr, maxval = decode_pgm(bytes(payload))
+                out["media_id"].append(mid)
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["maxval"].append(maxval)
+                out["n_pixels"].append(arr.size)
+                out["mean_gray"].append(float(arr.mean()))
+                out["pixel_md5"].append(
+                    hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PGM_FEATURE_SCHEMA)
 
 
 def fake_image_decode(payload: bytes, kind: str) -> bytes:

@@ -1302,6 +1302,55 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# REAL codec in the gate: each 'image' document becomes a genuine P5
+# PGM file (header built expression-side: dims vary per doc, raster =
+# ASCII bytes of repeated md5 hex) and decode_pgm — the pure-numpy
+# parser, no stand-in — reads dimensions and pixels back OUT OF THE
+# HEADER AND RASTER. The oracle recomputes the expected features from
+# the same construction (it knows what was packed), so a parser that
+# misreads the header, mis-slices the raster, or mis-shapes the array
+# hash-fails. This de-stubs the multimodal decode path end-to-end.
+
+_PGM_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height,
+         SUBSTR(REPEAT(MD5(text), 2), 1,
+                CAST((4 + doc_id % 5) * (3 + doc_id % 4) AS INTEGER)) AS px
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id, width, height, CAST(255 AS INTEGER) AS maxval,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       LIST_AGGREGATE(
+         LIST_TRANSFORM(RANGE(1, width * height + 1), i -> ASCII(SUBSTR(px, i, 1))),
+         'avg') AS mean_gray,
+       MD5(px) AS pixel_md5
+FROM m ORDER BY media_id
+"""
+
+
+@query("q_multimodal_decode_pgm", oracle=_PGM_ORACLE, tags=("llm", "multimodal"))
+def q_multimodal_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.multimodal import pgm_features
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
+    header = F.concat_ws(
+        "", F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    px = F.expr(
+        "substring(repeat(md5(text), 2), 1, "
+        "cast((4 + doc_id % 5) * (3 + doc_id % 4) as int))"
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.encode(header, "UTF-8"), F.encode(px, "UTF-8")).alias("payload"),
+    )
+    return pgm_features(media).orderBy("media_id")
+
+
 # Metadata-driven multimodal ops: frame-sampling plan (explode frame
 # indices from meta.n_frames — payload never read) and the per-kind
 # metadata rollup. Meta varies per doc so the queries exercise real

@@ -120,3 +120,104 @@ def test_resize_stub_contract(spark, media):
     with pytest.raises(Exception) as ei:
         resize_media(media, 8, 8).collect()
     assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# Real codec: pure-numpy PGM decode (decode_pgm / pgm_features).
+# ---------------------------------------------------------------------------
+
+
+def _p5(w, h, maxval, raster: bytes, comment: bool = False) -> bytes:
+    head = b"P5\n"
+    if comment:
+        head += b"# a comment line\n"
+    head += f"{w} {h}\n{maxval}\n".encode()
+    return head + raster
+
+
+def test_decode_pgm_p5_roundtrip():
+    import numpy as np
+
+    from rspl_spark.operators.multimodal import decode_pgm
+
+    raster = bytes(range(12))  # 4x3 gradient
+    arr, maxval = decode_pgm(_p5(4, 3, 255, raster))
+    assert maxval == 255
+    assert arr.shape == (3, 4) and arr.dtype == np.uint8
+    assert arr.tobytes() == raster
+    assert float(arr.mean()) == 5.5
+
+
+def test_decode_pgm_header_comment_and_whitespace():
+    from rspl_spark.operators.multimodal import decode_pgm
+
+    raster = bytes(range(6))
+    arr, _ = decode_pgm(_p5(3, 2, 255, raster, comment=True))
+    assert arr.shape == (2, 3) and arr.tobytes() == raster
+    # arbitrary whitespace between header tokens
+    arr2, _ = decode_pgm(b"P5  3\t2\r\n255\n" + raster)
+    assert arr2.tobytes() == raster
+
+
+def test_decode_pgm_p2_ascii():
+    import numpy as np
+
+    from rspl_spark.operators.multimodal import decode_pgm
+
+    arr, maxval = decode_pgm(b"P2\n# c\n3 2\n9\n0 1 2\n3 4 5\n")
+    assert maxval == 9
+    assert arr.tolist() == [[0, 1, 2], [3, 4, 5]]
+    assert arr.dtype == np.uint8
+
+
+def test_decode_pgm_16bit_big_endian():
+    import numpy as np
+
+    from rspl_spark.operators.multimodal import decode_pgm
+
+    vals = np.array([[300, 70], [1, 65535]], dtype=">u2")
+    arr, maxval = decode_pgm(b"P5\n2 2\n65535\n" + vals.tobytes())
+    assert maxval == 65535
+    assert arr.tolist() == [[300, 70], [1, 65535]]
+
+
+def test_decode_pgm_rejects_bad_input():
+    import pytest as _pytest
+
+    from rspl_spark.operators.multimodal import decode_pgm
+
+    with _pytest.raises(ValueError):
+        decode_pgm(b"P6\n1 1\n255\nx")  # PPM, not PGM
+    with _pytest.raises(ValueError):
+        decode_pgm(_p5(4, 3, 255, b"short"))  # truncated raster
+    with _pytest.raises(ValueError):
+        decode_pgm(b"P5\n0 3\n255\n")  # zero width
+
+
+def test_pgm_features_and_injectable_kernel(spark):
+    """The real decoder drives both the typed feature op and the generic
+    extract_features injection point."""
+    from rspl_spark.operators.multimodal import (
+        extract_features,
+        pgm_decode_bytes,
+        pgm_features,
+    )
+
+    raster = bytes(range(20))
+    rows = [(1, _p5(5, 4, 255, raster)), (2, _p5(2, 2, 255, bytes([9, 9, 9, 9])))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in pgm_features(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_pixels"]) == (5, 4, 20)
+    assert got[1]["mean_gray"] == 9.5
+    assert got[2]["mean_gray"] == 9.0
+    import hashlib
+
+    assert got[1]["pixel_md5"] == hashlib.md5(raster).hexdigest()
+    # generic injection path: decoded bytes = the raster
+    media_k = media.withColumn("kind", F.lit("image"))
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(media_k, decode=pgm_decode_bytes).collect()
+    }
+    assert feats[1]["feature"] == hashlib.md5(raster).hexdigest()
+    assert feats[1]["feat_dim"] == 20
