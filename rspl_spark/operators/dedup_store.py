@@ -44,10 +44,11 @@ _N = len(MINHASH_COEFS)
 
 
 def signature_band_rows(
-    docs: DataFrame,
+    docs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh0..mh7, bucket) band rows; one explode, one narrow pass.
 
@@ -55,13 +56,19 @@ def signature_band_rows(
     signature slots (integers ':'-joined — collision-free), so a single
     string column both identifies the LSH bucket and serves as the
     table's bucketing key.
+
+    Pass ``sig`` (a precomputed (doc_id, mh0..mh7) table) to skip the
+    signature computation — the md5-shingle chain is the dominant cost,
+    and a session typically already holds a memoized signature artifact
+    from the batch LSH pass.
     """
     if _N % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide the {_N} signature slots")
     per_band = _N // n_bands
-    sig = minhash_signatures(docs, text_col=text_col, id_col=id_col)
-    if id_col != "doc_id":
-        sig = sig.withColumnRenamed(id_col, "doc_id")
+    if sig is None:
+        sig = minhash_signatures(docs, text_col=text_col, id_col=id_col)
+        if id_col != "doc_id":
+            sig = sig.withColumnRenamed(id_col, "doc_id")
     buckets = F.array(
         *[
             F.concat_ws(
@@ -81,13 +88,14 @@ def signature_band_rows(
 
 def create_signature_store(
     spark: SparkSession,
-    docs: DataFrame,
+    docs: DataFrame | None,
     name: str,
     n_buckets: int = 8,
     n_bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
     overwrite: bool = False,
+    sig: DataFrame | None = None,
 ) -> str:
     """CTAS the banded signature table, bucketed + sorted on ``bucket``.
 
@@ -96,18 +104,25 @@ def create_signature_store(
     catalog.ensure_bucketed: a driver launched elsewhere must not
     scatter table dirs outside the repo).
     """
+    from rspl_spark.catalog import register_external_bucketed
+
     if spark.catalog.tableExists(name):
         if not overwrite:
             return name
         spark.sql(f"DROP TABLE {name}")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo_root, "spark-warehouse", name.lower())
+    # a complete layout from an earlier session (same deterministic
+    # signatures, plus any appended increments — which a persistent store
+    # WANTS) re-registers metadata-only instead of recomputing
+    if not overwrite and register_external_bucketed(spark, name, path, "bucket", n_buckets):
+        return name
     if os.path.isdir(path):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
     (
-        signature_band_rows(docs, text_col=text_col, id_col=id_col, n_bands=n_bands)
+        signature_band_rows(docs, text_col=text_col, id_col=id_col, n_bands=n_bands, sig=sig)
         .repartition(n_buckets, "bucket")
         .write.bucketBy(n_buckets, "bucket")
         .sortBy("bucket")
@@ -156,12 +171,13 @@ def _est(a_prefix: str, b_prefix: str):
 
 def dedup_increment(
     spark: SparkSession,
-    new_docs: DataFrame,
+    new_docs: DataFrame | None,
     store: str,
     threshold: float | None = None,
     n_bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) near-dup pairs touching the increment.
 
@@ -177,7 +193,7 @@ def dedup_increment(
     the final aggregate, exactly like the batch ``lsh_candidate_pairs``.
     """
     new_bands = signature_band_rows(
-        new_docs, text_col=text_col, id_col=id_col, n_bands=n_bands
+        new_docs, text_col=text_col, id_col=id_col, n_bands=n_bands, sig=new_sig
     ).localCheckpoint(eager=False)
     store_bands = spark.table(store)
 

