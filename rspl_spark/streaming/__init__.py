@@ -24,3 +24,4 @@ from rspl_spark.streaming.stateful import (  # noqa: F401
     run_mealy_stream,
     run_mealy_stream_tws,
 )
+from rspl_spark.streaming.analytics import streaming_funnel  # noqa: F401

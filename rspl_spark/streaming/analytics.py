@@ -1,0 +1,87 @@
+"""Streaming analytics: keyed incremental funnel over an event stream.
+
+The batch funnel (``queries/relational3.py::q_funnel``) computes stage k's
+minimum timestamp among events strictly after stage k-1's minimum — three
+keyed aggregation passes. The streaming form is the rspl way to get the
+same answer incrementally (tests/events.rs:32-55 states-as-continuations):
+per-user state is simply "which stages have been reached, and when"; each
+micro-batch advances it by scanning the user's new events in timestamp
+order. The two formulations agree whenever events arrive in timestamp
+order across micro-batches (the finite-prefix tests feed ts-ordered
+chunks); an out-of-order arrival that would have completed an earlier
+stage is missed — the batch op is the backstop for full-history replay,
+exactly as with dedup (``operators/dedup_store.py``).
+
+Scale model: state per user is a fixed-length list of longs (one per
+stage) — O(users × stages) total, bounded, no growth with event volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+_FUNNEL_STATE = StructType([StructField("reached_ns", ArrayType(LongType()))])
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incremental ordered funnel: one output row per (user, micro-batch)
+    with the number of stages reached so far and each stage's timestamp
+    (epoch nanoseconds; entries beyond ``n_reached`` absent).
+
+    Advancement rule matches the batch aggregation: an event advances the
+    funnel iff its type is the next expected stage AND its timestamp is
+    strictly greater than the previous stage's timestamp (q_funnel's
+    ``ts > t_prev``; a purchase at exactly t_click does not count).
+
+    Output: ``user string, n_reached long, stage_ts_ns array<long>``.
+    Append mode — downstream takes each user's latest row (max n_reached)
+    for the current funnel position.
+    """
+    out_schema = "`user` string, `n_reached` long, `stage_ts_ns` array<long>"
+    n_stages = len(stages)
+
+    def proc(key, pdfs, state: GroupState):
+        reached: list[int] = list(state.get[0]) if state.exists else []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            # total ts order within the batch; ties don't matter (strict >)
+            batch = batch.sort_values(ts_col, kind="mergesort")
+            ts_ns = batch[ts_col].astype("int64").tolist()
+            for t, et in zip(ts_ns, batch[type_col].tolist()):
+                if (
+                    len(reached) < n_stages
+                    and et == stages[len(reached)]
+                    and (not reached or t > reached[-1])
+                ):
+                    reached.append(t)
+        state.update((reached,))
+        yield pd.DataFrame(
+            {
+                "user": [str(key[0])],
+                "n_reached": [len(reached)],
+                "stage_ts_ns": [list(reached)],
+            }
+        )
+
+    cols = [user_col, ts_col, type_col]
+    return (
+        events.select(*cols)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            proc,
+            outputStructType=out_schema,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

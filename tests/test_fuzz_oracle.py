@@ -365,6 +365,135 @@ def test_fuzz_string_queries(spark, duck):
     assert not failures, f"string fuzz mismatches: {failures}"
 
 
+def _gen_join_chain_query(rng: random.Random):
+    """Random 3-table join CHAIN (customer → nation → orders) with
+    independently drawn inner/left/full types per hop — exercises
+    null-propagation through outer chains, which the 2-table grammar
+    can't reach."""
+    t1 = rng.choice(["inner", "left", "full"])
+    t2 = rng.choice(["inner", "left", "full"])
+    ord_cap = rng.choice([None, round(rng.uniform(40000, 400000), 2)])
+    nat_mod = rng.choice([None, rng.randint(2, 7)])
+
+    def spark_fn(spark):
+        c = load(spark, SF, "customer")
+        n = load(spark, SF, "nation")
+        o = load(spark, SF, "orders")
+        if nat_mod:
+            n = n.filter(F.col("n_nationkey") % nat_mod == 0)
+        if ord_cap:
+            o = o.filter(F.col("o_totalprice") < ord_cap)
+        j = c.join(n, F.col("c_nationkey") == F.col("n_nationkey"), t1)
+        j = j.join(o, F.col("o_custkey") == F.col("c_custkey"), t2)
+        return j.groupBy(
+            F.coalesce(F.col("n_name"), F.lit("∅")).alias("g")
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("o_orderkey").alias("n_ord"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("a"),
+        )
+
+    nat = (
+        f"(SELECT * FROM nation WHERE n_nationkey % {nat_mod} = 0) nation"
+        if nat_mod
+        else "nation"
+    )
+    ords = (
+        f"(SELECT * FROM orders WHERE o_totalprice < {ord_cap}) orders"
+        if ord_cap
+        else "orders"
+    )
+    jw = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL JOIN"}
+    sql = (
+        f"SELECT COALESCE(n_name, '∅') AS g, COUNT(*) AS cnt, "
+        f"COUNT(o_orderkey) AS n_ord, "
+        f"ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS a "
+        f"FROM customer {jw[t1]} {nat} ON c_nationkey = n_nationkey "
+        f"{jw[t2]} {ords} ON o_custkey = c_custkey "
+        f"GROUP BY COALESCE(n_name, '∅')"
+    )
+    return spark_fn, sql
+
+
+def test_fuzz_join_chain_queries(spark, duck):
+    duck.sql(f"CREATE VIEW IF NOT EXISTS customer AS SELECT * FROM '{SF}/customer.parquet'")
+    duck.sql(f"CREATE VIEW IF NOT EXISTS nation AS SELECT * FROM '{SF}/nation.parquet'")
+    duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
+    rng = random.Random(8675309)
+    failures = []
+    for i in range(15):
+        spark_fn, sql = _gen_join_chain_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"join-chain fuzz mismatches: {failures}"
+
+
+def _gen_frame_query(rng: random.Random):
+    """Random explicit ROWS/RANGE window frames with drawn bounds — the
+    frame arithmetic (peer rows under RANGE, offset rows under ROWS) is
+    where engines drift."""
+    from pyspark.sql.window import Window
+
+    mode = rng.choice(["rows", "range"])
+    part = rng.choice([None, "o_orderpriority", "o_orderstatus"])
+    agg_s, agg_d = rng.choice(
+        [("sum", "SUM"), ("min", "MIN"), ("max", "MAX"), ("count", "COUNT"), ("avg", "AVG")]
+    )
+    if mode == "rows":
+        lo = rng.choice([Window.unboundedPreceding, -rng.randint(0, 5)])
+        hi = rng.choice([Window.currentRow, rng.randint(0, 5)])
+        lo_d = "UNBOUNDED PRECEDING" if lo == Window.unboundedPreceding else f"{-lo} PRECEDING"
+        hi_d = "CURRENT ROW" if hi == Window.currentRow else f"{hi} FOLLOWING"
+        frame_d = f"ROWS BETWEEN {lo_d} AND {hi_d}"
+        order_s, order_d = ["o_orderdate", "o_orderkey"], "o_orderdate, o_orderkey"
+    else:
+        lo, hi = -rng.randint(0, 400), rng.randint(0, 400)
+        frame_d = f"RANGE BETWEEN {-lo} PRECEDING AND {hi} FOLLOWING"
+        order_s, order_d = ["o_custkey"], "o_custkey"
+
+    def spark_fn(spark):
+        o = load(spark, SF, "orders")
+        w = Window.orderBy(*order_s)
+        if part:
+            w = Window.partitionBy(part).orderBy(*order_s)
+        w = w.rowsBetween(lo, hi) if mode == "rows" else w.rangeBetween(lo, hi)
+        src = F.lit(1) if agg_s == "count" else F.col("o_totalprice")
+        c = getattr(F, agg_s)(src).over(w)
+        return o.select("o_orderkey", c.cast("double").alias("x"))
+
+    pb = f"PARTITION BY {part} " if part else ""
+    src_d = "*" if agg_d == "COUNT" else "o_totalprice"
+    expr = f"{agg_d}({src_d}) OVER ({pb}ORDER BY {order_d} {frame_d})"
+    sql = f"SELECT o_orderkey, CAST({expr} AS DOUBLE) AS x FROM orders"
+    return spark_fn, sql
+
+
+def test_fuzz_frame_queries(spark, duck):
+    """Frame sums/avgs accumulate in engine-specific order, so agreement
+    is to float tolerance (observed drift ≤ 3e-10 relative), not exact
+    post-ROUND strings — key-aligned isclose instead of _canon."""
+    import numpy as np
+
+    duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
+    rng = random.Random(271828)
+    failures = []
+    for i in range(15):
+        spark_fn, sql = _gen_frame_query(rng)
+        sdf = spark_fn(spark).toPandas().set_index("o_orderkey").sort_index()
+        ddf = duck.sql(sql).df().set_index("o_orderkey").sort_index()
+        if len(sdf) != len(ddf) or not np.allclose(
+            sdf["x"].to_numpy(dtype=float),
+            ddf["x"].to_numpy(dtype=float),
+            rtol=1e-8,
+            atol=1e-6,
+            equal_nan=True,
+        ):
+            failures.append((i, sql))
+    assert not failures, f"frame fuzz mismatches: {failures}"
+
+
 def test_fuzz_window_queries(spark, duck):
     duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
     rng = random.Random(777)

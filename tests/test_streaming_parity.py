@@ -1,0 +1,140 @@
+"""Streaming ≡ batch parity for the two batch-gated analytics shapes
+(q_sessionize, q_funnel) on the same finite prefix — the reference's own
+test discipline (streams/mod.rs:62-77 finite-prefix observation), applied
+to the driver's real events table."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+from rspl_spark.streaming import (
+    file_stream,
+    session_agg,
+    streaming_funnel,
+    write_stream_chunks,
+)
+from rspl_spark.streaming.sources import run_to_memory_sink
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts_ordered_chunks(spark, df, n_chunks, cols):
+    """Split a batch frame into ts-ordered chunk frames (in-order arrival)."""
+    pdf = df.select(*cols).orderBy("ts", *[c for c in cols if c != "ts"][:1]).toPandas()
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    schema = df.select(*cols).schema
+    return [
+        spark.createDataFrame(pdf.iloc[i : i + size], schema)
+        for i in range(0, len(pdf), size)
+    ]
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """session_window on a chunked stream (append mode + watermark) emits
+    exactly the batch q_sessionize sessions once the watermark passes.
+
+    Two far-future sentinel chunks close every real session: the first
+    advances the event-time max, the second's batch applies it as the
+    watermark (emission happens in batch N+1 of the advance)."""
+    cols = ["user_id", "ts", "value"]
+    e = load(spark, SF, "events")
+    aggs = {
+        "n_events": F.count(F.lit(1)),
+        "total_value": F.round(F.sum("value"), 2),
+    }
+    expected = {
+        (r["user_id"], str(r["sess_start"]), str(r["sess_end"]), r["n_events"], r["total_value"])
+        for r in session_agg(e, "ts", "30 minutes", aggs, keys=["user_id"]).collect()
+    }
+    chunks = _ts_ordered_chunks(spark, e, 3, cols)
+    schema = e.select(*cols).schema
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    sentinels = [
+        spark.createDataFrame(
+            pd.DataFrame({"user_id": [-1], "ts": [max_ts + pd.Timedelta(days=d)], "value": [0.0]}),
+            schema,
+        )
+        for d in (10, 11)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks + sentinels)
+        stream = file_stream(spark, tmp, "user_id long, ts timestamp, value double")
+        out = session_agg(
+            stream, "ts", "30 minutes", aggs, keys=["user_id"], watermark="1 minute"
+        )
+        run_to_memory_sink(out, "t_sessionize_parity", timeout_s=180)
+        got = {
+            (r["user_id"], str(r["sess_start"]), str(r["sess_end"]), r["n_events"], r["total_value"])
+            for r in spark.table("t_sessionize_parity").collect()
+            if r["user_id"] != -1
+        }
+    assert got == expected
+
+
+def test_streaming_funnel_matches_batch(spark):
+    """streaming_funnel's final per-user position equals the batch
+    q_funnel flags on the same ts-ordered prefix (all sf0.001 events)."""
+    from rspl_spark.queries.relational3 import q_funnel
+
+    batch = {
+        str(r["user_id"]): r["did_signup"] + r["did_click"] + r["did_purchase"]
+        for r in q_funnel(spark, SF).collect()
+    }
+    e = load(spark, SF, "events")
+    chunks = _ts_ordered_chunks(spark, e, 3, ["user_id", "ts", "event_type"])
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "user_id long, ts timestamp, event_type string")
+        out = streaming_funnel(stream, ["signup", "click", "purchase"])
+        run_to_memory_sink(out, "t_funnel_parity", timeout_s=180)
+        rows = spark.table("t_funnel_parity").collect()
+    final = {}
+    for r in rows:
+        final[r["user"]] = max(final.get(r["user"], 0), r["n_reached"])
+    assert final == batch
+
+
+def test_streaming_funnel_cross_batch_and_strict_order(spark):
+    """Stage progress buffered in state across micro-batches; an event at
+    EXACTLY the previous stage's timestamp does not advance (q_funnel's
+    strict ``ts >``); pre-signup clicks are ignored."""
+    schema = "user_id long, ts timestamp, event_type string"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]), schema
+    )
+    # u1: click before signup (ignored) then signup | batch 2: click → 2 stages
+    # u2: signup | batch 2: purchase at ts==signup-ts would be stage-2 'click'
+    #     anyway — give click at ts==signup ts: strict > rejects it.
+    b1 = mk(
+        [
+            (1, t0, "click"),
+            (1, t0 + pd.Timedelta(minutes=1), "signup"),
+            (2, t0 + pd.Timedelta(minutes=2), "signup"),
+        ]
+    )
+    b2 = mk(
+        [
+            (1, t0 + pd.Timedelta(minutes=3), "click"),
+            (2, t0 + pd.Timedelta(minutes=2), "click"),  # == signup ts: rejected
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [b1, b2])
+        stream = file_stream(spark, tmp, schema)
+        out = streaming_funnel(stream, ["signup", "click", "purchase"])
+        run_to_memory_sink(out, "t_funnel_strict", timeout_s=120)
+        rows = spark.table("t_funnel_strict").collect()
+    final = {}
+    for r in rows:
+        if r["n_reached"] >= final.get(r["user"], (0, None))[0]:
+            final[r["user"]] = (r["n_reached"], list(r["stage_ts_ns"]))
+    assert final["1"][0] == 2
+    assert final["2"][0] == 1
+    # u1's click timestamp is the batch-2 event, 3 minutes in
+    signup_ns, click_ns = final["1"][1]
+    assert click_ns - signup_ns == 2 * 60 * 1_000_000_000
