@@ -37,6 +37,9 @@ FLAGSHIPS = [
     "q_asof_join_forward",
     "q_mix_temperature",
     "q_quality_weighted_sample",
+    "q_incremental_dedup",
+    "q_multimodal_decode_pgm",
+    "q_embedding_cosine_pairs",
 ]
 
 
