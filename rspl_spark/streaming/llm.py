@@ -152,6 +152,66 @@ def streaming_lsh_dedup(
     )
 
 
+def streaming_dedup_against_store(
+    docs: DataFrame,
+    store_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    ttl_seconds: float | None = None,
+    max_per_bucket: int | None = 1024,
+) -> DataFrame:
+    """Live ingest probing a PERSISTED corpus: (doc_a, doc_b, est_jaccard)
+    pairs where a new arrival near-duplicates either the signature STORE
+    (``operators/dedup_store.py`` — pass ``spark.table(store)``) or
+    another in-flight arrival.
+
+    Composition of the two incremental paths:
+
+    - new-vs-store: a stateless STREAM-STATIC join of the arrival's band
+      rows against the store on the single ``bucket`` key — no streaming
+      state at all; the store is the bucketed table the daily batch
+      (``dedup_increment`` + ``append_increment``) maintains, so stream
+      and batch probe the SAME artifact. Bucket layout keeps the static
+      side's scan bucket-aligned per micro-batch.
+    - new-vs-new: :func:`streaming_lsh_dedup` (bounded state: cap + TTL)
+      catches duplicates between arrivals the store hasn't absorbed yet.
+
+    A pair may surface once per colliding bucket and once per path —
+    downstream dedups by (doc_a, doc_b), the batch formulation's final
+    groupBy. Batch parity: after groupBy max(est), the emitted pairs are
+    exactly ``dedup_increment(new, store)`` on the same prefix
+    (tests/test_streaming_parity.py).
+    """
+    from rspl_spark.operators.dedup_store import _est, signature_band_rows
+
+    new_bands = signature_band_rows(
+        docs, text_col=text_col, id_col=id_col, n_bands=n_bands
+    )
+    n, s = new_bands.alias("n"), store_bands.alias("s")
+    vs_store = (
+        n.join(s, F.col("n.bucket") == F.col("s.bucket"))
+        .filter(F.col("n.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+            _est("n", "s").alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    vs_new = streaming_lsh_dedup(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        n_bands=n_bands,
+        threshold=threshold,
+        ttl_seconds=ttl_seconds,
+        max_per_bucket=max_per_bucket,
+    )
+    return vs_store.unionByName(vs_new)
+
+
 _PACK_STATE = StructType([StructField("cum", LongType())])
 
 

@@ -91,6 +91,79 @@ def test_partition_pruning_in_scan(spark, tmp_path):
     assert years == {1996, 1997}
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a filter on the DIM side prunes the partitioned FACT scan at
+    runtime (the broadcast result becomes the fact's partition filter) —
+    the feature that turns a dim-filtered star join over a 100 TB
+    partitioned fact into a scan of only the matching partitions.
+
+    Local data is below the planner's benefit thresholds, so the test
+    pins useStats=false + a permissive fallback ratio; at real scale the
+    defaults fire on their own."""
+    p = str(tmp_path / "o_by_year")
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    o.withColumn("yr", F.year("o_orderdate")).write.partitionBy("yr").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y in (1996, 1997) else "drop") for y in range(1992, 2003)],
+        "yr int, tag string",
+    )
+    confs = {
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "10000",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = fact.join(dim.filter(F.col("tag") == "keep"), "yr").groupBy("tag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        rows = {(r["tag"], r["count"]) for r in j.collect()}
+        want = fact.filter(F.col("yr").isin(1996, 1997)).count()
+        assert rows == {("keep", want)}
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Runtime bloom-filter injection: a selective filter on one join
+    side materializes a bloom filter that pre-filters the OTHER side's
+    scan (`might_contain` in the plan) — shuffle-input reduction for
+    shuffle joins too big to broadcast. Local thresholds forced (the
+    application-side default is 10 GB); at scale the defaults fire."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, "/root/testdata/sf0.001", "lineitem")
+        o = load(spark, "/root/testdata/sf0.001", "orders")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+        # and the filter is semantics-preserving
+        got = {(r["l_returnflag"], r["count"]) for r in j.collect()}
+        plain = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey, "inner")
+            .hint("merge")
+            .groupBy("l_returnflag")
+            .count()
+        )
+        want = {(r["l_returnflag"], r["count"]) for r in plain.collect()}
+        assert got == want
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_compile_dsl_onto_streaming_frame(spark):
     """The compiled (stateless) DSL path works unchanged on a streaming
     DataFrame — filter/select are streaming-safe narrow ops."""

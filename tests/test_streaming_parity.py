@@ -98,6 +98,51 @@ def test_streaming_funnel_matches_batch(spark):
     assert final == batch
 
 
+def test_streaming_dedup_against_store_matches_batch_increment(spark):
+    """Live ingest probing the persisted signature store: the union of
+    (stream-static store probe) and (stateful new-vs-new LSH) reproduces
+    the batch ``dedup_increment`` pairs on the same prefix, after the
+    documented downstream groupBy-max dedup."""
+    from rspl_spark.operators.dedup_store import create_signature_store, dedup_increment
+    from rspl_spark.streaming.llm import streaming_dedup_against_store
+
+    docs = load(spark, SF, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    store = create_signature_store(
+        spark, store_docs, "sigstore_test_stream", overwrite=True
+    )
+    try:
+        want = {
+            (r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in dedup_increment(spark, new_docs, store, threshold=0.5).collect()
+        }
+        pdf = new_docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+        half = len(pdf) // 2
+        schema = new_docs.select("doc_id", "text").schema
+        chunks = [
+            spark.createDataFrame(pdf.iloc[:half], schema),
+            spark.createDataFrame(pdf.iloc[half:], schema),
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            write_stream_chunks(spark, tmp, chunks)
+            stream = file_stream(spark, tmp, "doc_id long, text string")
+            out = streaming_dedup_against_store(
+                stream, spark.table(store), threshold=0.5
+            )
+            run_to_memory_sink(out, "t_store_dedup", timeout_s=180)
+            raw = spark.table("t_store_dedup")
+        got = {
+            (r["doc_a"], r["doc_b"], r["est"])
+            for r in raw.groupBy("doc_a", "doc_b")
+            .agg(F.round(F.max("est_jaccard"), 6).alias("est"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_stream")
+
+
 def test_streaming_funnel_cross_batch_and_strict_order(spark):
     """Stage progress buffered in state across micro-batches; an event at
     EXACTLY the previous stage's timestamp does not advance (q_funnel's
