@@ -552,3 +552,54 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+# Binned range join: point-in-interval with NO equi key — the pure-range
+# shape whose naive plan is a nested-loop scan. The operator
+# (operators/rangejoin.py) quantizes time into bins so the join is an
+# equi-join on the bin id with an exact post-filter; the oracle runs the
+# plain quadratic range join. Every signup's one-hour window counts ALL
+# users' events inside it (not just the signup's own user — that keyed
+# variant is q_interval_join).
+
+_BINNED_RANGE_ORACLE = """
+SELECT s.event_id AS signup_id,
+       COUNT(e.event_id) AS n_in,
+       ROUND(COALESCE(SUM(e.value), 0.0), 2) AS tot_value
+FROM (SELECT event_id, ts AS ts_start, ts + INTERVAL 1 HOUR AS ts_end
+      FROM events WHERE event_type = 'signup') s
+LEFT JOIN events e
+  ON e.ts >= s.ts_start AND e.ts <= s.ts_end AND e.event_id <> s.event_id
+GROUP BY s.event_id
+ORDER BY signup_id
+"""
+
+
+@query("q_binned_range_join", oracle=_BINNED_RANGE_ORACLE, tags=("join", "range", "scale"))
+def q_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.rangejoin import point_in_interval_pairs
+
+    ev = load(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("ts_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_end"),
+    )
+    points = ev.select("event_id", "ts", "value")
+    pairs = point_in_interval_pairs(
+        points, intervals, point_ts="ts", start_ts="ts_start", end_ts="ts_end"
+    ).filter(F.col("event_id") != F.col("signup_id"))
+    hits = pairs.groupBy("signup_id").agg(
+        F.count("event_id").alias("n_in"),
+        F.round(F.sum("value"), 2).alias("tot_value"),
+    )
+    return (
+        intervals.select("signup_id")
+        .join(hits, "signup_id", "left")
+        .select(
+            "signup_id",
+            F.coalesce(F.col("n_in"), F.lit(0)).alias("n_in"),
+            F.round(F.coalesce(F.col("tot_value"), F.lit(0.0)), 2).alias("tot_value"),
+        )
+        .orderBy("signup_id")
+    )
