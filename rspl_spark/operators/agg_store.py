@@ -1,0 +1,218 @@
+"""Incremental aggregation against a PERSISTED partial-aggregate store
+(incremental view maintenance).
+
+The daily-dashboard problem at 100 TB: a grouped rollup over the full
+history rescans the corpus every run, but yesterday's aggregates didn't
+change. This module persists the MERGEABLE partials (count, sum, min,
+max — avg is derived sum/count) per group key, bucketed on the keys, and
+folds each increment in with one small join:
+
+- ``create_agg_store``: aggregate the seed batch to partials and CTAS
+  them bucketed+sorted on the group keys.
+- ``merge_increment``: aggregate ONLY the increment, full-outer-join it
+  to the store on the keys (null-safe — NULL group keys are groups),
+  combine partials column-wise, and swap the store directory. The store
+  side of the join is bucket-aligned (no store-side Exchange); only the
+  increment shuffles. The rewrite cost is the (small) aggregate table,
+  never the raw history.
+- ``read_final``: partials → final measures (avg derived).
+
+The same partials discipline Spark's own partial/final hash aggregation
+uses inside one query, lifted across runs. Sibling of
+``operators/dedup_store.py`` (same store lifecycle, different payload).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# measure kinds → (partial aggregate, pairwise merge)
+_KINDS = ("sum", "count", "min", "max")
+
+
+def _check(measures: dict[str, tuple[str, str]]) -> None:
+    for name, (_col, kind) in measures.items():
+        if kind not in _KINDS:
+            raise ValueError(
+                f"measure {name!r}: kind {kind!r} not mergeable "
+                f"(supported: {_KINDS}; avg = sum/count via read_final)"
+            )
+
+
+def partial_agg(
+    df: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """One partial-aggregation pass: keys + one column per measure."""
+    _check(measures)
+    aggs = []
+    for name, (col, kind) in measures.items():
+        if kind == "count":
+            # count partials are SUMS of longs from day two on
+            aggs.append(F.count(col).cast("long").alias(name))
+        else:
+            aggs.append(getattr(F, kind)(col).alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _store_path(name: str) -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "spark-warehouse", name.lower())
+
+
+def _write_bucketed(
+    df: DataFrame, name: str, path: str, keys: list[str], n_buckets: int
+) -> None:
+    (
+        df.repartition(n_buckets, *keys)
+        .write.bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+
+
+def create_agg_store(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    n_buckets: int = 8,
+    overwrite: bool = False,
+) -> str:
+    """CTAS the seed batch's partials, bucketed on the group keys."""
+    if spark.catalog.tableExists(name):
+        if not overwrite:
+            return name
+        spark.sql(f"DROP TABLE {name}")
+    path = _store_path(name)
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    # reap versioned dirs a dead session's merges left behind
+    parent, base = os.path.dirname(path), os.path.basename(path)
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(f"{base}.__v_"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    _write_bucketed(partial_agg(df, keys, measures), name, path, keys, n_buckets)
+    return name
+
+
+def merge_increment(
+    spark: SparkSession,
+    new_df: DataFrame,
+    store: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    n_buckets: int = 8,
+) -> None:
+    """Fold an increment into the store: aggregate the increment alone,
+    full-outer-join it to the store on the keys, merge partials
+    (sum/count add, min least, max greatest — a side missing the group
+    passes its partial through), rewrite + swap the store.
+
+    Groups whose keys are all non-null (essentially all of them) join on
+    plain equality with the increment pre-shuffled to the store's bucket
+    count — the store side reads bucket-aligned, zero store-side
+    Exchange (asserted in tests/test_agg_store.py). NULL is still a
+    group, but an eqNullSafe join key compiles to (coalesce, isnull)
+    expressions that defeat bucket alignment, so the handful of groups
+    with a null key take a separate null-safe-joined path and union in.
+    """
+    merged = merged_view(spark, new_df, store, keys, measures, n_buckets)
+    # materialize BEFORE touching the store (the plan reads it), then
+    # swap the catalog entry and reap the superseded directory
+    old_path = _table_location(spark, store)
+    tmp_name = f"{store}__merge_{uuid.uuid4().hex[:8]}"
+    tmp_path = f"{_store_path(store)}.__v_{uuid.uuid4().hex[:8]}"
+    _write_bucketed(merged, tmp_name, tmp_path, keys, n_buckets)
+    spark.sql(f"DROP TABLE {store}")
+    spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {store}")
+    if old_path and os.path.isdir(old_path):
+        shutil.rmtree(old_path, ignore_errors=True)
+
+
+def merged_view(
+    spark: SparkSession,
+    new_df: DataFrame,
+    store: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    n_buckets: int = 8,
+) -> DataFrame:
+    """The merge plan ``merge_increment`` writes — exposed for plan
+    inspection and tests."""
+    _check(measures)
+    inc_all = partial_agg(new_df, keys, measures)
+    st_all = spark.table(store)
+
+    def any_null(df):
+        c = F.lit(False)
+        for k in keys:
+            c = c | df[k].isNull()
+        return c
+
+    def merged_select(s, i, null_safe: bool):
+        cond = None
+        for k in keys:
+            kc = (
+                F.col(f"s.{k}").eqNullSafe(F.col(f"i.{k}"))
+                if null_safe
+                else F.col(f"s.{k}") == F.col(f"i.{k}")
+            )
+            cond = kc if cond is None else (cond & kc)
+        cols = [F.coalesce(F.col(f"s.{k}"), F.col(f"i.{k}")).alias(k) for k in keys]
+        for name, (_col, kind) in measures.items():
+            a, b = F.col(f"s.{name}"), F.col(f"i.{name}")
+            if kind in ("sum", "count"):
+                m = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(a + b)
+            elif kind == "min":
+                m = F.least(a, b)  # least/greatest skip NULLs
+            else:
+                m = F.greatest(a, b)
+            cols.append(m.alias(name))
+        return s.join(i, cond, "full").select(*cols)
+
+    return merged_select(
+        st_all.filter(~any_null(st_all)).alias("s"),
+        inc_all.filter(~any_null(inc_all)).repartition(n_buckets, *keys).alias("i"),
+        null_safe=False,
+    ).unionByName(
+        merged_select(
+            st_all.filter(any_null(st_all)).alias("s"),
+            inc_all.filter(any_null(inc_all)).alias("i"),
+            null_safe=True,
+        )
+    )
+
+
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+        if r["col_name"].strip() == "Location":
+            loc = r["data_type"].strip()
+            if loc.startswith("file:"):
+                from urllib.parse import urlparse
+
+                return urlparse(loc).path
+            return loc
+    return None
+
+
+def read_final(
+    spark: SparkSession,
+    store: str,
+    derived_avgs: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """The store's finalized view; ``derived_avgs`` adds
+    ``name -> (sum_col, count_col)`` ratio columns."""
+    out = spark.table(store)
+    for name, (s, c) in (derived_avgs or {}).items():
+        out = out.withColumn(name, F.col(s) / F.col(c))
+    return out

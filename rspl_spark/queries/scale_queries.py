@@ -168,3 +168,66 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_increment(
         spark, None, store, new_sig=sig_all.filter(F.col("doc_id") % 3 == 0)
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation store (incremental view maintenance): partials
+# persisted bucketed by key; day-2 folds ONLY the increment in. Oracle =
+# one-pass GROUP BY over the full history — merge must be invisible.
+# ---------------------------------------------------------------------------
+
+_INCR_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       ROUND(sum_price, 2) AS sum_price,
+       first_order, last_order,
+       ROUND(sum_price / n_orders, 6) AS avg_price
+FROM (
+  SELECT o_orderpriority, COUNT(o_orderkey) AS n_orders,
+         SUM(o_totalprice) AS sum_price,
+         MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+  FROM orders GROUP BY o_orderpriority
+) t
+ORDER BY o_orderpriority
+"""
+
+_AGG_MEASURES = {
+    "n_orders": ("o_orderkey", "count"),
+    "sum_price": ("o_totalprice", "sum"),
+    "first_order": ("o_orderdate", "min"),
+    "last_order": ("o_orderdate", "max"),
+}
+
+
+@query("q_incremental_agg", oracle=_INCR_AGG_ORACLE, tags=("scale", "agg", "incremental"))
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays the two-batch sequence: seed the store with two thirds of
+    orders, merge the remaining third as the day-2 increment, read the
+    finalized view. Idempotent per session (the merged store is built
+    once and re-read)."""
+    from rspl_spark.operators import agg_store as A
+
+    o = load(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"aggstore_{slug}_merged"
+    if not spark.catalog.tableExists(name):
+        A.create_agg_store(
+            spark, o.filter(F.col("o_orderkey") % 3 != 0), name, keys, _AGG_MEASURES,
+            overwrite=True,
+        )
+        A.merge_increment(
+            spark, o.filter(F.col("o_orderkey") % 3 == 0), name, keys, _AGG_MEASURES
+        )
+    return (
+        A.read_final(spark, name, derived_avgs={"avg_price": ("sum_price", "n_orders")})
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round("sum_price", 2).alias("sum_price"),
+            "first_order",
+            "last_order",
+            F.round("avg_price", 6).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,103 @@
+"""Incremental aggregation store (operators/agg_store.py): multi-day
+merge equals one-pass recompute, NULL group keys merge (null-safe join),
+new/disappeared groups pass partials through, and the merge join leaves
+the store side un-shuffled."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.operators import agg_store as A
+
+MEASURES = {
+    "n": ("v", "count"),
+    "s": ("v", "sum"),
+    "lo": ("v", "min"),
+    "hi": ("v", "max"),
+}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def _final(spark, store):
+    return {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in A.read_final(spark, store).collect()
+    }
+
+
+def test_three_day_merge_equals_recompute(spark):
+    days = [
+        _df(spark, [("a", 1.0), ("a", 2.0), ("b", 10.0)]),
+        _df(spark, [("b", -5.0), ("c", 7.0)]),
+        _df(spark, [("a", 0.5), ("c", 7.0), ("c", 3.0)]),
+    ]
+    store = "aggstore_t3"
+    A.create_agg_store(spark, days[0], store, ["k"], MEASURES, overwrite=True)
+    try:
+        for d in days[1:]:
+            A.merge_increment(spark, d, store, ["k"], MEASURES)
+        got = _final(spark, store)
+        full = days[0].unionByName(days[1]).unionByName(days[2])
+        want = {
+            r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in A.partial_agg(full, ["k"], MEASURES).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_t3")
+
+
+def test_null_group_key_merges(spark):
+    """NULL is a group: the null-safe join must fold the increment's
+    NULL-key partial into the store's NULL-key row, not orphan both."""
+    d1 = spark.createDataFrame([(None, 1.0), ("x", 2.0)], "k string, v double")
+    d2 = spark.createDataFrame([(None, 3.0)], "k string, v double")
+    store = "aggstore_tnull"
+    A.create_agg_store(spark, d1, store, ["k"], MEASURES, overwrite=True)
+    try:
+        A.merge_increment(spark, d2, store, ["k"], MEASURES)
+        rows = {r["k"]: (r["n"], r["s"]) for r in A.read_final(spark, store).collect()}
+        assert rows[None] == (2, 4.0)
+        assert rows["x"] == (1, 2.0)
+        assert len(rows) == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_tnull")
+
+
+def test_unsupported_kind_raises(spark):
+    with pytest.raises(ValueError, match="not mergeable"):
+        A.partial_agg(_df(spark, [("a", 1.0)]), ["k"], {"m": ("v", "avg")})
+
+
+def test_merge_join_store_side_unshuffled(spark):
+    """The store is bucketed on the keys, so the merge's full-outer join
+    plans with ONE Exchange (the increment's aggregation) — the store
+    partials never move. This is what makes day-N cost independent of
+    history size."""
+    d1 = _df(spark, [(f"k{i}", float(i)) for i in range(100)])
+    store = "aggstore_tplan"
+    A.create_agg_store(spark, d1, store, ["k"], MEASURES, overwrite=True)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = A.merged_view(spark, _df(spark, [("k1", 5.0)]), store, ["k"], MEASURES)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the non-null path's store scan is bucket-aligned...
+        main_scan = [
+            line for line in plan.splitlines() if f"default.{store}[" in line
+        ][0]
+        assert "Bucketed: true" in main_scan
+        assert "SelectedBucketsCount: 8 out of 8" in main_scan
+        # ...so no Exchange sits between the non-null join and its store
+        # scan (the text from the first SortMergeJoin down to the first
+        # FileScan is just Sort + Filter)
+        between = plan.split("SortMergeJoin", 1)[1].split("FileScan", 1)[0]
+        assert "Exchange" not in between
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS aggstore_tplan")

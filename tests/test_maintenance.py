@@ -1,0 +1,52 @@
+"""Small-file compaction (operators/maintenance.py): data preserved,
+file count reduced, no-op and refusal guards."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.operators.maintenance import compact_parquet, parquet_dir_stats
+
+
+def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
+    p = str(tmp_path / "many")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(p)
+    before, _ = parquet_dir_stats(p)
+    assert before == 40
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+    assert [f.name for f in back.schema.fields] == ["id", "v"]
+
+
+def test_compaction_target_splits_output(spark, tmp_path):
+    p = str(tmp_path / "split")
+    spark.range(50_000).withColumn("s", F.md5(F.col("id").cast("string"))).repartition(
+        30
+    ).write.parquet(p)
+    _, total = parquet_dir_stats(p)
+    stats = compact_parquet(spark, p, target_file_bytes=max(1, total // 4))
+    assert 3 <= stats["files_after"] <= 6  # ~4, modulo parquet overhead
+    assert spark.read.parquet(p).count() == 50_000
+
+
+def test_compaction_noop_below_min_files(spark, tmp_path):
+    p = str(tmp_path / "single")
+    spark.range(100).coalesce(1).write.parquet(p)
+    stats = compact_parquet(spark, p)
+    assert stats["files_before"] == stats["files_after"] == 1
+
+
+def test_compaction_refuses_streaming_sink_dir(spark, tmp_path):
+    p = str(tmp_path / "sinkish")
+    spark.range(10).repartition(2).write.parquet(p)
+    os.makedirs(os.path.join(p, "_spark_metadata"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet(spark, p)
