@@ -494,6 +494,53 @@ def test_fuzz_frame_queries(spark, duck):
     assert not failures, f"frame fuzz mismatches: {failures}"
 
 
+def _gen_exists_query(rng: random.Random):
+    """Random correlated [NOT] EXISTS over orders→lineitem — the oracle
+    keeps the literal correlated-subquery form, the Spark side uses the
+    decorrelated semi/anti join (the at-scale formulation everywhere in
+    this repo)."""
+    negate = rng.random() < 0.5
+    c = rng.choice(["l_quantity", "l_extendedprice", "l_discount"])
+    op = rng.choice([">", "<"])
+    v = {
+        "l_quantity": round(rng.uniform(1, 50), 1),
+        "l_extendedprice": round(rng.uniform(1000, 80000), 2),
+        "l_discount": round(rng.uniform(0.0, 0.1), 3),
+    }[c]
+    group = rng.choice(["o_orderpriority", "o_orderstatus"])
+
+    def spark_fn(spark):
+        o = load(spark, SF, "orders")
+        li = load(spark, SF, "lineitem").filter(
+            F.col(c) > v if op == ">" else F.col(c) < v
+        )
+        how = "left_anti" if negate else "left_semi"
+        j = o.join(li, o.o_orderkey == li.l_orderkey, how)
+        return j.groupBy(group).agg(F.count(F.lit(1)).alias("cnt"))
+
+    kw = "NOT EXISTS" if negate else "EXISTS"
+    sql = (
+        f"SELECT {group}, COUNT(*) AS cnt FROM orders "
+        f"WHERE {kw} (SELECT 1 FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND {c} {op} {v}) "
+        f"GROUP BY {group}"
+    )
+    return spark_fn, sql
+
+
+def test_fuzz_exists_queries(spark, duck):
+    duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
+    rng = random.Random(13579)
+    failures = []
+    for i in range(12):
+        spark_fn, sql = _gen_exists_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"exists fuzz mismatches: {failures}"
+
+
 def test_fuzz_window_queries(spark, duck):
     duck.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{SF}/orders.parquet'")
     rng = random.Random(777)
