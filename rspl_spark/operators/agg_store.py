@@ -126,6 +126,7 @@ def merge_increment(
     expressions that defeat bucket alignment, so the handful of groups
     with a null key take a separate null-safe-joined path and union in.
     """
+    n_buckets = _table_buckets(spark, store) or n_buckets
     merged = merged_view(spark, new_df, store, keys, measures, n_buckets)
     # materialize BEFORE touching the store (the plan reads it), then
     # swap the catalog entry and reap the superseded directory
@@ -150,6 +151,10 @@ def merged_view(
     """The merge plan ``merge_increment`` writes — exposed for plan
     inspection and tests."""
     _check(measures)
+    # the store's ACTUAL bucket count governs both the increment's
+    # pre-shuffle and the rewrite — a caller-supplied mismatch would
+    # silently re-layout the store and shuffle it on every later merge
+    n_buckets = _table_buckets(spark, store) or n_buckets
     inc_all = partial_agg(new_df, keys, measures)
     st_all = spark.table(store)
 
@@ -191,6 +196,16 @@ def merged_view(
             null_safe=True,
         )
     )
+
+
+def _table_buckets(spark: SparkSession, name: str) -> int | None:
+    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+        if r["col_name"].strip() == "Num Buckets":
+            try:
+                return int(r["data_type"].strip())
+            except ValueError:
+                return None
+    return None
 
 
 def _table_location(spark: SparkSession, name: str) -> str | None:

@@ -68,6 +68,22 @@ def test_null_group_key_merges(spark):
         spark.sql("DROP TABLE IF EXISTS aggstore_tnull")
 
 
+def test_merge_respects_store_bucket_count(spark):
+    """The store's catalog bucket count wins over the call-site default —
+    a mismatched merge must not silently re-layout the table."""
+    store = "aggstore_tbkt"
+    A.create_agg_store(
+        spark, _df(spark, [("a", 1.0)]), store, ["k"], MEASURES, n_buckets=4,
+        overwrite=True,
+    )
+    try:
+        A.merge_increment(spark, _df(spark, [("a", 2.0), ("b", 3.0)]), store, ["k"], MEASURES)
+        assert A._table_buckets(spark, store) == 4
+        assert _final(spark, store)["a"] == (2, 3.0, 1.0, 2.0)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_tbkt")
+
+
 def test_unsupported_kind_raises(spark):
     with pytest.raises(ValueError, match="not mergeable"):
         A.partial_agg(_df(spark, [("a", 1.0)]), ["k"], {"m": ("v", "avg")})

@@ -40,6 +40,8 @@ FLAGSHIPS = [
     "q_incremental_dedup",
     "q_multimodal_decode_pgm",
     "q_embedding_cosine_pairs",
+    "q_incremental_agg",
+    "q_binned_range_join",
 ]
 
 
