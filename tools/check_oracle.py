@@ -56,6 +56,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     spark = get_spark("oracle-check")
+    # untimed warm-up (same rationale as bench.py): session startup,
+    # parquet footers, and codegen JIT otherwise land on whichever query
+    # sorts first and read as a 5-10x outlier in the per-query timings
+    reg["q1_pricing_summary"].fn(spark, sf_dir).collect()
     n_pass = n_fail = 0
     for name, spec in sorted(reg.items()):
         if only and name not in only:
