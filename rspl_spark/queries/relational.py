@@ -589,3 +589,39 @@ def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey")
     )
+
+
+# Variant (semi-structured) type — Spark 4's parse_json → VARIANT with
+# typed variant_get extraction (the modern path for JSON columns at
+# scale: parse once into a binary-encoded variant, extract many times
+# without re-parsing). Oracle: DuckDB's native JSON extraction. Spec:
+# rspl has no JSON surface; north-star closure over the engine's column
+# types (SURVEY.md §2.3).
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE CAST(props->>'k' AS BIGINT) >= 10
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_variant_json", oracle=_VARIANT_ORACLE, tags=("scalar", "json", "variant"))
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -378,3 +378,56 @@ def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Dynamic-gap sessionization: each event carries its OWN inactivity gap
+# (conversion events hold sessions open longer). Spark: session_window
+# with a gap EXPRESSION. Oracle: gaps-and-islands generalized to a
+# per-event gap — a session breaks where ts clears the running max of
+# every preceding event's (ts + gap) window end.
+
+_DYN_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type IN ('signup', 'purchase')
+              THEN INTERVAL 60 MINUTE ELSE INTERVAL 15 MINUTE END AS gap
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, ts + gap AS w_end,
+         CASE WHEN MAX(ts + gap) OVER w IS NULL
+                OR ts >= MAX(ts + gap) OVER w THEN 1 ELSE 0 END AS is_new
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS sess_start, MAX(w_end) AS sess_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, sess_id
+ORDER BY user_id, sess_start
+"""
+
+
+@query("q_sessionize_dynamic_gap", oracle=_DYN_SESSION_ORACLE, tags=("window", "streaming"))
+def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("signup", "purchase"), F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "sess_start")
+    )
