@@ -127,7 +127,9 @@ def merge_increment(
     with a null key take a separate null-safe-joined path and union in.
     """
     n_buckets = _table_buckets(spark, store) or n_buckets
-    merged = merged_view(spark, new_df, store, keys, measures, n_buckets)
+    merged = merged_view(
+        spark, new_df, store, keys, measures, n_buckets, resolve_buckets=False
+    )
     # materialize BEFORE touching the store (the plan reads it), then
     # swap the catalog entry and reap the superseded directory
     old_path = _table_location(spark, store)
@@ -135,9 +137,30 @@ def merge_increment(
     tmp_path = f"{_store_path(store)}.__v_{uuid.uuid4().hex[:8]}"
     _write_bucketed(merged, tmp_name, tmp_path, keys, n_buckets)
     spark.sql(f"DROP TABLE {store}")
-    spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {store}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {store}")
+    except Exception:
+        # close the DROP→RENAME window: re-register the ORIGINAL data
+        # under the store name so the table never vanishes; the merged
+        # tmp table stays behind for inspection
+        if old_path:
+            _register_bucketed_at(spark, store, old_path, keys, n_buckets)
+        raise
     if old_path and os.path.isdir(old_path):
         shutil.rmtree(old_path, ignore_errors=True)
+
+
+def _register_bucketed_at(
+    spark: SparkSession, name: str, path: str, keys: list[str], n_buckets: int
+) -> None:
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    ks = ", ".join(f"`{k}`" for k in keys)
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({ks}) SORTED BY ({ks}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def merged_view(
@@ -147,14 +170,17 @@ def merged_view(
     keys: list[str],
     measures: dict[str, tuple[str, str]],
     n_buckets: int = 8,
+    resolve_buckets: bool = True,
 ) -> DataFrame:
     """The merge plan ``merge_increment`` writes — exposed for plan
     inspection and tests."""
     _check(measures)
     # the store's ACTUAL bucket count governs both the increment's
     # pre-shuffle and the rewrite — a caller-supplied mismatch would
-    # silently re-layout the store and shuffle it on every later merge
-    n_buckets = _table_buckets(spark, store) or n_buckets
+    # silently re-layout the store and shuffle it on every later merge.
+    # merge_increment resolves once and passes resolve_buckets=False.
+    if resolve_buckets:
+        n_buckets = _table_buckets(spark, store) or n_buckets
     inc_all = partial_agg(new_df, keys, measures)
     st_all = spark.table(store)
 

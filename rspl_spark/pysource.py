@@ -61,24 +61,32 @@ class ChannelBatchReader(DataSourceReader):
 
     def pushFilters(self, filters):
         """Accept key = 'kN' / key IN (...) filters; everything else is
-        returned for Spark to re-apply. An accepted filter prunes whole
-        partitions in partitions() — zero rows generated for them."""
+        returned for Spark to re-apply. Accepted filters INTERSECT (each
+        claims to be fully applied at the source, so all must hold);
+        pruned partitions generate zero rows."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("key",):
-                self.keep = {f.value}
+                s = {f.value}
             elif isinstance(f, In) and f.attribute == ("key",):
-                self.keep = set(f.values)
+                s = set(f.value)
             else:
                 yield f  # unsupported — Spark keeps it in the plan
+                continue
+            self.keep = s if self.keep is None else self.keep & s
 
     def partitions(self):
         idxs = range(self.n_keys)
         if self.keep is not None:
             idxs = [i for i in idxs if f"k{i}" in self.keep]
-        return [_KeyPartition(i) for i in idxs]
+        # never return []: Spark substitutes [None] for an empty list and
+        # calls read(None) — a filter matching no key must yield zero
+        # rows, not crash, so ship one explicit empty partition
+        return [_KeyPartition(i) for i in idxs] or [_KeyPartition(-1)]
 
     def read(self, partition: _KeyPartition) -> Iterator[tuple]:
         i = partition.key_idx
+        if i < 0:  # the empty sentinel partition
+            return
         for s in range(self.n_per_key):
             yield (f"k{i}", s, _value(i, s))
 

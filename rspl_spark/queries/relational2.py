@@ -394,7 +394,7 @@ WITH g AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts, ts + gap AS w_end,
+  SELECT user_id, event_id, ts, ts + gap AS w_end,
          CASE WHEN MAX(ts + gap) OVER w IS NULL
                 OR ts >= MAX(ts + gap) OVER w THEN 1 ELSE 0 END AS is_new
   FROM g
@@ -402,7 +402,7 @@ flagged AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ),
 numbered AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM flagged
 )

@@ -43,8 +43,14 @@ def streaming_lsh_dedup(
     threshold: float = 0.5,
     ttl_seconds: float | None = None,
     max_per_bucket: int | None = 1024,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) pairs, emitted incrementally.
+
+    ``bands``: precomputed (doc_id, mh0..mh7, bucket) band rows (the
+    ``signature_band_rows`` shape) — callers composing several readouts
+    over the same stream pass one shared frame so the signature kernel
+    appears once in the plan.
 
     doc_a is the previously seen document, doc_b the new arrival; pairs
     below ``threshold`` (estimated Jaccard = matching signature slots /
@@ -76,27 +82,28 @@ def streaming_lsh_dedup(
         raise ValueError("max_per_bucket must be >= 1 (or None to disable)")
     if ttl_seconds is not None and ttl_seconds <= 0:
         raise ValueError("ttl_seconds must be positive (or None to disable)")
-    per_band = _N // n_bands
-    sig = _signatures(docs, text_col, id_col)
-    # single explode, not an n_bands-way union (one signature subtree —
-    # same rationale as the batch lsh_candidate_pairs); the bucket key
-    # covers ALL of the band's slots so any n_bands dividing the slot
-    # count produces disjoint bands
-    buckets = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(band),
-                *[F.col(f"mh{per_band * band + i}") for i in range(per_band)],
-            )
-            for band in range(n_bands)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        *[f"mh{j}" for j in range(_N)],
-        F.explode(buckets).alias("bucket"),
-    )
+    if bands is None:
+        per_band = _N // n_bands
+        sig = _signatures(docs, text_col, id_col)
+        # single explode, not an n_bands-way union (one signature subtree —
+        # same rationale as the batch lsh_candidate_pairs); the bucket key
+        # covers ALL of the band's slots so any n_bands dividing the slot
+        # count produces disjoint bands
+        buckets = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(band),
+                    *[F.col(f"mh{per_band * band + i}") for i in range(per_band)],
+                )
+                for band in range(n_bands)
+            ]
+        )
+        bands = sig.select(
+            "doc_id",
+            *[f"mh{j}" for j in range(_N)],
+            F.explode(buckets).alias("bucket"),
+        )
 
     out_schema = "doc_a long, doc_b long, est_jaccard double"
     ttl_ms = None if ttl_seconds is None else max(1, int(ttl_seconds * 1000))
@@ -183,6 +190,13 @@ def streaming_dedup_against_store(
     groupBy. Batch parity: after groupBy max(est), the emitted pairs are
     exactly ``dedup_increment(new, store)`` on the same prefix
     (tests/test_streaming_parity.py).
+
+    The band rows are built ONCE and shared by both paths (one signature
+    subtree in the logical plan). Spark still evaluates each union
+    branch independently per micro-batch; a deployment that must pay
+    the MinHash kernel strictly once per document materializes the batch
+    in ``foreachBatch`` (persist → both joins → unpersist) at the cost
+    of leaving the declarative sink API.
     """
     from rspl_spark.operators.dedup_store import _est, signature_band_rows
 
@@ -208,6 +222,7 @@ def streaming_dedup_against_store(
         threshold=threshold,
         ttl_seconds=ttl_seconds,
         max_per_bucket=max_per_bucket,
+        bands=new_bands,
     )
     return vs_store.unionByName(vs_new)
 

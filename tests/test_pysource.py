@@ -45,6 +45,35 @@ def test_key_filter_pushdown_prunes_partitions(registered):
     assert df.rdd.getNumPartitions() == 1
 
 
+def test_no_matching_key_yields_empty_not_crash(registered):
+    """A pushed filter matching no key must return zero rows — Spark
+    replaces an empty partitions() list with [None], so the source ships
+    an explicit empty partition instead."""
+    df = (
+        registered.read.format("rspl_channel")
+        .option("n_keys", 4)
+        .option("n_per_key", 5)
+        .load()
+        .filter(F.col("key") == "k9")
+    )
+    assert df.count() == 0
+
+
+def test_stacked_key_filters_intersect(registered):
+    """Two accepted key filters both claim full application at the
+    source, so the source must enforce their INTERSECTION."""
+    df = (
+        registered.read.format("rspl_channel")
+        .option("n_keys", 5)
+        .option("n_per_key", 3)
+        .load()
+        .filter(F.col("key").isin("k1", "k2"))
+        .filter(F.col("key").isin("k2", "k3"))
+    )
+    rows = df.collect()
+    assert {r["key"] for r in rows} == {"k2"} and len(rows) == 3
+
+
 def test_unsupported_filter_left_to_spark(registered):
     df = (
         registered.read.format("rspl_channel")
