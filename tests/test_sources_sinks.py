@@ -177,3 +177,47 @@ def test_kafka_stream_option_plumbing(spark):
             max_offsets_per_trigger=1000,
         )
     assert "kafka" in str(ei.value).lower()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Evolving pipelines append columns over time; mergeSchema reads
+    the union schema with NULLs where a file predates a column."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolve")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("src")).write.parquet(
+        p + "/day=1"
+    )
+    spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("src"), (F.col("id") * 2).alias("score")
+    ).write.parquet(p + "/day=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "src", "score", "day"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[4] == 8
+    # without mergeSchema, Spark picks one file's schema — document the
+    # footgun by asserting the merged read is the superset
+    narrow = spark.read.parquet(p)
+    assert set(narrow.columns) <= set(merged.columns)
+
+
+def test_json_corrupt_records_permissive_and_dropmalformed(spark, tmp_path):
+    """Real corpora contain broken JSON lines; PERMISSIVE captures them
+    in _corrupt_record for quarantining, DROPMALFORMED silently skips —
+    the two policies a cleaning pipeline chooses between."""
+    p = str(tmp_path / "j.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write('{"doc_id": 2, "text": "also ok"}\n')
+        f.write('{"doc_id": 3, "text": NOT JSON\n')
+    schema = "doc_id long, text string, _corrupt_record string"
+    perm = spark.read.schema(schema).json(p)
+    bad = perm.filter(perm._corrupt_record.isNotNull()).collect()
+    good = perm.filter(perm._corrupt_record.isNull()).collect()
+    assert len(bad) == 1 and len(good) == 2
+    dropm = (
+        spark.read.schema("doc_id long, text string")
+        .option("mode", "DROPMALFORMED")
+        .json(p)
+    )
+    assert dropm.count() == 2
