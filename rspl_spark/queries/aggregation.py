@@ -243,3 +243,56 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Unpivot (melt): wide measure columns → long (attribute, value) rows —
+# the inverse of q_pivot, DataFrame.unpivot native since Spark 3.4.
+# Oracle replays it as a UNION ALL (portable long-form definition).
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, measure, ROUND(val, 2) AS val FROM (
+  SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+) t
+WHERE o_orderkey % 7 = 0
+ORDER BY o_orderkey, measure
+"""
+
+
+@query("q_unpivot", oracle=_UNPIVOT_ORACLE, tags=("agg", "reshape"))
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "val")
+        .select("o_orderkey", "measure", F.round("val", 2).alias("val"))
+        .orderBy("o_orderkey", "measure")
+    )
+
+
+# posexplode (lateral view with ordinality): token position is DATA —
+# the building block for positional n-grams and alignment features.
+
+_POSEXPLODE_ORACLE = """
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS term
+FROM (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks FROM documents
+  WHERE doc_id % 17 = 0
+) d, UNNEST(GENERATE_SERIES(1, LEN(d.toks))) AS g(i)
+ORDER BY doc_id, pos
+"""
+
+
+@query("q_posexplode", oracle=_POSEXPLODE_ORACLE, tags=("scalar", "array"))
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .orderBy("doc_id", "pos")
+    )
