@@ -26,6 +26,44 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 _FUNNEL_STATE = StructType([StructField("reached_ns", ArrayType(LongType()))])
 
 
+def stream_merge_into_agg_store(
+    stream_df: DataFrame,
+    store: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming rollup maintenance: each micro-batch folds into the
+    persisted partial-aggregate store (``operators/agg_store.py``) via
+    ``foreachBatch`` + ``merge_increment`` — the live counterpart of the
+    daily batch merge, against the SAME artifact.
+
+    Why foreachBatch and not a streaming aggregation: a windowless
+    global streaming agg holds ALL group state in the state store
+    forever and can only emit in complete/update mode; the store merge
+    keeps Spark's streaming state empty (the store IS the state, shared
+    with batch jobs and queryable by anything at any time). Exactly-once
+    caveat: merge_increment is not idempotent, so a batch replayed after
+    a crash between the merge and the checkpoint commit double-counts —
+    the documented trade of side-effecting sinks; the batch recompute is
+    the repair path. Returns the started StreamingQuery.
+    """
+    from rspl_spark.operators.agg_store import merge_increment
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_increment(batch_df.sparkSession, batch_df, store, keys, measures)
+
+    writer = stream_df.writeStream.foreachBatch(fold).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_funnel(
     events: DataFrame,
     stages: list[str],

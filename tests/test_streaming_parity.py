@@ -143,6 +143,44 @@ def test_streaming_dedup_against_store_matches_batch_increment(spark):
         spark.sql("DROP TABLE IF EXISTS sigstore_test_stream")
 
 
+def test_stream_merge_into_agg_store_matches_batch(spark):
+    """Chunked stream folded into the persisted agg store equals the
+    one-pass aggregate over the same rows — live rollup maintenance
+    against the same artifact the daily batch merges."""
+    from rspl_spark.operators import agg_store as A
+    from rspl_spark.streaming.analytics import stream_merge_into_agg_store
+
+    measures = {"n": ("event_id", "count"), "total": ("value", "sum")}
+    e = load(spark, SF, "events").select("event_type", "event_id", "ts", "value")
+    chunks = _ts_ordered_chunks(spark, e, 3, ["event_type", "event_id", "ts", "value"])
+    store = "aggstore_stream_t"
+    A.create_agg_store(
+        spark, chunks[0], store, ["event_type"], measures, overwrite=True
+    )
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            write_stream_chunks(spark, tmp, chunks[1:])
+            stream = file_stream(
+                spark, tmp, "event_type string, event_id long, ts timestamp, value double"
+            )
+            q = stream_merge_into_agg_store(
+                stream, store, ["event_type"], measures,
+                checkpoint=f"{tmp}/_ckpt",
+            )
+            assert q.awaitTermination(180)
+        got = {
+            r["event_type"]: (r["n"], round(r["total"], 6))
+            for r in A.read_final(spark, store).collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], round(r["total"], 6))
+            for r in A.partial_agg(e, ["event_type"], measures).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_stream_t")
+
+
 def test_streaming_funnel_cross_batch_and_strict_order(spark):
     """Stage progress buffered in state across micro-batches; an event at
     EXACTLY the previous stage's timestamp does not advance (q_funnel's
