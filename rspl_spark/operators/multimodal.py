@@ -181,6 +181,93 @@ def pgm_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.mapInPandas(run, schema=PGM_FEATURE_SCHEMA)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-numpy RIFF/WAVE decoder — the REAL audio codec, zero deps.
+
+    Walks the RIFF chunk list (tolerating extra chunks like ``LIST`` or
+    ``fact`` and the spec's odd-size pad byte), parses ``fmt `` (PCM
+    only, 8- or 16-bit), and returns ``(samples, sample_rate, bits)``
+    with samples shaped (n_frames, n_channels): dtype uint8 for 8-bit
+    (unsigned per spec) and int16 little-endian for 16-bit.
+
+    Counterpart of :func:`decode_pgm` for the audio modality; unit tests
+    cross-check it against the stdlib ``wave`` module on the same bytes.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_format = int.from_bytes(body[0:2], "little")
+            if audio_format != 1:
+                raise ValueError(f"only PCM supported (format {audio_format})")
+            fmt = (
+                int.from_bytes(body[2:4], "little"),  # n_channels
+                int.from_bytes(body[4:8], "little"),  # sample_rate
+                int.from_bytes(body[14:16], "little"),  # bits per sample
+            )
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned: odd sizes pad
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    n_channels, sample_rate, bits = fmt
+    if n_channels < 1:
+        raise ValueError("invalid channel count")
+    if bits == 8:
+        arr = np.frombuffer(data, dtype=np.uint8)
+    elif bits == 16:
+        arr = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported (got {bits})")
+    n_frames = len(arr) // n_channels
+    return arr[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate, bits
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, bits int, "
+    "n_samples long, duration_ms double, mean_amp double, sample_md5 string"
+)
+
+
+def wav_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode each WAV payload (REAL parse — rate/width/frames come from
+    the RIFF header, not metadata) and emit a typed audio feature record:
+    format fields, frame count, duration, mean amplitude, md5 of the raw
+    sample bytes. mapInPandas, narrow; payload read only here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "bits",
+                "n_samples", "duration_ms", "mean_amp", "sample_md5",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                arr, rate, bits = decode_wav(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(arr.shape[1])
+                rows["bits"].append(bits)
+                rows["n_samples"].append(arr.shape[0])
+                rows["duration_ms"].append(arr.shape[0] * 1000.0 / rate)
+                rows["mean_amp"].append(float(arr.mean()) if arr.size else None)
+                rows["sample_md5"].append(
+                    hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
 def fake_image_decode(payload: bytes, kind: str) -> bytes:
     """Deterministic stand-in decoder: a 'pixel block' derived from the
     payload by iterated hashing — stable across runs/machines.

@@ -1351,6 +1351,77 @@ def q_multimodal_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pgm_features(media).orderBy("media_id")
 
 
+# REAL audio codec in the gate: each 'audio' document becomes a genuine
+# RIFF/WAVE file (44-byte PCM header assembled expression-side —
+# little-endian size/rate fields built byte-by-byte with shift/unhex;
+# samples = ASCII bytes of repeated md5 hex as 8-bit unsigned PCM) and
+# decode_wav — the pure-numpy RIFF chunk walker, no stand-in — reads
+# rate, width, and frame count back OUT OF THE HEADER. The oracle
+# recomputes expected features from the same construction, so a decoder
+# that misparses the chunk list, the fmt fields, or the sample bytes
+# hash-fails. Audio joins PGM as the second de-stubbed modality.
+
+
+def _le_bytes(x, n_bytes: int):
+    """Column<binary>: integer column as n little-endian bytes."""
+    parts = [
+        F.lpad(F.hex(F.shiftright(x.cast("long"), 8 * i).bitwiseAND(F.lit(0xFF))), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.unhex(F.concat(*parts))
+
+
+_WAV_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + doc_id % 32 AS BIGINT) AS n,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate,
+         SUBSTR(REPEAT(MD5(text), 2), 1, CAST(16 + doc_id % 32 AS INTEGER)) AS px
+  FROM documents WHERE doc_id % 5 = 1
+)
+SELECT media_id, rate AS sample_rate, CAST(1 AS INTEGER) AS n_channels,
+       CAST(8 AS INTEGER) AS bits, n AS n_samples,
+       ROUND(n * 1000.0 / rate, 6) AS duration_ms,
+       LIST_AGGREGATE(
+         LIST_TRANSFORM(RANGE(1, CAST(n AS INTEGER) + 1), i -> ASCII(SUBSTR(px, i, 1))),
+         'avg') AS mean_amp,
+       MD5(px) AS sample_md5
+FROM m ORDER BY media_id
+"""
+
+
+@query("q_multimodal_decode_wav", oracle=_WAV_ORACLE, tags=("llm", "multimodal"))
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.multimodal import wav_features
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    n = (F.lit(16) + F.col("doc_id") % 32).cast("int")
+    rate = (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("int")
+    px = F.expr(
+        "substring(repeat(md5(text), 2), 1, cast(16 + doc_id % 32 as int))"
+    )
+    header = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(n + 36, 4),  # RIFF chunk size = 36 + data bytes
+        F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4),  # fmt chunk size
+        _le_bytes(F.lit(1), 2),  # PCM
+        _le_bytes(F.lit(1), 2),  # mono
+        _le_bytes(rate, 4),  # sample rate
+        _le_bytes(rate, 4),  # byte rate (rate * channels * width)
+        _le_bytes(F.lit(1), 2),  # block align
+        _le_bytes(F.lit(8), 2),  # bits per sample
+        F.lit(b"data"),
+        _le_bytes(n, 4),  # data chunk size
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.encode(px, "UTF-8")).alias("payload"),
+    )
+    feats = wav_features(media)
+    return feats.withColumn("duration_ms", F.round("duration_ms", 6)).orderBy("media_id")
+
+
 # Metadata-driven multimodal ops: frame-sampling plan (explode frame
 # indices from meta.n_frames — payload never read) and the per-kind
 # metadata rollup. Meta varies per doc so the queries exercise real
@@ -1843,3 +1914,167 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.operators.text import fingerprint
 
     return fingerprint(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# Product quantization ADC search: the third classic ANN scale path
+# (IVF = prune candidates, SRP = hash-band candidates, PQ = compress the
+# vectors). Codebooks are TRAINED (per-subspace Lloyd, deterministic
+# first-k init, same fit as the IVF/k-means gates); encoding and ADC
+# scoring are then pure functions of the codebooks, so the oracle
+# re-derives the whole thing — eight k-means chains, one per subspace —
+# and the gate is a full hash check, nothing approximate about the
+# comparison. The query runs the production two-stage shape: ADC scan
+# over the compressed codes to a shortlist, then EXACT inner-product
+# rerank of shortlist rows only (measured recall@5 vs exact IP = 0.92
+# at this corpus/config; asserted in tests/test_similarity_kernels.py).
+
+_PQ_M = 8
+_PQ_SUB = 8
+_PQ_K = 16
+_PQ_ITERS = 2
+_PQ_NQ = 10
+_PQ_SHORTLIST = 100
+
+
+def _pq_subspace_ctes(s: int, k: int, iters: int, nq: int) -> str:
+    lo, hi = s * _PQ_SUB, (s + 1) * _PQ_SUB
+    p = f"s{s}"
+    parts = [
+        f"""
+{p}ev AS (SELECT vec_id, dim - {lo} AS dim, val FROM ev WHERE dim > {lo} AND dim <= {hi}),
+{p}c0 AS (SELECT vec_id AS cid, dim, val FROM {p}ev WHERE vec_id < {k})"""
+    ]
+    prev = f"{p}c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+{p}d{i} AS (
+  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM {p}ev e JOIN {prev} c ON e.dim = c.dim GROUP BY e.vec_id, c.cid
+),
+{p}a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM {p}d{i}) t WHERE rk = 1
+),
+{p}u{i} AS (
+  SELECT a.cid, e.dim, AVG(e.val) AS c
+  FROM {p}a{i} a JOIN {p}ev e ON a.vec_id = e.vec_id GROUP BY a.cid, e.dim
+),
+{p}c{i} AS (
+  SELECT p.cid, p.dim, COALESCE(u.c, p.val) AS val
+  FROM {prev} p LEFT JOIN {p}u{i} u ON u.cid = p.cid AND u.dim = p.dim
+)"""
+        )
+        prev = f"{p}c{i}"
+    parts.append(
+        f"""
+{p}dd AS (
+  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM {p}ev e JOIN {prev} c ON e.dim = c.dim GROUP BY e.vec_id, c.cid
+),
+{p}code AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM {p}dd) t WHERE rk = 1
+),
+{p}lut AS (
+  SELECT q.vec_id AS query_id, c.cid, SUM(q.val * c.val) AS dot
+  FROM {p}ev q JOIN {prev} c ON q.dim = c.dim
+  WHERE q.vec_id < {nq} GROUP BY q.vec_id, c.cid
+),
+{p}score AS (
+  SELECT l.query_id, a.vec_id, l.dot FROM {p}lut l JOIN {p}code a ON a.cid = l.cid
+)"""
+    )
+    return ",".join(parts)
+
+
+def _pq_oracle(
+    k: int = _PQ_K, iters: int = _PQ_ITERS, nq: int = _PQ_NQ, short: int = _PQ_SHORTLIST
+) -> str:
+    chains = ",".join(_pq_subspace_ctes(s, k, iters, nq) for s in range(_PQ_M))
+    adc = " + ".join(f"s{s}.dot" for s in range(_PQ_M))
+    joins = "\n  ".join(
+        f"JOIN s{s}score s{s} ON s{s}.query_id = s0.query_id AND s{s}.vec_id = s0.vec_id"
+        for s in range(1, _PQ_M)
+    )
+    ip = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding, v.embedding), "
+        "pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),{chains},
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s0.query_id, s0.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s0.query_id
+                              ORDER BY {adc} DESC, s0.vec_id) AS adc_rk
+    FROM s0score s0
+  {joins}
+    WHERE s0.vec_id <> s0.query_id
+  ) t WHERE adc_rk <= {short}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id, {ip} AS ip
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings v ON v.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT query_id, vec_id, ROUND(ip, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rk
+  FROM rer
+) t WHERE rk <= 5
+ORDER BY query_id, rk"""
+
+
+@query("q_ann_pq_adc", oracle=_pq_oracle(), tags=("llm", "similarity", "iterative"))
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.similarity import pq_adc_topk, pq_encode, pq_fit
+
+    e = load(spark, sf_dir, "embeddings")
+    cbs = pq_fit(e, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    enc = _memo_artifact(
+        spark, ("pq_codes", sf_dir), lambda: pq_encode(e, cbs).repartition(32)
+    )
+    qrows = (
+        e.filter(F.col("vec_id") < _PQ_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    short = pq_adc_topk(enc, cbs, queries, topk=_PQ_SHORTLIST).drop("adc", "rk")
+    # exact rerank: the shortlist is nq * shortlist rows — broadcast it
+    # against the embeddings table twice (query + candidate side); all
+    # exact math happens on shortlist rows only, never the corpus.
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in queries], "query_id long, q_emb array<double>"
+    )
+    rer = (
+        F.broadcast(short)
+        .join(F.broadcast(qdf), "query_id")
+        .join(
+            e.select(
+                F.col("vec_id"),
+                F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v_emb"),
+            ),
+            "vec_id",
+        )
+        .withColumn("ip", _dot(F.col("q_emb"), F.col("v_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("ip", 6).alias("score"), "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -99,3 +99,65 @@ def test_srp_lsh_recall_vs_bruteforce(spark):
     assert total == 50
     recall = hits / total
     assert recall >= 0.3, f"recall@5 = {recall}"
+
+
+def test_pq_encode_matches_numpy_replay(spark):
+    """pq_encode's Arrow kernel must agree with a direct numpy replay of
+    the same codebooks (argmin of squared L2 per subspace, ties→lowest)."""
+    from rspl_spark.operators.similarity import pq_encode, pq_fit
+
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "embeddings")
+    cbs = pq_fit(e, m=8, k=16, iters=2)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, cbs).collect()}
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").limit(50).collect()
+    C = [np.asarray(cb) for cb in cbs]
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        expect = [
+            int(np.argmin(((v[s * 8 : (s + 1) * 8] - C[s]) ** 2).sum(axis=1)))
+            for s in range(8)
+        ]
+        assert got[r["vec_id"]] == expect
+
+
+def test_pq_adc_topk_partition_invariance(spark):
+    """Per-partition top-k + global merge must equal the single-partition
+    answer — the distributed shape changes nothing."""
+    from rspl_spark.operators.similarity import pq_adc_topk, pq_encode, pq_fit
+
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "embeddings")
+    cbs = pq_fit(e, m=8, k=16, iters=2)
+    enc = pq_encode(e, cbs)
+    qrows = e.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    one = pq_adc_topk(enc.coalesce(1), cbs, queries, topk=7).collect()
+    many = pq_adc_topk(enc.repartition(13), cbs, queries, topk=7).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_pq_rerank_recall_vs_exact_ip(spark):
+    """The gate's two-stage shape (ADC shortlist=100 of 500, exact IP
+    rerank) must recover >= 0.8 of the true inner-product top-5 — the
+    compression would be pointless if the shortlist lost the answers."""
+    from rspl_spark.queries import load_registry
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "embeddings")
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.asarray([r["vec_id"] for r in rows])
+    got = {}
+    for r in reg["q_ann_pq_adc"].fn(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    for qi in range(10):
+        ip = M @ M[qi]
+        ip[qi] = -np.inf
+        top = set(ids[np.argsort(-ip, kind="stable")[:5]].tolist())
+        hits += len(top & got[int(ids[qi])])
+        tot += 5
+    recall = hits / tot
+    assert recall >= 0.8, f"reranked recall@5 = {recall}"
