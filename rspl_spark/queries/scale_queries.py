@@ -231,3 +231,70 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key: Morton interleave of two bucketized dimensions
+# (customer, order day). The gate checks the KEY COMPUTATION — bucket
+# ids and interleaved bits reproduced exactly in SQL; the layout
+# benefit itself (row-group skipping on either dimension) is asserted
+# from scan metrics in tests/test_scale_patterns.py.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from rspl_spark.operators.layout import zorder_key_sql
+
+    zexpr = zorder_key_sql(["ck_bucket", "dt_bucket"], bits=8)
+    return f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey,
+         DATEDIFF('day', DATE '1970-01-01', o_orderdate) AS dt
+  FROM orders
+),
+s AS (
+  SELECT MIN(o_custkey) AS ck_mn, MAX(o_custkey) AS ck_mx,
+         MIN(dt) AS dt_mn, MAX(dt) AS dt_mx
+  FROM d
+),
+b AS (
+  SELECT o_orderkey,
+         CAST(FLOOR((o_custkey - ck_mn) * 256 / (ck_mx - ck_mn + 1)) AS BIGINT)
+           AS ck_bucket,
+         CAST(FLOOR((dt - dt_mn) * 256 / (dt_mx - dt_mn + 1)) AS BIGINT)
+           AS dt_bucket
+  FROM d, s
+)
+SELECT o_orderkey, ck_bucket, dt_bucket, {zexpr} AS zkey
+FROM b ORDER BY o_orderkey
+"""
+
+
+@query("q_zorder_key", oracle=_zorder_oracle(), tags=("scale", "layout"))
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.layout import bucketize, zorder_key
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("dt"),
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("ck_mn"),
+        F.max("o_custkey").alias("ck_mx"),
+        F.min("dt").alias("dt_mn"),
+        F.max("dt").alias("dt_mx"),
+    ).first()
+    b = o.select(
+        "o_orderkey",
+        bucketize(F.col("o_custkey"), stats["ck_mn"], stats["ck_mx"], 256).alias(
+            "ck_bucket"
+        ),
+        bucketize(F.col("dt"), stats["dt_mn"], stats["dt_mx"], 256).alias("dt_bucket"),
+    )
+    return b.select(
+        "o_orderkey",
+        "ck_bucket",
+        "dt_bucket",
+        zorder_key([F.col("ck_bucket"), F.col("dt_bucket")], bits=8).alias("zkey"),
+    ).orderBy("o_orderkey")
