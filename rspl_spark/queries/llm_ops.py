@@ -2078,3 +2078,65 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", F.round("ip", 6).alias("score"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# Count-min heavy hitters: bounded-memory frequency estimation. The
+# exact token top-k (q_top_bigrams) shuffles the whole vocabulary; the
+# sketch bounds distributed state at d*w integer cells (mergeable by
+# cell-wise addition — Spark's partial agg IS the merge), the classic
+# answer when the key space is billions of long-tail tokens. Integer
+# counts + portable md5 hashing make the gate an exact replay: DuckDB
+# rebuilds the same cells and the same minima, no tolerance needed.
+
+_CMS_W = 64
+_CMS_D = 3
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM tok WHERE token <> '' GROUP BY token
+),
+hrows AS (SELECT UNNEST(RANGE(0, {_CMS_D})) AS i),
+cells AS (
+  SELECT h.i,
+         CAST('0x' || SUBSTR(MD5(CAST(h.i AS VARCHAR) || ':' || t.token), 1, 15)
+              AS BIGINT) % {_CMS_W} AS bucket,
+         CAST(SUM(t.true_cnt) AS BIGINT) AS c
+  FROM tf t CROSS JOIN hrows h
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT t.token, MIN(t.true_cnt) AS true_cnt, CAST(MIN(c.c) AS BIGINT) AS est
+  FROM tf t
+  CROSS JOIN hrows h
+  JOIN cells c
+    ON c.i = h.i
+   AND c.bucket = CAST('0x' || SUBSTR(MD5(CAST(h.i AS VARCHAR) || ':' || t.token),
+                                      1, 15) AS BIGINT) % {_CMS_W}
+  GROUP BY t.token
+)
+SELECT token, est, true_cnt FROM est
+ORDER BY est DESC, token LIMIT 10
+"""
+
+
+@query("q_heavy_hitters_cms", oracle=_CMS_ORACLE, tags=("llm", "text", "sketch"))
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.sketches import cms_estimate, cms_sketch
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    sketch = cms_sketch(tok, "token", w=_CMS_W, d=_CMS_D)
+    truth = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    est = cms_estimate(sketch, truth.select("token"), "token", w=_CMS_W, d=_CMS_D)
+    return (
+        est.join(truth, "token")
+        .select("token", "est", "true_cnt")
+        .orderBy(F.desc("est"), F.asc("token"))
+        .limit(10)
+    )

@@ -52,3 +52,66 @@ def test_hll_union_across_frames(spark):
     )
     # both frames cover the same 5000 distinct values
     assert abs(est - 5_000) / 5_000 < 0.05
+
+
+# Count-min sketch: one-sided error, mergeability, exactness at width.
+
+
+def test_cms_never_undershoots_and_exact_when_wide(spark):
+    from rspl_spark.operators.sketches import cms_estimate, cms_sketch
+
+    rows = [(w,) for w in "a b a c a b d e f a b c".split()]
+    df = spark.createDataFrame(rows, "token string")
+    truth = {r["token"]: r["n"] for r in df.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    keys = df.distinct()
+    # narrow sketch: estimates are upper bounds
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(cms_sketch(df, "token", w=4, d=2), keys,
+                              "token", w=4, d=2).collect()
+    }
+    assert all(est[t] >= truth[t] for t in truth)
+    # wide sketch (w >> vocab): collisions vanish, estimates are exact
+    est_wide = {
+        r["token"]: r["est"]
+        for r in cms_estimate(cms_sketch(df, "token", w=1024, d=3), keys,
+                              "token", w=1024, d=3).collect()
+    }
+    assert est_wide == truth
+    # unseen key estimates 0 on the wide sketch
+    ghost = spark.createDataFrame([("zzz",)], "token string")
+    got = cms_estimate(cms_sketch(df, "token", w=1024, d=3), ghost,
+                       "token", w=1024, d=3).collect()
+    assert got[0]["est"] == 0
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    from rspl_spark.operators.sketches import cms_merge, cms_sketch
+
+    a = spark.createDataFrame([(w,) for w in "x y x z".split()], "token string")
+    b = spark.createDataFrame([(w,) for w in "y z z w".split()], "token string")
+    merged = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cms_merge(
+            cms_sketch(a, "token", w=8, d=2), cms_sketch(b, "token", w=8, d=2)
+        ).collect()
+    }
+    whole = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cms_sketch(a.unionByName(b), "token", w=8, d=2).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_weighted(spark):
+    from rspl_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([("a", 5), ("b", 2), ("a", 1)], "token string, w long")
+    sk = cms_sketch(df, "token", w=512, d=3, weight_col="w")
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(sk, df.select("token").distinct(), "token",
+                              w=512, d=3).collect()
+    }
+    assert est == {"a": 6, "b": 2}
