@@ -123,3 +123,51 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_cms(
+    stream_df: DataFrame, key_col: str, w: int = 64, d: int = 3,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Streaming count-min sketch: live heavy-hitter frequencies over an
+    unbounded key stream with PROVABLY bounded state.
+
+    This is the rare case where a global (windowless) streaming
+    aggregation is the right scale design: the group key is (i, bucket),
+    so the state store holds at most d*w integer cells FOREVER — the
+    sketch IS the state, and an unbounded token stream never grows it
+    (contrast streaming_lsh_dedup, which needs TTL eviction because its
+    per-bucket signature state tracks the corpus). Run with
+    outputMode("complete") — the full sketch re-emits per batch and is
+    cell-for-cell equal to the batch :func:`~rspl_spark.operators.
+    sketches.cms_sketch` of everything ingested so far (mergeability:
+    micro-batch partials add exactly like partition partials); probe it
+    with ``cms_estimate`` at any time.
+    """
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.sketches import _bucket
+
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
+    buckets = F.array(*[_bucket(F.col(key_col), i, w) for i in range(d)])
+    return (
+        stream_df.select(F.posexplode(buckets).alias("i", "bucket"), wcol.alias("_w"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("_w").cast("long").alias("c"))
+    )
+
+
+def run_complete_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
+    """Drive an aggregating stream to completion into a memory table in
+    COMPLETE mode (the whole aggregate re-emitted each batch)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"memory sink {name!r} did not finish within {timeout_s}s")
+    return q

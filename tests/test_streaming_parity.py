@@ -221,3 +221,54 @@ def test_streaming_funnel_cross_batch_and_strict_order(spark):
     # u1's click timestamp is the batch-2 event, 3 minutes in
     signup_ns, click_ns = final["1"][1]
     assert click_ns - signup_ns == 2 * 60 * 1_000_000_000
+
+
+def test_streaming_cms_matches_batch_sketch_with_bounded_state(spark):
+    """The streaming count-min sketch over chunked document tokens ends
+    cell-for-cell equal to the batch sketch of the full corpus, and the
+    streaming aggregation's state store never exceeds d*w rows — the
+    bounded-state claim, read from the query's own progress metrics."""
+    import tempfile
+
+    from rspl_spark.operators.sketches import cms_sketch
+    from rspl_spark.streaming.analytics import (
+        run_complete_to_memory,
+        streaming_cms,
+    )
+
+    d = load(spark, SF, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    batch_cells = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cms_sketch(tok, "token", w=32, d=3).collect()
+    }
+    docs = d.select("doc_id", "text").orderBy("doc_id")
+    n = docs.count()
+    chunks = [
+        spark.createDataFrame(
+            docs.collect()[i * n // 3 : (i + 1) * n // 3], "doc_id long, text string"
+        )
+        for i in range(3)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "doc_id long, text string")
+        stok = stream.select(F.explode(F.split("text", " ")).alias("token")).filter(
+            F.col("token") != ""
+        )
+        q = run_complete_to_memory(
+            streaming_cms(stok, "token", w=32, d=3), "t_cms_stream", timeout_s=180
+        )
+        got = {
+            (r["i"], r["bucket"]): r["c"]
+            for r in spark.table("t_cms_stream").collect()
+        }
+        state_rows = max(
+            (op["numRowsTotal"] for op in (q.lastProgress or {}).get(
+                "stateOperators", []) if "numRowsTotal" in op),
+            default=0,
+        )
+    assert got == batch_cells
+    assert 0 < state_rows <= 3 * 32
