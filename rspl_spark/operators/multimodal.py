@@ -268,6 +268,78 @@ def wav_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy BMP decoder — REAL codec #3, zero deps.
+
+    Parses BITMAPFILEHEADER + BITMAPINFOHEADER, supports uncompressed
+    (BI_RGB) 24-bit images, 4-byte row padding, bottom-up (positive
+    height, the common case) and top-down (negative height) rasters.
+    Returns pixels shaped (height, width, 3) in RGB order, top-down,
+    dtype uint8 — i.e. the file's BGR byte order and row direction are
+    normalized away, which is what the unit tests pin pixel-by-pixel.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) supported, got {compression}")
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    need = stride * h
+    raster = payload[data_offset : data_offset + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, : width * 3]
+    img = rows.reshape(h, width, 3)
+    if not top_down:
+        img = img[::-1]  # bottom-up file order → top-down
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR → RGB
+
+
+BMP_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, pixel_md5 string"
+)
+
+
+def bmp_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode each BMP payload (REAL parse — dims from the DIB header,
+    BGR/bottom-up normalization applied) and emit per-channel means plus
+    md5 of the normalized RGB block. mapInPandas, narrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "pixel_md5",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                out["media_id"].append(mid)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["n_pixels"].append(img.shape[0] * img.shape[1])
+                out["mean_r"].append(float(img[:, :, 0].mean()))
+                out["mean_g"].append(float(img[:, :, 1].mean()))
+                out["mean_b"].append(float(img[:, :, 2].mean()))
+                out["pixel_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=BMP_FEATURE_SCHEMA)
+
+
 def fake_image_decode(payload: bytes, kind: str) -> bytes:
     """Deterministic stand-in decoder: a 'pixel block' derived from the
     payload by iterated hashing — stable across runs/machines.

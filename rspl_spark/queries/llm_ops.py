@@ -1422,6 +1422,86 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("duration_ms", F.round("duration_ms", 6)).orderBy("media_id")
 
 
+# REAL codec #3 in the gate: genuine 24-bit BMP files built
+# expression-side (BITMAPFILEHEADER + BITMAPINFOHEADER via the same
+# little-endian byte builder; widths chosen multiple of 4 so rows need
+# no pad bytes, raster = ASCII bytes of repeated md5 hex, stored
+# bottom-up/BGR per spec) and decode_bmp normalizes to top-down RGB.
+# The oracle replays the normalization INDEX-FOR-INDEX — the pixel_md5
+# is the md5 of the flipped, channel-swapped block, so a decoder that
+# forgets the vertical flip or the BGR swap hash-fails, not just one
+# that misreads the header.
+
+_BMP_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 * (1 + doc_id % 3) AS BIGINT) AS w,
+         CAST(2 + doc_id % 3 AS BIGINT) AS h,
+         SUBSTR(REPEAT(MD5(text), 5), 1,
+                CAST(3 * 4 * (1 + doc_id % 3) * (2 + doc_id % 3) AS INTEGER)) AS px
+  FROM documents WHERE doc_id % 5 = 2
+),
+rgb AS (
+  SELECT media_id, w, h, px,
+         ARRAY_TO_STRING(
+           LIST_TRANSFORM(
+             RANGE(0, 3 * w * h),
+             o -> SUBSTR(px,
+                         CAST(((h - 1 - o // (3 * w)) * w + (o % (3 * w)) // 3) * 3
+                              + (2 - o % 3) + 1 AS INTEGER),
+                         1)),
+           '') AS norm
+  FROM m
+)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, CAST(3 * w * h AS INTEGER) + 1, 3),
+                                     i -> ASCII(SUBSTR(px, i + 2, 1))), 'avg') AS mean_r,
+       LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, CAST(3 * w * h AS INTEGER) + 1, 3),
+                                     i -> ASCII(SUBSTR(px, i + 1, 1))), 'avg') AS mean_g,
+       LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, CAST(3 * w * h AS INTEGER) + 1, 3),
+                                     i -> ASCII(SUBSTR(px, i, 1))), 'avg') AS mean_b,
+       MD5(norm) AS pixel_md5
+FROM rgb ORDER BY media_id
+"""
+
+
+@query("q_multimodal_decode_bmp", oracle=_BMP_ORACLE, tags=("llm", "multimodal"))
+def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.multimodal import bmp_features
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    w = (F.lit(4) * (F.lit(1) + F.col("doc_id") % 3)).cast("long")
+    h = (F.lit(2) + F.col("doc_id") % 3).cast("long")
+    nbytes = (F.lit(3) * w * h).cast("long")
+    px = F.expr(
+        "substring(repeat(md5(text), 5), 1, "
+        "cast(3 * 4 * (1 + doc_id % 3) * (2 + doc_id % 3) as int))"
+    )
+    header = F.concat(
+        F.lit(b"BM"),
+        _le_bytes(nbytes + 54, 4),  # file size
+        _le_bytes(F.lit(0), 4),  # reserved
+        _le_bytes(F.lit(54), 4),  # pixel data offset
+        _le_bytes(F.lit(40), 4),  # BITMAPINFOHEADER size
+        _le_bytes(w, 4),  # width
+        _le_bytes(h, 4),  # height (positive → bottom-up)
+        _le_bytes(F.lit(1), 2),  # planes
+        _le_bytes(F.lit(24), 2),  # bits per pixel
+        _le_bytes(F.lit(0), 4),  # BI_RGB
+        _le_bytes(nbytes, 4),  # image size
+        _le_bytes(F.lit(0), 4),  # x ppm
+        _le_bytes(F.lit(0), 4),  # y ppm
+        _le_bytes(F.lit(0), 4),  # palette colors
+        _le_bytes(F.lit(0), 4),  # important colors
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.encode(px, "UTF-8")).alias("payload"),
+    )
+    return bmp_features(media).orderBy("media_id")
+
+
 # Metadata-driven multimodal ops: frame-sampling plan (explode frame
 # indices from meta.n_frames — payload never read) and the per-kind
 # metadata rollup. Meta varies per doc so the queries exercise real

@@ -331,3 +331,100 @@ def test_wav_features_end_to_end(spark):
     assert (got["n_samples"], got["mean_amp"]) == (4, 25.0)
     assert got["duration_ms"] == 0.5
     assert got["sample_md5"] == hashlib.md5(frames).hexdigest()
+
+
+# Real codec #3: pure-numpy 24-bit BMP decode (decode_bmp / bmp_features).
+# Pixel placement pinned by hand-built images: BGR byte order, bottom-up
+# row order, and 4-byte row padding must all be normalized away.
+
+
+def _bmp_bytes(width: int, height: int, rows_bgr: bytes, top_down: bool = False) -> bytes:
+    """Build a 24-bit BI_RGB BMP. ``rows_bgr`` is the raster exactly as
+    stored (file row order, BGR, WITH pad bytes)."""
+    h_field = -height if top_down else height
+    header = (
+        b"BM"
+        + (54 + len(rows_bgr)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + h_field.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(rows_bgr).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + rows_bgr
+
+
+def test_decode_bmp_flips_rows_and_swaps_channels():
+    import numpy as np
+
+    from rspl_spark.operators.multimodal import decode_bmp
+
+    # 2x2, no padding (2*3=6 bytes/row, padded to 8 → has padding!)
+    # stride for w=2 is 8: 6 pixel bytes + 2 pad bytes per row
+    bottom_row = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"  # blue px, green px
+    top_row = bytes([0, 0, 255, 10, 20, 30]) + b"\x00\x00"  # red px, misc px
+    # bottom-up storage: file lists the BOTTOM row first
+    img = decode_bmp(_bmp_bytes(2, 2, bottom_row + top_row))
+    assert img.shape == (2, 2, 3)
+    # top-left of the IMAGE is the first pixel of the LAST stored row:
+    # stored BGR (0,0,255) = red pixel at image top-left
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [30, 20, 10]  # BGR 10,20,30 → RGB 30,20,10
+    assert img[1, 0].tolist() == [0, 0, 255]  # blue at bottom-left
+    assert img[1, 1].tolist() == [0, 255, 0]  # green at bottom-right
+    # top-down variant: rows arrive in image order already
+    img_td = decode_bmp(_bmp_bytes(2, 2, top_row + bottom_row, top_down=True))
+    assert (img_td == img).all()
+
+
+def test_decode_bmp_row_padding():
+    from rspl_spark.operators.multimodal import decode_bmp
+
+    # w=3 → 9 pixel bytes, stride 12 → 3 pad bytes that must be dropped
+    row = bytes(range(9)) + b"\xEE\xEE\xEE"
+    img = decode_bmp(_bmp_bytes(3, 1, row))
+    assert img.shape == (1, 3, 3)
+    assert 0xEE not in img
+    assert img[0, 0].tolist() == [2, 1, 0]
+
+
+def test_decode_bmp_rejects_bad_input():
+    import pytest
+
+    from rspl_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG....")
+    good = _bmp_bytes(1, 1, bytes([1, 2, 3]) + b"\x00")
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8  # 8-bit palette image
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+    bad_comp = bytearray(good)
+    bad_comp[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_comp))
+    with pytest.raises(ValueError):
+        decode_bmp(good[:-2])  # truncated raster
+
+
+def test_bmp_features_end_to_end(spark):
+    import hashlib
+
+    import numpy as np
+
+    from rspl_spark.operators.multimodal import bmp_features, decode_bmp
+
+    raster = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00" + bytes([0, 0, 255, 10, 20, 30]) + b"\x00\x00"
+    payload = _bmp_bytes(2, 2, raster)
+    media = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    got = bmp_features(media).collect()[0]
+    img = decode_bmp(payload)
+    assert (got["width"], got["height"], got["n_pixels"]) == (2, 2, 4)
+    assert got["mean_r"] == float(img[:, :, 0].mean())
+    assert got["pixel_md5"] == hashlib.md5(img.tobytes()).hexdigest()
