@@ -39,10 +39,18 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 << 20,
     min_files: int = 2,
+    zorder_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite a flat parquet directory into ``ceil(bytes / target)``
     files. No-op (returns the stats unchanged) when the directory
     already has fewer than ``min_files`` data files.
+
+    ``zorder_cols`` re-CLUSTERS while compacting: the rewrite orders
+    rows by the Morton key of the named columns
+    (:func:`rspl_spark.operators.layout.zorder_layout`), so the one
+    shuffle every compaction already pays also restores multi-dimension
+    row-group skipping that per-increment appends destroy. This is the
+    standard "OPTIMIZE ... ZORDER BY" maintenance shape.
 
     Streaming-sink caveat: a directory with a ``_spark_metadata`` file-
     sink log is refused — compaction would orphan the exactly-once log;
@@ -67,7 +75,14 @@ def compact_parquet(
     # repartition (round-robin), NOT coalesce: coalesce glues existing
     # splits together unevenly and can collapse upstream parallelism;
     # the rebalance costs one shuffle and yields uniform output files.
-    spark.read.parquet(path).repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    df = spark.read.parquet(path)
+    if zorder_cols:
+        from rspl_spark.operators.layout import zorder_layout
+
+        df = zorder_layout(df, zorder_cols, int(n_out))
+    else:
+        df = df.repartition(int(n_out))
+    df.write.mode("overwrite").parquet(tmp)
     bak = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, bak)
     try:

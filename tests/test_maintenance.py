@@ -50,3 +50,45 @@ def test_compaction_refuses_streaming_sink_dir(spark, tmp_path):
     os.makedirs(os.path.join(p, "_spark_metadata"))
     with pytest.raises(ValueError, match="_spark_metadata"):
         compact_parquet(spark, p)
+
+
+def test_compaction_with_zorder_recluster(spark, tmp_path):
+    """Compacting with zorder_cols rewrites many appended fragments into
+    few files AND restores multi-dim skipping: after the rewrite, a
+    range predicate on either clustered column materializes a fraction
+    of the rows (row-group stats line up again)."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.catalog import load
+
+    p = str(tmp_path / "appended")
+    o = load(spark, "/root/testdata/sf0.01", "orders").withColumn(
+        "dt", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    )
+    # simulate 8 unclustered increment appends
+    for i in range(8):
+        o.filter(F.col("o_orderkey") % 8 == i).repartition(4).write.mode(
+            "append"
+        ).parquet(p)
+    before = spark.read.parquet(p)
+    total = before.count()
+    # small target so the toy table still yields >= ~8 files (at real
+    # scale the 128 MB default gives the same row-group granularity)
+    stats = compact_parquet(
+        spark, p, target_file_bytes=48 << 10, zorder_cols=["o_custkey", "dt"]
+    )
+    assert stats["files_before"] == 32
+    assert stats["files_after"] < 32
+    after = spark.read.parquet(p)
+    assert after.count() == total  # rewrite loses nothing
+    assert "_zkey" not in after.columns  # helper column not persisted
+    ck_mn, ck_mx = after.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    pred = F.col("o_custkey").between(ck_mn, ck_mn + (ck_mx - ck_mn) // 8)
+    df = after.filter(pred)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    scan = plan
+    while scan.children().size():
+        scan = scan.children().apply(0)
+    read_rows = scan.metrics().apply("numOutputRows").value()
+    assert read_rows < total / 2
