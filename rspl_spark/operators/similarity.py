@@ -500,3 +500,51 @@ def pq_adc_topk(
         .select("query_id", id_col, F.round("adc", 6).alias("adc"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+def semantic_dedup(
+    e: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space near-duplicate dedup, end to end: trained-cell
+    blocking (kmeans_fit/assign) → in-cell BLAS cosine pairs ≥ threshold
+    → O(log n) connected components → one representative per cluster
+    (the minimum id — the component label itself).
+
+    Returns one row PER INPUT vector: (id, cluster, keep) with keep = 1
+    exactly when the vector is its cluster's representative (singletons
+    keep themselves). This is the decision table a curation pipeline
+    joins against to drop semantic duplicates — the embedding-space
+    sibling of MinHash dedup, and every stage is the keyed/blocked
+    formulation that scales: no all-pairs scan, shuffles keyed on cell
+    then on node id."""
+    from rspl_spark.operators.dedup import connected_components_star
+
+    cents = kmeans_fit(e, vec_col, id_col, k, iters)
+    assign = kmeans_assign(e, cents, vec_col, id_col).select(id_col, "cid")
+    prepped = unit_prep(e, id_col, "emb", "nrm", vec_col, id_col).join(assign, id_col)
+    pairs = cell_cosine_pairs(prepped, min_raw=threshold - 1e-6, id_col=id_col)
+    edges = (
+        pairs.select(
+            F.col(f"{id_col}_a").alias("doc_a"),
+            F.col(f"{id_col}_b").alias("doc_b"),
+            F.round("raw_score", 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    cc = connected_components_star(edges)
+    return (
+        e.select(id_col)
+        .join(cc.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+        .withColumn(
+            "keep", (F.col("cluster") == F.col(id_col)).cast("long")
+        )
+    )

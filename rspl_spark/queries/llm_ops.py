@@ -2220,3 +2220,74 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), F.asc("token"))
         .limit(10)
     )
+
+
+# Semantic dedup: the embedding-space sibling of MinHash dedup as ONE
+# decision table. Trained-cell blocked cosine pairs >= 0.4 (the
+# q_embedding_cosine_pairs machinery) feed O(log n) connected
+# components; each vector keeps iff it is its cluster's minimum id.
+# The oracle replays training, blocking, thresholding, AND reachability
+# (recursive CTE) — the full pipeline is hash-checked, including the
+# "untouched vectors keep themselves" left-join semantics.
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = _IVF_TRAINED_ITERS) -> str:
+    cos = _SQL_COS.format(a="ea.embedding", b="eb.embedding")
+    chains = _kmeans_ctes(k, iters).replace("WITH ev AS", "WITH RECURSIVE ev AS", 1)
+    return (
+        chains
+        + f""",
+sd_dist AS (
+  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS d2
+  FROM ev e JOIN c{iters} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+),
+sd_assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM sd_dist
+  ) t WHERE rk = 1
+),
+sd_pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS score
+    FROM sd_assign a
+    JOIN sd_assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+  ) t WHERE score >= {_EMB_PAIR_THRESHOLD}
+),
+sd_und AS (
+  SELECT vec_a AS a, vec_b AS b FROM sd_pairs
+  UNION SELECT vec_b, vec_a FROM sd_pairs
+),
+sd_reach AS (
+  SELECT a AS src, a AS dst FROM sd_und
+  UNION SELECT a, b FROM sd_und
+  UNION SELECT r.src, u.b FROM sd_reach r JOIN sd_und u ON r.dst = u.a
+),
+sd_comp AS (
+  SELECT src AS vec_id, MIN(dst) AS cluster FROM sd_reach GROUP BY src
+)
+SELECT e.vec_id,
+       COALESCE(c.cluster, e.vec_id) AS cluster,
+       CAST(CASE WHEN COALESCE(c.cluster, e.vec_id) = e.vec_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM embeddings e LEFT JOIN sd_comp c ON c.vec_id = e.vec_id
+ORDER BY e.vec_id"""
+    )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("llm", "dedup", "similarity", "iterative"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, threshold=_EMB_PAIR_THRESHOLD, k=8, iters=_IVF_TRAINED_ITERS
+    ).orderBy("vec_id")

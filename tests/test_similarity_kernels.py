@@ -161,3 +161,24 @@ def test_pq_rerank_recall_vs_exact_ip(spark):
         tot += 5
     recall = hits / tot
     assert recall >= 0.8, f"reranked recall@5 = {recall}"
+
+
+def test_semantic_dedup_decision_table(spark):
+    """Every vector appears exactly once; representatives are cluster
+    minima; keep=1 iff representative; paired duplicates share clusters
+    consistent with q_embedding_cosine_pairs' edges."""
+    from rspl_spark.operators.similarity import semantic_dedup
+    from rspl_spark.queries import load_registry
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "embeddings")
+    out = semantic_dedup(e).collect()
+    assert len(out) == e.count()
+    by_id = {r["vec_id"]: r for r in out}
+    for r in out:
+        assert r["cluster"] <= r["vec_id"]
+        assert r["keep"] == (1 if r["cluster"] == r["vec_id"] else 0)
+    # edges from the pair gate must be intra-cluster
+    for p in reg["q_embedding_cosine_pairs"].fn(spark, sf).collect():
+        assert by_id[p["vec_a"]]["cluster"] == by_id[p["vec_b"]]["cluster"]
