@@ -348,3 +348,92 @@ def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _inject_spark(F.col("text"), F.col("doc_id")).alias("text")
     )
     return C.scrub_text(noisy).orderBy("doc_id")
+
+
+# Trained quality classifier (distributed logistic regression): the
+# model-based quality-filter pattern — train a tiny LR on labeled docs
+# (label: lang == 'en'; features: scaled length, space ratio, mean
+# token length), then score the whole corpus with a pure codegen
+# sigmoid expression. Training is the kmeans_fit partial-sum shape
+# (one narrow pass per iteration, model = 4 driver-side floats); the
+# oracle replays all three full-batch gradient steps as 1-row weight
+# CTEs, so the gate hash-checks the TRAINING, not just the scoring.
+
+_LR_ITERS = 3
+_LR_RATE = 1.0
+
+_LR_FEATS_SQL = """
+feats AS (
+  SELECT doc_id,
+         LENGTH(text) / 300.0 AS x0,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 1.0
+           / GREATEST(LENGTH(text), 1) AS x1,
+         LENGTH(text) * 1.0
+           / ((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1) / 10.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)"""
+
+
+def _lr_oracle(iters: int = _LR_ITERS, lr: float = _LR_RATE) -> str:
+    parts = [
+        "WITH" + _LR_FEATS_SQL + """,
+w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS bias)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT f.*, 1.0 / (1.0 + EXP(-(w.bias + f.x0 * w.a + f.x1 * w.b + f.x2 * w.c))) AS p
+  FROM feats f CROSS JOIN w{i - 1} w
+),
+g{i} AS (
+  SELECT SUM((y - p) * x0) / COUNT(*) AS ga,
+         SUM((y - p) * x1) / COUNT(*) AS gb,
+         SUM((y - p) * x2) / COUNT(*) AS gc,
+         SUM(y - p) / COUNT(*) AS gbias
+  FROM p{i}
+),
+w{i} AS (
+  SELECT w.a + {lr} * g.ga AS a, w.b + {lr} * g.gb AS b,
+         w.c + {lr} * g.gc AS c, w.bias + {lr} * g.gbias AS bias
+  FROM w{i - 1} w CROSS JOIN g{i} g
+)"""
+        )
+    parts.append(f"""
+SELECT doc_id, score,
+       CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM (
+  SELECT f.doc_id,
+         ROUND(1.0 / (1.0 + EXP(-(w.bias + f.x0 * w.a + f.x1 * w.b + f.x2 * w.c))), 6)
+           AS score
+  FROM feats f CROSS JOIN w{iters} w
+) t
+ORDER BY doc_id""")
+    return "".join(parts)
+
+
+def _lr_features(d: DataFrame) -> list:
+    n = F.length("text")
+    spaces = n - F.length(F.expr("replace(text, ' ', '')"))
+    return [
+        n / F.lit(300.0),
+        spaces * F.lit(1.0) / F.greatest(n, F.lit(1)),
+        n * F.lit(1.0) / (spaces + F.lit(1)) / F.lit(10.0),
+    ]
+
+
+@query("q_quality_classifier", oracle=_lr_oracle(), tags=("llm", "curation", "iterative"))
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.classifier import logreg_fit, logreg_score
+
+    d = load(spark, sf_dir, "documents")
+    feats = _lr_features(d)
+    w = logreg_fit(
+        d, feats, (F.col("lang") == "en"), iters=_LR_ITERS, lr=_LR_RATE
+    )
+    score = logreg_score(feats, w)
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).cast("long").alias("pred"),
+    ).orderBy("doc_id")
