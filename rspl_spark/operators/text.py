@@ -6,7 +6,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -221,4 +221,88 @@ def tfidf_top_terms(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(id_col, "term", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
+    )
+
+
+def _bigram_pairs(toks: Column) -> Column:
+    """array<struct<a,b>> of adjacent token pairs; empty below 2 tokens."""
+    sz = F.size(toks)
+    idx = F.when(sz >= 2, F.sequence(F.lit(1), sz - 1)).otherwise(
+        F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0)
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"), F.element_at(toks, i + 1).alias("b")
+        ),
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    train_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-style quality filter: score every document by the
+    average negative log-probability of its bigrams under an add-one-
+    smoothed bigram model TRAINED on the ``train_filter`` slice (the
+    CCNet pattern — rank corpus text by how well an in-domain language
+    model predicts it; docs the model finds surprising are the
+    out-of-domain / low-quality tail).
+
+    P(b|a) = (c2(a,b) + 1) / (c1(a) + V): c2/c1 are bigram/prefix counts
+    over the training slice, V its unigram vocabulary. All counts are
+    distributed aggregations; scoring joins each corpus bigram against
+    the count tables keyed on the bigram itself — the shuffles are keyed
+    on (a, b) and a, never on documents, and the model "parameters" are
+    two count tables that stay on the cluster (contrast logreg_fit's
+    driver-side weights: n-gram models are data-sized, so the DATA is
+    the model and it must never be collected).
+
+    Output: (id, n_bigrams, avg_nll) — one row per input document; docs
+    with fewer than 2 tokens get n_bigrams = 0 and null avg_nll.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        id_col, train_filter.alias("_train"), _bigram_pairs(toks).alias("_pairs"),
+        toks.alias("_toks"),
+    )
+    bg = base.select(
+        id_col, "_train", F.explode("_pairs").alias("p")
+    ).select(id_col, "_train", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    train = bg.filter(F.col("_train"))
+    c2 = train.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = train.groupBy("a").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (
+        base.filter(F.col("_train"))
+        .select(F.explode("_toks").alias("tk"))
+        .agg(F.countDistinct("tk").alias("vs"))
+    )
+    terms = (
+        bg.join(c2, ["a", "b"], "left")
+        .join(c1, ["a"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("n2"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vs"))
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("nll").alias("avg_nll"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("avg_nll"),
+        )
     )

@@ -2291,3 +2291,58 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, threshold=_EMB_PAIR_THRESHOLD, k=8, iters=_IVF_TRAINED_ITERS
     ).orderBy("vec_id")
+
+
+# Bigram-LM perplexity filter (CCNet pattern): train an add-one-smoothed
+# bigram model on the English slice, score EVERY document by average
+# bigram negative log-probability. The model is two count tables keyed
+# on the n-grams themselves — data-sized, never collected; scoring is
+# two bigram-keyed joins. Exact SQL replay: counts are integers, the
+# only floats are the final -ln terms (averaged, rounded).
+
+_LM_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t), 1)),
+                                             i -> {'a': t[i], 'b': t[i + 1]})) AS p
+  FROM tok
+),
+train AS (SELECT p.a AS a, p.b AS b FROM bg WHERE lang = 'en'),
+c2 AS (SELECT a, b, COUNT(*) AS n2 FROM train GROUP BY a, b),
+c1 AS (SELECT a, COUNT(*) AS n1 FROM train GROUP BY a),
+v AS (
+  SELECT COUNT(DISTINCT tk) AS vs
+  FROM (SELECT UNNEST(t) AS tk FROM tok WHERE lang = 'en')
+),
+terms AS (
+  SELECT g.doc_id,
+         -LN((COALESCE(c2.n2, 0) + 1.0) / (COALESCE(c1.n1, 0) + v.vs)) AS nll
+  FROM bg g
+  LEFT JOIN c2 ON c2.a = g.p.a AND c2.b = g.p.b
+  LEFT JOIN c1 ON c1.a = g.p.a
+  CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, AVG(nll) AS avg_nll
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       ROUND(p.avg_nll, 6) AS avg_nll
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("q_bigram_lm_perplexity", oracle=_LM_ORACLE, tags=("llm", "text", "curation"))
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.text import bigram_lm_score
+
+    d = load(spark, sf_dir, "documents")
+    out = bigram_lm_score(d, F.col("lang") == "en")
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_nll", 6).alias("avg_nll")
+    ).orderBy("doc_id")

@@ -44,3 +44,49 @@ def test_empty_text_stats_are_null_not_error(spark, degenerate):
     out = {r["doc_id"]: r for r in text_stats(degenerate).collect()}
     assert out[0]["nonspace_ratio"] is None  # undefined, not a crash
     assert out[5]["nonspace_ratio"] is not None
+
+
+def test_bigram_lm_separates_in_domain_text(spark):
+    """Documents in the training language must score LOWER average
+    bigram surprisal than out-of-domain documents on average — the
+    point of a perplexity filter. Plus structural edge cases: short
+    docs get n_bigrams=0/null score, every input row appears."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.catalog import load
+    from rspl_spark.operators.text import bigram_lm_score
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    out = bigram_lm_score(d, F.col("lang") == "en")
+    assert out.count() == d.count()
+    j = out.join(d.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("avg_nll").alias("m"))
+        .collect()
+    }
+    assert means[True] < means[False]
+
+
+def test_bigram_lm_short_doc_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.text import bigram_lm_score
+
+    rows = [(0, "hello world hello world", "en"),
+            (1, "hello", "en"),
+            (2, "", "en"),
+            (3, "unseen tokens entirely novel", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, F.col("lang") == "en").collect()}
+    assert out[0]["n_bigrams"] == 3
+    assert out[1]["n_bigrams"] == 0 and out[1]["avg_nll"] is None
+    assert out[2]["n_bigrams"] == 0 and out[2]["avg_nll"] is None
+    # all-unseen doc: every bigram gets the 1/(0+V) floor → -ln(1/V).
+    # Training vocab V=3: hello, world, and the '' token the empty doc
+    # contributes (split('') yields ['']) — same in the SQL oracle.
+    import math
+
+    assert out[3]["n_bigrams"] == 3
+    assert abs(out[3]["avg_nll"] - math.log(3.0)) < 1e-9
