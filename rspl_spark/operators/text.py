@@ -225,16 +225,19 @@ def tfidf_top_terms(
 
 
 def _bigram_pairs(toks: Column) -> Column:
-    """array<struct<a,b>> of adjacent token pairs; empty below 2 tokens."""
+    """array<struct<a,b>> of adjacent token pairs; empty below 2 tokens.
+
+    zip_with over two shifted slices, not transform+element_at: per-index
+    element_at generated ~2x slower code at sf0.1 (5.0s vs 2.3s for the
+    265k-pair explode); a posexplode+lead window is faster still locally
+    (1.1s) but pays a (doc, pos) shuffle — the slice form is narrow, so
+    it composes with the downstream count shuffles without adding one."""
     sz = F.size(toks)
-    idx = F.when(sz >= 2, F.sequence(F.lit(1), sz - 1)).otherwise(
-        F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0)
-    )
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("a"), F.element_at(toks, i + 1).alias("b")
-        ),
+    n = F.greatest(sz - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
     )
 
 

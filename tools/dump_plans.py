@@ -42,6 +42,14 @@ FLAGSHIPS = [
     "q_embedding_cosine_pairs",
     "q_incremental_agg",
     "q_binned_range_join",
+    "q_ann_pq_adc",
+    "q_semantic_dedup",
+    "q_multimodal_decode_wav",
+    "q_multimodal_decode_bmp",
+    "q_zorder_key",
+    "q_heavy_hitters_cms",
+    "q_quality_classifier",
+    "q_bigram_lm_perplexity",
 ]
 
 
