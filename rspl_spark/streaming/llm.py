@@ -358,3 +358,24 @@ def ivf_ingest_with_retrain(
             state["epoch"] += 1
 
     return vectors.writeStream.foreachBatch(handle)
+
+
+def streaming_pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental PQ encoding of arriving embeddings against FROZEN
+    sub-codebooks: the same Arrow kernel as batch
+    :func:`~rspl_spark.operators.similarity.pq_encode` applied to a
+    streaming DataFrame — stateless, narrow, no shuffle, so the
+    compressed code table grows with ingest at full parallelism while
+    the index stays 64x smaller than the raw vectors. Codebook refresh
+    is the same separate driver-side concern as IVF retraining
+    (:func:`ivf_ingest_with_retrain`); batch/stream parity is exact
+    because it is literally the same kernel.
+    """
+    from rspl_spark.operators.similarity import pq_encode
+
+    return pq_encode(vectors, codebooks, vec_col=vec_col, id_col=id_col)

@@ -115,3 +115,43 @@ def test_cms_weighted(spark):
                               w=512, d=3).collect()
     }
     assert est == {"a": 6, "b": 2}
+
+
+def test_cms_daily_maintenance_through_agg_store(spark):
+    """The persisted-partials composition: day-1 sketch cells seed the
+    incremental aggregate store, day-2 cells merge in (bucket-aligned
+    store-side scan, the agg_store machinery), and the stored sketch
+    equals the batch sketch of both days' tokens — count-min cells are
+    just another mergeable partial, so daily heavy-hitter maintenance
+    rides the same store as the rollups."""
+    from rspl_spark.operators import agg_store as A
+    from rspl_spark.operators.sketches import cms_sketch
+
+    day1 = spark.createDataFrame(
+        [(w,) for w in "x y x z x".split()], "token string"
+    )
+    day2 = spark.createDataFrame(
+        [(w,) for w in "y z z w y".split()], "token string"
+    )
+    measures = {"c": ("c", "sum")}
+    store = "cms_store_t"
+    A.create_agg_store(
+        spark, cms_sketch(day1, "token", w=16, d=2), store,
+        ["i", "bucket"], measures, overwrite=True,
+    )
+    try:
+        A.merge_increment(
+            spark, cms_sketch(day2, "token", w=16, d=2), store,
+            ["i", "bucket"], measures,
+        )
+        got = {
+            (r["i"], r["bucket"]): r["c"]
+            for r in A.read_final(spark, store).collect()
+        }
+        want = {
+            (r["i"], r["bucket"]): r["c"]
+            for r in cms_sketch(day1.unionByName(day2), "token", w=16, d=2).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cms_store_t")

@@ -272,3 +272,38 @@ def test_streaming_cms_matches_batch_sketch_with_bounded_state(spark):
         )
     assert got == batch_cells
     assert 0 < state_rows <= 3 * 32
+
+
+def test_streaming_pq_encode_matches_batch(spark):
+    """Frozen-codebook PQ encoding over a stream yields exactly the
+    batch codes for the same rows — same Arrow kernel, narrow plan."""
+    import tempfile
+
+    from rspl_spark.operators.similarity import pq_encode, pq_fit
+    from rspl_spark.streaming.llm import streaming_pq_encode
+    from rspl_spark.streaming.sources import (
+        file_stream,
+        run_to_memory_sink,
+        write_stream_chunks,
+    )
+
+    e = load(spark, SF, "embeddings")
+    cbs = pq_fit(e, m=8, k=16, iters=2)
+    batch = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, cbs).collect()}
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    half = len(rows) // 2
+    chunks = [
+        spark.createDataFrame(rows[:half], "vec_id long, embedding array<float>"),
+        spark.createDataFrame(rows[half:], "vec_id long, embedding array<float>"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "vec_id long, embedding array<float>")
+        out = streaming_pq_encode(stream, cbs)
+        assert out.isStreaming
+        run_to_memory_sink(out, "t_pq_stream", timeout_s=180)
+        got = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.table("t_pq_stream").collect()
+        }
+    assert got == batch
