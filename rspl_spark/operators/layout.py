@@ -85,6 +85,12 @@ def zorder_layout(
     for c in cols:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
     stats = df.agg(*aggs).first()
+    for c in cols:
+        if stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None:
+            raise ValueError(
+                f"zorder_layout: column {c!r} has no non-null values "
+                "(empty input or all-null column) — cannot derive bucket range"
+            )
     buckets = 1 << bits
     keyed = df.withColumn(
         "_zkey",

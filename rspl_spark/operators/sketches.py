@@ -23,12 +23,12 @@ from pyspark.sql import functions as F
 
 
 def _bucket(key: Column, i: int, w: int) -> Column:
-    """Row i's bucket for ``key``: portable md5 hash (same value as
-    DuckDB's CAST('0x'||SUBSTR(MD5(i||':'||key),1,15) AS BIGINT)) mod w."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 15), 16, 10
-    ).cast("long")
-    return h % w
+    """Row i's bucket for ``key``: the repo's portable md5 hash (same
+    value as DuckDB's CAST('0x'||SUBSTR(MD5(i||':'||key),1,15) AS
+    BIGINT)) mod w."""
+    from rspl_spark.operators.dedup import portable_hash
+
+    return portable_hash(F.concat(F.lit(f"{i}:"), key)) % w
 
 
 def cms_sketch(

@@ -143,31 +143,21 @@ def streaming_cms(
     sketches.cms_sketch` of everything ingested so far (mergeability:
     micro-batch partials add exactly like partition partials); probe it
     with ``cms_estimate`` at any time.
+
+    Same delegate-to-the-batch-kernel pattern as ``streaming_pq_encode``:
+    cms_sketch's plan works unchanged on a streaming frame, so batch and
+    stream cannot drift apart.
     """
-    from pyspark.sql import functions as F
+    from rspl_spark.operators.sketches import cms_sketch
 
-    from rspl_spark.operators.sketches import _bucket
-
-    wcol = F.col(weight_col) if weight_col else F.lit(1)
-    buckets = F.array(*[_bucket(F.col(key_col), i, w) for i in range(d)])
-    return (
-        stream_df.select(F.posexplode(buckets).alias("i", "bucket"), wcol.alias("_w"))
-        .groupBy("i", "bucket")
-        .agg(F.sum("_w").cast("long").alias("c"))
-    )
+    return cms_sketch(stream_df, key_col, w=w, d=d, weight_col=weight_col)
 
 
 def run_complete_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
     """Drive an aggregating stream to completion into a memory table in
     COMPLETE mode (the whole aggregate re-emitted each batch)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from rspl_spark.streaming.sources import run_to_memory_sink
+
+    return run_to_memory_sink(
+        stream_df, name, timeout_s=timeout_s, output_mode="complete"
     )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"memory sink {name!r} did not finish within {timeout_s}s")
-    return q

@@ -144,14 +144,21 @@ def seeded_batch_stream(seed_df: DataFrame, stream_df: DataFrame) -> DataFrame:
     return seed_df.unionByName(stream_df)
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_s: int = 120):
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    name: str,
+    timeout_s: int = 120,
+    output_mode: str = "append",
+):
     """Drive a streaming DataFrame to completion into an in-memory table
     (AvailableNow trigger = process everything currently available, then
-    stop — the finite-prefix observation the reference's tests use)."""
+    stop — the finite-prefix observation the reference's tests use).
+    ``output_mode="complete"`` for aggregating streams that re-emit the
+    whole result per batch."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
