@@ -594,3 +594,54 @@ def semantic_dedup(
             "keep", (F.col("cluster") == F.col(id_col)).cast("long")
         )
     )
+
+
+# --- Random projection (Johnson-Lindenstrauss) ------------------------------
+
+
+def rp_signs(j: int, in_dim: int) -> list[int]:
+    """Deterministic ±1 row j of the projection matrix via the
+    splitmix64 finalizer (full avalanche). The SRP planes' single
+    Knuth-multiply hash is LINEAR in the index, which leaves rows of
+    the matrix correlated — fine for bucketing-then-rerank, fatal for
+    an isometry (measured distance ratio 0.54 instead of ~1). Signs are
+    generated driver-side and baked as literals into both the Spark
+    expression and the oracle SQL, so the mixer needs no SQL replay."""
+    M = (1 << 64) - 1
+
+    def mix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & M
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+        return x ^ (x >> 31)
+
+    return [1 if mix(j * in_dim + i) & 1 else -1 for i in range(in_dim)]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """JL dimensionality reduction: project each vector onto ``out_dim``
+    deterministic ±1 directions, scaled by 1/sqrt(out_dim) so expected
+    pairwise distances are preserved (Johnson & Lindenstrauss 1984;
+    Achlioptas 2003 for the ±1 construction — concept attributions).
+
+    Pure codegen: out_dim zip_with/aggregate dot products against
+    literal sign vectors — a narrow projection, no Python, no shuffle.
+    The cheap first stage before PQ/IVF when the raw dimensionality
+    itself is the cost driver: 64 -> 16 dims quarters every downstream
+    distance computation and the codebook sizes."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = 1.0 / float(np.sqrt(out_dim))
+    comps = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(float(s)) for s in rp_signs(j, in_dim)])
+        dot = F.aggregate(
+            F.zip_with(dbl, signs, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+        comps.append(dot * F.lit(scale))
+    return df.select(id_col, F.array(*comps).alias("projected"))

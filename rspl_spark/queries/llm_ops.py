@@ -2346,3 +2346,40 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", F.round("avg_nll", 6).alias("avg_nll")
     ).orderBy("doc_id")
+
+
+# Johnson-Lindenstrauss random projection: deterministic ±1 directions
+# (same integer-hash family as the SRP planes), scaled 1/sqrt(out_dim).
+# The cheap first stage when raw dimensionality is the cost driver —
+# a narrow, pure-codegen projection. Long-format output (one row per
+# component) keeps the float comparison under the 6-decimal rounding.
+
+_RP_OUT = 16
+
+
+def _rp_oracle() -> str:
+    from rspl_spark.operators.similarity import rp_signs
+
+    scale = 1.0 / float(_RP_OUT) ** 0.5
+    comps = []
+    for j in range(_RP_OUT):
+        signs = "[" + ", ".join(str(float(s)) for s in rp_signs(j, _SRP_DIM)) + "]"
+        dot = (
+            f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {signs}), "
+            f"pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+        )
+        comps.append(f"SELECT vec_id, {j} AS j, ROUND({dot} * {scale!r}, 6) AS val FROM embeddings")
+    return " UNION ALL ".join(comps) + " ORDER BY vec_id, j"
+
+
+@query("q_random_projection", oracle=_rp_oracle(), tags=("llm", "similarity"))
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.similarity import random_projection
+
+    e = load(spark, sf_dir, "embeddings")
+    proj = random_projection(e, _RP_OUT, _SRP_DIM)
+    return (
+        proj.select("vec_id", F.posexplode("projected").alias("j", "raw"))
+        .select("vec_id", "j", F.round("raw", 6).alias("val"))
+        .orderBy("vec_id", "j")
+    )

@@ -182,3 +182,43 @@ def test_semantic_dedup_decision_table(spark):
     # edges from the pair gate must be intra-cluster
     for p in reg["q_embedding_cosine_pairs"].fn(spark, sf).collect():
         assert by_id[p["vec_a"]]["cluster"] == by_id[p["vec_b"]]["cluster"]
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: squared pairwise distances in the 16-dim projection
+    track the 64-dim originals — rank correlation strongly positive and
+    the mean distance ratio near 1 (the projection is scaled to be an
+    unbiased distance estimator)."""
+    from rspl_spark.operators.similarity import random_projection
+
+    # Structured data with 10x distance variation (the testdata corpus
+    # is near-iid, where ALL 64-d pairwise distances concentrate to the
+    # same value and correlation is pure noise — measured 0.19 there).
+    # Cluster directions drawn randomly: the deterministic ±1 rows are
+    # near-balanced (row sums ~0), so CONSTANT offset vectors are an
+    # adversarial input any fixed matrix has — the all-ones direction
+    # projects to ~0 and distances collapse (measured ratio 0.32).
+    rng = np.random.default_rng(3)
+    centers = 2.0 * rng.normal(size=(3, 64))
+    pts = np.concatenate(
+        [c + 0.3 * rng.normal(size=(20, 64)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    proj = {
+        r["vec_id"]: np.asarray(r["projected"], dtype=np.float64)
+        for r in random_projection(df, 16, 64).collect()
+    }
+    d_orig, d_proj = [], []
+    for i in range(0, 60, 2):
+        for j in range(1, 60, 7):
+            if i != j:
+                d_orig.append(((pts[i] - pts[j]) ** 2).sum())
+                d_proj.append(((proj[i] - proj[j]) ** 2).sum())
+    d_orig, d_proj = np.asarray(d_orig), np.asarray(d_proj)
+    ratio = (d_proj / d_orig).mean()
+    assert 0.7 < ratio < 1.3, f"mean distance ratio {ratio}"
+    corr = np.corrcoef(d_orig, d_proj)[0, 1]
+    assert corr > 0.9, f"distance correlation {corr}"
