@@ -2383,3 +2383,42 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "j", F.round("raw", 6).alias("val"))
         .orderBy("vec_id", "j")
     )
+
+
+# Two-sample KS drift statistic: src0-vs-src1 document-length
+# distributions. Integer counts until the final divisions make the
+# oracle replay exact; the cumulative window runs over DISTINCT values
+# (V rows, not n), the scale story for a drift monitor.
+
+_KS_ORACLE = """
+WITH pooled AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,
+         CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS b
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+pv AS (SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM pooled GROUP BY v),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM pv
+),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b FROM pooled
+)
+SELECT ROUND(MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)), 6) AS d_stat,
+       n_a, n_b
+FROM cum CROSS JOIN tot
+GROUP BY n_a, n_b
+"""
+
+
+@query("q_ks_drift", oracle=_KS_ORACLE, tags=("llm", "curation", "drift"))
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.drift import ks_statistic
+
+    d = load(spark, sf_dir, "documents")
+    out = ks_statistic(
+        d, "n_chars", F.col("source") == "src0", F.col("source") == "src1"
+    )
+    return out.select(F.round("d_stat", 6).alias("d_stat"), "n_a", "n_b")
