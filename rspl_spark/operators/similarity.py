@@ -645,3 +645,86 @@ def random_projection(
         )
         comps.append(dot * F.lit(scale))
     return df.select(id_col, F.array(*comps).alias("projected"))
+
+
+# --- PCA top component: distributed covariance + power iteration ------------
+
+
+def pca_power_fit(
+    df: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """(mean, top principal direction) via ONE covariance pass + driver
+    power iteration.
+
+    The pass emits per-partition (Σx, Σxxᵀ, n) partials — d + d² floats
+    per partition — so the d×d covariance C = Σxxᵀ/n − μμᵀ lands on the
+    driver in a single narrow scan (fits comfortably to d ≈ a few
+    thousand; beyond that the matvec itself must distribute, a different
+    regime). Power iteration then runs driver-side from the fixed
+    all-ones/√d start — a deterministic sequence with NO eigenvector
+    sign ambiguity, which is what makes the SQL oracle replay possible
+    (an eigh-based fit is sign/order-ambiguous across engines). The
+    returned direction is unit-norm after ``iters`` un-normalized
+    multiplies (values scale like λ^iters — safe for small iters).
+    """
+    first = df.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("pca_power_fit: empty input")
+    d = first[0]
+
+    def partials(batches):
+        sx = np.zeros(d)
+        sxx = np.zeros((d, d))
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            sx += M.sum(axis=0)
+            sxx += M.T @ M
+            n += len(M)
+        if n:
+            yield pd.DataFrame({"sx": [sx.tolist()], "sxx": [sxx.ravel().tolist()], "n": [n]})
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(partials, "sx array<double>, sxx array<double>, n long")
+        .collect()
+    )
+    sx = np.zeros(d)
+    sxx = np.zeros((d, d))
+    n = 0
+    for r in parts:
+        sx += np.asarray(r["sx"])
+        sxx += np.asarray(r["sxx"]).reshape(d, d)
+        n += r["n"]
+    if n == 0:
+        raise ValueError("pca_power_fit: empty input")
+    mu = sx / n
+    cov = sxx / n - np.outer(mu, mu)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        v = cov @ v
+    v = v / np.linalg.norm(v)
+    return [float(x) for x in mu], [float(x) for x in v]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    component: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, proj): centered projection onto the component — one codegen
+    dot against literals minus a constant shift (μ·v̂), narrow, no
+    Python in the plan."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comp = F.array(*[F.lit(float(c)) for c in component])
+    dot = F.aggregate(
+        F.zip_with(dbl, comp, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    shift = float(sum(m * c for m, c in zip(mean, component)))
+    return df.select(id_col, (dot - F.lit(shift)).alias("proj"))

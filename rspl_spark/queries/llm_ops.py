@@ -2422,3 +2422,67 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "n_chars", F.col("source") == "src0", F.col("source") == "src1"
     )
     return out.select(F.round("d_stat", 6).alias("d_stat"), "n_a", "n_b")
+
+
+# PCA top component by distributed covariance + power iteration: the
+# covariance lands on the driver from ONE partial-sum pass (d + d^2
+# floats per partition); three un-normalized power steps from the fixed
+# all-ones/sqrt(d) start give a deterministic direction with no
+# eigenvector sign ambiguity — which is exactly what lets the oracle
+# replay the whole fit in SQL (an eigh-based PCA could not be gated).
+
+_PCA_ITERS = 3
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    its = []
+    prev = "it0"
+    for i in range(1, iters + 1):
+        its.append(
+            f""",
+it{i} AS (
+  SELECT cv.i AS dim, SUM(cv.c * {prev}.val) AS val
+  FROM cv JOIN {prev} ON {prev}.dim = cv.j GROUP BY cv.i
+)"""
+        )
+        prev = f"it{i}"
+    return f"""
+WITH ev AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+mu AS (SELECT dim, AVG(val) AS m FROM ev GROUP BY dim),
+cv AS (
+  SELECT a.dim AS i, b.dim AS j,
+         SUM((a.val - ma.m) * (b.val - mb.m)) / cnt.n AS c
+  FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+  JOIN mu ma ON ma.dim = a.dim
+  JOIN mu mb ON mb.dim = b.dim
+  CROSS JOIN cnt
+  GROUP BY a.dim, b.dim, cnt.n
+),
+it0 AS (SELECT dim, 0.125 AS val FROM mu){"".join(its)},
+nrm AS (SELECT SQRT(SUM(val * val)) AS s FROM {prev}),
+pr AS (
+  SELECT e.vec_id, SUM((e.val - mu.m) * v.val) AS p
+  FROM ev e JOIN mu ON mu.dim = e.dim JOIN {prev} v ON v.dim = e.dim
+  GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(p / nrm.s, 6) AS proj
+FROM pr CROSS JOIN nrm ORDER BY vec_id"""
+
+
+@query("q_pca_power_projection", oracle=_pca_oracle(), tags=("llm", "similarity", "iterative"))
+def q_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.similarity import pca_power_fit, pca_project
+
+    e = load(spark, sf_dir, "embeddings")
+    mu, comp = pca_power_fit(e, iters=_PCA_ITERS)
+    return (
+        pca_project(e, mu, comp)
+        .select("vec_id", F.round("proj", 6).alias("proj"))
+        .orderBy("vec_id")
+    )

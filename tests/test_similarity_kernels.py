@@ -222,3 +222,42 @@ def test_random_projection_preserves_distances(spark):
     assert 0.7 < ratio < 1.3, f"mean distance ratio {ratio}"
     corr = np.corrcoef(d_orig, d_proj)[0, 1]
     assert corr > 0.9, f"distance correlation {corr}"
+
+
+def test_pca_power_matches_eigh_direction(spark):
+    """Three power steps from the fixed start must land close to the true
+    top eigenvector (numpy eigh on the same covariance), up to sign —
+    and the variance captured along the returned direction must match
+    the top eigenvalue within a few percent."""
+    from rspl_spark.operators.similarity import pca_power_fit, pca_project
+
+    rng = np.random.default_rng(9)
+    # anisotropic cloud: one dominant direction
+    base = rng.normal(size=(300, 8))
+    base[:, 2] *= 6.0
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    mu, comp = pca_power_fit(df, iters=3)
+    X = base - base.mean(axis=0)
+    cov = X.T @ X / len(base)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cosang = abs(float(np.dot(top, np.asarray(comp))))
+    assert cosang > 0.99, f"|cos| to eigh top = {cosang}"
+    projs = np.array(
+        [r["proj"] for r in pca_project(df, mu, comp).orderBy("vec_id").collect()]
+    )
+    assert abs(projs.var() / vals[-1] - 1) < 0.05
+    # partition invariance of the single-pass covariance
+    mu2, comp2 = pca_power_fit(df.repartition(13), iters=3)
+    assert np.allclose(comp, comp2, atol=1e-9)
+
+
+def test_pca_power_empty_raises(spark):
+    from rspl_spark.operators.similarity import pca_power_fit
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception):
+        pca_power_fit(df)
