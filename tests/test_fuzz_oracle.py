@@ -552,3 +552,61 @@ def test_fuzz_window_queries(spark, duck):
         if not sdf.equals(ddf):
             failures.append((i, sql))
     assert not failures, f"window fuzz mismatches: {failures}"
+
+
+def _gen_hof_query(rng: random.Random):
+    """Random higher-order-function pipelines: filter-by-length →
+    transform-to-length → fold/max/count/join — the lambda-expression
+    surface (grammar #10)."""
+    min_len = rng.randint(1, 5)
+    do_filter = rng.random() < 0.7
+    readout = rng.choice(["sum_len", "max_len", "cnt", "joined"])
+    k = rng.randint(2, 5)
+
+    def spark_fn(spark):
+        d = load(spark, SF, "documents")
+        toks = F.split(F.trim("text"), r"\s+")
+        if do_filter:
+            toks = F.filter(toks, lambda x: F.length(x) >= min_len)
+        if readout == "sum_len":
+            x = F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        elif readout == "max_len":
+            x = F.array_max(F.transform(toks, lambda x: F.length(x).cast("long")))
+        elif readout == "cnt":
+            x = F.size(toks).cast("long")
+        else:
+            x = F.concat_ws("|", F.slice(toks, 1, k))
+        return d.select("doc_id", x.cast("string").alias("x"))
+
+    base = "STRING_SPLIT_REGEX(TRIM(text), '\\s+')"
+    if do_filter:
+        base = f"LIST_FILTER({base}, x -> LENGTH(x) >= {min_len})"
+    if readout == "sum_len":
+        e = f"CAST(COALESCE(LIST_SUM(LIST_TRANSFORM({base}, x -> LENGTH(x))), 0) AS BIGINT)"
+    elif readout == "max_len":
+        e = f"CAST(LIST_MAX(LIST_TRANSFORM({base}, x -> LENGTH(x))) AS BIGINT)"
+    elif readout == "cnt":
+        e = f"CAST(LEN({base}) AS BIGINT)"
+    else:
+        e = f"ARRAY_TO_STRING(LIST_SLICE({base}, 1, {k}), '|')"
+    sql = f"SELECT doc_id, CAST({e} AS VARCHAR) AS x FROM documents"
+    return spark_fn, sql
+
+
+def test_fuzz_hof_queries(spark, duck):
+    duck.sql(
+        f"CREATE VIEW IF NOT EXISTS documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    rng = random.Random(101010)
+    failures = []
+    for i in range(12):
+        spark_fn, sql = _gen_hof_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"hof fuzz mismatches: {failures}"
