@@ -307,3 +307,35 @@ def scrub_text(
         .cast("long")
         .alias("n_urls"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-size weighted sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme (2006, concept attribution) made
+    deterministic: each row gets key = ln(u)/w with u a hash-derived
+    uniform from its id, and the k LARGEST keys are the sample. Unlike
+    Bernoulli thinning (:func:`quality_weighted_sample`) the output size
+    is exactly k, and inclusion probability scales with weight.
+
+    Distributed shape: the key is a pure codegen projection and the
+    selection is a global top-k — TakeOrderedAndProject, i.e.
+    per-partition heaps + one tiny merge, never a full sort. Weights
+    must be strictly positive (guarded)."""
+    from rspl_spark.operators.dedup import portable_hash
+
+    h = portable_hash(F.col(id_col).cast("string"))
+    # (h+1) / (2^60+1): u in (0,1), exact in doubles, same in SQL
+    u = (h + F.lit(1).cast("double")) / F.lit(float((1 << 60) + 1))
+    w = weight.cast("double")
+    key = F.when(w > 0, F.log(u) / w).otherwise(F.lit(None))
+    return (
+        df.select(id_col, key.alias("es_key"))
+        .filter(F.col("es_key").isNotNull())
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )

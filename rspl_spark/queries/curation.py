@@ -437,3 +437,30 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("score"),
         (score >= 0.5).cast("long").alias("pred"),
     ).orderBy("doc_id")
+
+
+# Exact-size weighted sampling (Efraimidis-Spirakis): key = ln(u)/w,
+# top-k keys win; u is the portable content hash so both engines draw
+# the same "randomness". Selection is a global top-k — per-partition
+# heaps + tiny merge (TakeOrderedAndProject), never a full sort.
+
+_ES_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         LN((CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+            / 1152921504606846977.0)
+           / (n_chars + 1) AS es_key
+  FROM documents WHERE n_chars + 1 > 0
+)
+SELECT doc_id, ROUND(es_key, 6) AS es_key
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT 20
+"""
+
+
+@query("q_weighted_sample_topk", oracle=_ES_ORACLE, tags=("llm", "curation"))
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.curation import weighted_sample_topk
+
+    d = load(spark, sf_dir, "documents")
+    out = weighted_sample_topk(d, F.col("n_chars") + 1, k=20)
+    return out.select("doc_id", F.round("es_key", 6).alias("es_key"))

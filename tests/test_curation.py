@@ -142,3 +142,28 @@ def test_scrub_redacts_and_counts(spark):
     # only runs of >= 6 digits are masked
     assert out[2].clean_text == "card <NUM> pin 12345"
     assert out[3].clean_text == "clean text here"
+
+
+def test_weighted_sample_topk_properties(spark):
+    """Exact size k; dominant weights always included, vanishing weights
+    never; the selection compiles to TakeOrderedAndProject (per-partition
+    heaps, not a global sort)."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.curation import weighted_sample_topk
+
+    rows = [(i, 1.0) for i in range(100)]
+    rows[7] = (7, 1e12)   # must win a slot: key = ln(u)/1e12 ~ 0-
+    rows[13] = (13, 1e-9)  # must lose: key = ln(u)/1e-9 << everyone
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample_topk(df, F.col("w"), k=10, id_col="doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert len(ids) == 10
+    assert 7 in ids
+    assert 13 not in ids
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # zero/negative weights are excluded, not crashed on
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, w double")
+    got = weighted_sample_topk(df2, F.col("w"), k=5, id_col="doc_id").collect()
+    assert {r["doc_id"] for r in got} == {3}
