@@ -329,7 +329,10 @@ def weighted_sample_topk(
     from rspl_spark.operators.dedup import portable_hash
 
     h = portable_hash(F.col(id_col).cast("string"))
-    # (h+1) / (2^60+1): u in (0,1), exact in doubles, same in SQL
+    # (h+1) / (2^60+1): u in (0,1). h can exceed 2^53, so h+1.0 is NOT
+    # exact in doubles — cross-engine agreement holds because BOTH
+    # engines apply the same IEEE long->double promotion, and any ids
+    # whose u collapse to equal keys fall to the id tiebreaker below.
     u = (h + F.lit(1).cast("double")) / F.lit(float((1 << 60) + 1))
     w = weight.cast("double")
     key = F.when(w > 0, F.log(u) / w).otherwise(F.lit(None))

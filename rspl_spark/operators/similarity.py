@@ -390,7 +390,10 @@ def pq_fit(
     key = (id(df), vec_col, id_col, m, k, iters)
     if key in cache:
         return [[list(c) for c in cb] for cb in cache[key][1]]
-    d = df.select(F.size(vec_col)).first()[0]
+    first = df.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("pq_fit: empty input")
+    d = first[0]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     sub = d // m
@@ -487,8 +490,11 @@ def pq_adc_topk(
 
     ``queries`` are (query_id, exact vector) pairs (driver-side — a
     probe set, not a table). Per query the m x k LUT of subspace dots is
-    computed with SEQUENTIAL float addition (matches a SQL LIST-order
-    sum bit-for-bit) and shipped in the closure. The kernel scans the
+    computed with SEQUENTIAL float addition, matching the oracle's
+    order-guaranteed LIST_SUM(LIST(... ORDER BY dim)) accumulation.
+    Residual ULP drift can still enter via the codebook values
+    themselves (group-by AVG on both engines has no guaranteed order);
+    round(6) on the output plus value-separated top-k ranks absorb it. The kernel scans the
     codes ONCE per partition, accumulates every query's scores via m
     table lookups, and emits only the per-partition top-k — the global
     merge then ranks nq * topk * n_partitions rows, so no corpus-sized

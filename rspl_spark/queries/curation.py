@@ -431,11 +431,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = logreg_fit(
         d, feats, (F.col("lang") == "en"), iters=_LR_ITERS, lr=_LR_RATE
     )
-    score = logreg_score(feats, w)
+    # pred thresholds the SAME rounded value the oracle thresholds
+    # (ROUND(score, 6) >= 0.5): a raw score in [0.4999995, 0.5) must
+    # round up to 0.5 -> pred=1 on BOTH engines, not just DuckDB.
+    s6 = F.round(logreg_score(feats, w), 6)
     return d.select(
         "doc_id",
-        F.round(score, 6).alias("score"),
-        (score >= 0.5).cast("long").alias("pred"),
+        s6.alias("score"),
+        (s6 >= 0.5).cast("long").alias("pred"),
     ).orderBy("doc_id")
 
 

@@ -2061,9 +2061,15 @@ def _pq_subspace_ctes(s: int, k: int, iters: int, nq: int) -> str:
     FROM {p}dd) t WHERE rk = 1
 ),
 {p}lut AS (
-  SELECT q.vec_id AS query_id, c.cid, SUM(q.val * c.val) AS dot
-  FROM {p}ev q JOIN {prev} c ON q.dim = c.dim
-  WHERE q.vec_id < {nq} GROUP BY q.vec_id, c.cid
+  -- order-guaranteed sequential sum (LIST ORDER BY dim -> LIST_SUM)
+  -- to mirror the driver's in-order float accumulation; a GROUP BY
+  -- SUM() here would have engine-chosen accumulation order.
+  SELECT query_id, cid, LIST_SUM(prods) AS dot FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           LIST(q.val * c.val ORDER BY q.dim) AS prods
+    FROM {p}ev q JOIN {prev} c ON q.dim = c.dim
+    WHERE q.vec_id < {nq} GROUP BY q.vec_id, c.cid
+  ) t
 ),
 {p}score AS (
   SELECT l.query_id, a.vec_id, l.dot FROM {p}lut l JOIN {p}code a ON a.cid = l.cid
