@@ -557,10 +557,11 @@ def pq_adc_topk(
 def semantic_dedup(
     e: DataFrame,
     threshold: float = 0.4,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_cell: int = 512,
 ) -> DataFrame:
     """Embedding-space near-duplicate dedup, end to end: trained-cell
     blocking (kmeans_fit/assign) → in-cell BLAS cosine pairs ≥ threshold
@@ -573,9 +574,18 @@ def semantic_dedup(
     joins against to drop semantic duplicates — the embedding-space
     sibling of MinHash dedup, and every stage is the keyed/blocked
     formulation that scales: no all-pairs scan, shuffles keyed on cell
-    then on node id."""
+    then on node id.
+
+    ``k`` defaults to n / target_cell (capped at 4096): with a FIXED
+    cell count, cell size grows with the corpus and the in-cell pair
+    scan is O(n^2 / k) — measured super-linear in the sf0.1->sf3 sweep.
+    Scaling the cell count keeps per-cell work bounded, so total pair
+    work grows ~linearly; the kmeans fit itself is O(n * k * d) per
+    iter, which the cap bounds (beyond it, fit on a sample)."""
     from rspl_spark.operators.dedup import connected_components_star
 
+    if k is None:
+        k = max(8, min(4096, e.count() // target_cell))
     cents = kmeans_fit(e, vec_col, id_col, k, iters)
     assign = kmeans_assign(e, cents, vec_col, id_col).select(id_col, "cid")
     prepped = unit_prep(e, id_col, "emb", "nrm", vec_col, id_col).join(assign, id_col)
