@@ -2228,6 +2228,65 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HyperLogLog approx-distinct (Flajolet et al. 2007): the production
+# answer is approx_count_distinct, but its HLL++ register hash is
+# engine-private, so this gate runs the repo's portable-hash HLL
+# (operators/sketches.py) whose ESTIMATE both engines compute
+# bit-for-bit — the harmonic-mean denominator is an exact integer sum
+# of powers of two, order-insensitive by construction. The gate reports
+# estimate, exact count, and relative error per group; the cardinality
+# (~2k-20k distinct per flag across SFs) sits far above the 2.5m
+# linear-counting branch, so no ln() crosses engines.
+
+
+def _hll_oracle() -> str:
+    from rspl_spark.operators.sketches import hll_sql
+
+    return f"""
+WITH {hll_sql("lineitem", "l_extendedprice", ("l_returnflag",))},
+hexact AS (
+  SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT e.l_returnflag, h.approx_distinct, e.exact_distinct,
+       ROUND(ABS(h.approx_distinct - e.exact_distinct)
+             / CAST(e.exact_distinct AS DOUBLE), 4) AS rel_err
+FROM hest h JOIN hexact e USING (l_returnflag)
+ORDER BY e.l_returnflag
+"""
+
+
+@query(
+    "q_approx_distinct_hll",
+    oracle=_hll_oracle(),
+    tags=("llm", "sketch", "aggregation"),
+)
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.sketches import hll_estimate, hll_registers
+
+    li = load(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_extendedprice", ("l_returnflag",))
+    est = hll_estimate(regs, ("l_returnflag",))
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_extendedprice").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "approx_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # Semantic dedup: the embedding-space sibling of MinHash dedup as ONE
 # decision table. Trained-cell blocked cosine pairs >= 0.4 (the
 # q_embedding_cosine_pairs machinery) feed O(log n) connected

@@ -155,3 +155,63 @@ def test_cms_daily_maintenance_through_agg_store(spark):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS cms_store_t")
+
+
+# --- portable HLL (operators/sketches.py, q_approx_distinct_hll gate) -------
+
+
+def test_portable_hll_accuracy(spark):
+    """m=512 registers -> ~4.6% expected relative error; assert a 3x
+    band on a 20k-distinct corpus (far above the linear-counting
+    branch, i.e. the raw-formula path the gate exercises)."""
+    from rspl_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.range(100_000).select((F.col("id") % 20_000).alias("v"))
+    est = hll_estimate(hll_registers(df, "v")).collect()[0]["approx_distinct"]
+    assert abs(est - 20_000) / 20_000 < 0.15
+
+
+def test_portable_hll_registers_merge_by_max(spark):
+    """Partial register tables merged with MAX == one-shot registers:
+    the map-side-combine property (same contract the built-in
+    DataSketches tests pin; here it is literally a groupBy max)."""
+    from rspl_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 4).alias("part"), (F.col("id") % 7_000).alias("v")
+    )
+    one_shot = hll_estimate(hll_registers(df, "v")).collect()[0]["approx_distinct"]
+    merged_regs = (
+        hll_registers(df, "v", ("part",))
+        .groupBy("idx")
+        .agg(F.max("mj").cast("long").alias("mj"))
+    )
+    merged = hll_estimate(merged_regs).collect()[0]["approx_distinct"]
+    assert merged == one_shot
+
+
+def test_portable_hll_small_range_branch(spark):
+    """Tiny cardinality triggers linear counting (m * ln(m/V)), which
+    is far more accurate than the raw formula there."""
+    from rspl_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.range(10_000).select((F.col("id") % 30).alias("v"))
+    est = hll_estimate(hll_registers(df, "v")).collect()[0]["approx_distinct"]
+    assert abs(est - 30) / 30 < 0.2
+
+
+def test_portable_hll_register_bound(spark):
+    """The register table never exceeds m rows per group — the bounded
+    shuffle contract (the CMS analogue: cells <= d*w)."""
+    from rspl_spark.operators.sketches import HLL_P, hll_registers
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    counts = (
+        hll_registers(df, "v", ("g",))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= (1 << HLL_P) for r in counts)
