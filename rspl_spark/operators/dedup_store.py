@@ -178,6 +178,8 @@ def dedup_increment(
     text_col: str = "text",
     id_col: str = "doc_id",
     new_sig: DataFrame | None = None,
+    prune: str = "auto",
+    in_list_cap: int = 4096,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) near-dup pairs touching the increment.
 
@@ -191,11 +193,52 @@ def dedup_increment(
     A doc present in both sides (re-ingest) never pairs with itself
     (equal ids excluded); pairs colliding in several buckets dedup in
     the final aggregate, exactly like the batch ``lsh_candidate_pairs``.
+
+    ``prune`` cuts the store-side READ before the join (semantically a
+    no-op — the inner join on bucket already discards non-matching
+    store rows, so the result is identical):
+    - ``"in"``: collect the increment's distinct bucket keys and push a
+      literal IN predicate into the store scan. The store is
+      sorted-by-bucket, so this reaches parquet row-group stats and
+      SKIPS non-matching row groups — the probe reads ~increment-sized
+      slices of a corpus-sized store.
+    - ``"semi"``: broadcast left-semi join on bucket — no driver
+      collect, no IN-list size limit; rows are dropped at scan-output
+      rather than row-group level. The scale path when a large
+      increment has millions of distinct buckets.
+    - ``"auto"`` (default): ``"in"`` when the increment has at most
+      ``in_list_cap`` distinct buckets, else ``"semi"``.
+    - ``"off"``: the bare scan (the pre-pruning behavior).
+    Either mode preserves the store's bucket layout (Filter and
+    broadcast-semi both keep the child's outputPartitioning), so the
+    zero-store-side-Exchange probe property is unchanged.
     """
+    if prune not in ("auto", "in", "semi", "off"):
+        raise ValueError(f"prune={prune!r}: expected auto|in|semi|off")
     new_bands = signature_band_rows(
         new_docs, text_col=text_col, id_col=id_col, n_bands=n_bands, sig=new_sig
     ).localCheckpoint(eager=False)
     store_bands = spark.table(store)
+    if prune != "off":
+        keys_df = new_bands.select("bucket").distinct()
+        mode = prune
+        keys: list[str] = []
+        if prune in ("auto", "in"):
+            # limit(cap+1): bounded driver cost however big the increment
+            keys = [r[0] for r in keys_df.limit(in_list_cap + 1).collect()]
+            if mode == "auto":
+                mode = "in" if len(keys) <= in_list_cap else "semi"
+        if mode == "in" and len(keys) > in_list_cap:
+            raise ValueError(
+                f"prune='in': {len(keys)}+ distinct buckets exceeds "
+                f"in_list_cap={in_list_cap}; use prune='semi'"
+            )
+        if mode == "in":
+            store_bands = store_bands.filter(F.col("bucket").isin(keys))
+        else:
+            store_bands = store_bands.join(
+                F.broadcast(keys_df), "bucket", "semi"
+            )
 
     n, s = new_bands.alias("n"), store_bands.alias("s")
     cross = n.join(s, F.col("n.bucket") == F.col("s.bucket")).filter(

@@ -110,3 +110,83 @@ def test_append_roundtrip(spark, docs):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS sigstore_test_append")
+
+
+def test_prune_modes_identical_results(spark, docs):
+    """Store-probe pruning is a semantic no-op: 'in', 'semi', and 'off'
+    produce the same pairs (the inner join on bucket already discards
+    non-matching store rows — pruning only moves the discard earlier)."""
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    store = create_signature_store(
+        spark, store_docs, "sigstore_test_prune", overwrite=True
+    )
+    try:
+        outs = {
+            m: [
+                tuple(r)
+                for r in dedup_increment(spark, new_docs, store, prune=m)
+                .orderBy("doc_a", "doc_b")
+                .collect()
+            ]
+            for m in ("off", "in", "semi")
+        }
+        assert outs["in"] == outs["off"]
+        assert outs["semi"] == outs["off"]
+        assert len(outs["off"]) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_prune")
+
+
+def test_prune_in_pushes_bucket_filter_into_store_scan(spark, docs):
+    """prune='in' must reach the STORE SCAN as a pushed data filter on
+    bucket (the store is sorted by bucket, so parquet row-group min/max
+    stats skip non-matching groups), and the store side must still read
+    bucket-aligned: one Exchange total (the increment side)."""
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    store = create_signature_store(
+        spark, store_docs, "sigstore_test_pushdown", overwrite=True
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = dedup_increment(spark, new_docs, store, prune="in")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the store-scan line carries the pushed IN(bucket, ...) filter
+        scan_lines = [
+            ln for ln in plan.splitlines()
+            if "sigstore_test_pushdown" in ln and "PushedFilters" in ln
+        ]
+        assert scan_lines, f"no store scan with PushedFilters in:\n{plan}"
+        assert any("bucket" in ln.split("PushedFilters")[1] for ln in scan_lines)
+        # pruning must not cost the bucket alignment: the probe join's
+        # only Exchanges are increment-side (2 probes: vs-store, vs-new)
+        assert "SortMergeJoin" in plan
+        for ln in plan.splitlines():
+            if "Exchange" in ln and "sigstore" in ln:
+                raise AssertionError(f"store-side Exchange appeared: {ln}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_pushdown")
+
+
+def test_prune_semi_keeps_store_alignment(spark, docs):
+    """prune='semi' (the unbounded-increment path) drops store rows via
+    a broadcast left-semi on bucket — no driver collect — and the
+    store's bucket layout survives (BroadcastHashJoin preserves the
+    streamed child's partitioning, so no store-side Exchange)."""
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    store = create_signature_store(
+        spark, store_docs, "sigstore_test_semi", overwrite=True
+    )
+    try:
+        j = dedup_increment(spark, new_docs, store, prune="semi")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi, BuildRight" in plan or "LeftSemi BuildRight" in plan
+        for ln in plan.splitlines():
+            if "Exchange" in ln and "sigstore" in ln:
+                raise AssertionError(f"store-side Exchange appeared: {ln}")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_semi")
