@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2016,21 +2018,46 @@ _PQ_NQ = 10
 _PQ_SHORTLIST = 100
 
 
-def _pq_subspace_ctes(s: int, k: int, iters: int, nq: int) -> str:
+def _pq_subspace_ctes(
+    s: int, k: int, iters: int, nq: int, train_pred: str | None = None
+) -> str:
+    """One subspace's CTE chain. ``train_pred`` (a boolean SQL expr on
+    vec_id) restricts TRAINING — init vectors and Lloyd updates — to a
+    base subset, while code assignment still covers every vector: the
+    incremental-index semantics (append-encode with stored codebooks).
+    None keeps the original full-corpus chain byte-for-byte."""
     lo, hi = s * _PQ_SUB, (s + 1) * _PQ_SUB
     p = f"s{s}"
-    parts = [
-        f"""
+    if train_pred is None:
+        init = f"vec_id < {k}"
+        tr = f"{p}ev"
+        parts = [
+            f"""
 {p}ev AS (SELECT vec_id, dim - {lo} AS dim, val FROM ev WHERE dim > {lo} AND dim <= {hi}),
-{p}c0 AS (SELECT vec_id AS cid, dim, val FROM {p}ev WHERE vec_id < {k})"""
-    ]
+{p}c0 AS (SELECT vec_id AS cid, dim, val FROM {p}ev WHERE {init})"""
+        ]
+    else:
+        # first k BASE ids init the codebooks (pq_fit: orderBy(id).limit(k))
+        tr = f"{p}tr"
+        parts = [
+            f"""
+{p}ev AS (SELECT vec_id, dim - {lo} AS dim, val FROM ev WHERE dim > {lo} AND dim <= {hi}),
+{p}tr AS (SELECT * FROM {p}ev WHERE {train_pred}),
+{p}c0 AS (
+  SELECT vec_id AS cid, dim, val FROM {p}tr
+  WHERE vec_id IN (
+    SELECT vec_id FROM (
+      SELECT DISTINCT vec_id FROM ev WHERE {train_pred}
+      ORDER BY vec_id LIMIT {k}) ini)
+)"""
+        ]
     prev = f"{p}c0"
     for i in range(1, iters + 1):
         parts.append(
             f"""
 {p}d{i} AS (
   SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS dist
-  FROM {p}ev e JOIN {prev} c ON e.dim = c.dim GROUP BY e.vec_id, c.cid
+  FROM {tr} e JOIN {prev} c ON e.dim = c.dim GROUP BY e.vec_id, c.cid
 ),
 {p}a{i} AS (
   SELECT vec_id, cid FROM (
@@ -2040,7 +2067,7 @@ def _pq_subspace_ctes(s: int, k: int, iters: int, nq: int) -> str:
 ),
 {p}u{i} AS (
   SELECT a.cid, e.dim, AVG(e.val) AS c
-  FROM {p}a{i} a JOIN {p}ev e ON a.vec_id = e.vec_id GROUP BY a.cid, e.dim
+  FROM {p}a{i} a JOIN {tr} e ON a.vec_id = e.vec_id GROUP BY a.cid, e.dim
 ),
 {p}c{i} AS (
   SELECT p.cid, p.dim, COALESCE(u.c, p.val) AS val
@@ -2079,9 +2106,15 @@ def _pq_subspace_ctes(s: int, k: int, iters: int, nq: int) -> str:
 
 
 def _pq_oracle(
-    k: int = _PQ_K, iters: int = _PQ_ITERS, nq: int = _PQ_NQ, short: int = _PQ_SHORTLIST
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    nq: int = _PQ_NQ,
+    short: int = _PQ_SHORTLIST,
+    train_pred: str | None = None,
 ) -> str:
-    chains = ",".join(_pq_subspace_ctes(s, k, iters, nq) for s in range(_PQ_M))
+    chains = ",".join(
+        _pq_subspace_ctes(s, k, iters, nq, train_pred) for s in range(_PQ_M)
+    )
     adc = " + ".join(f"s{s}.dot" for s in range(_PQ_M))
     joins = "\n  ".join(
         f"JOIN s{s}score s{s} ON s{s}.query_id = s0.query_id AND s{s}.vec_id = s0.vec_id"
@@ -2122,26 +2155,25 @@ SELECT query_id, vec_id, score, rk FROM (
 ORDER BY query_id, rk"""
 
 
-@query("q_ann_pq_adc", oracle=_pq_oracle(), tags=("llm", "similarity", "iterative"))
-def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rspl_spark.operators.similarity import pq_adc_topk, pq_encode, pq_fit
-
-    e = load(spark, sf_dir, "embeddings")
-    cbs = pq_fit(e, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
-    enc = _memo_artifact(
-        spark, ("pq_codes", sf_dir), lambda: pq_encode(e, cbs).repartition(32)
-    )
+def _pq_queries(e: DataFrame) -> list[tuple[int, list[float]]]:
     qrows = (
         e.filter(F.col("vec_id") < _PQ_NQ)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
     )
-    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    return [(r["vec_id"], list(r["embedding"])) for r in qrows]
+
+
+def _adc_rerank(spark, enc, cbs, queries, e) -> DataFrame:
+    """ADC shortlist + exact rerank — the production two-stage shape,
+    shared by the in-session and persisted-index gates. The shortlist
+    is nq * shortlist rows — broadcast it against the embeddings table
+    twice (query + candidate side); all exact math happens on shortlist
+    rows only, never the corpus."""
+    from rspl_spark.operators.similarity import pq_adc_topk
+
     short = pq_adc_topk(enc, cbs, queries, topk=_PQ_SHORTLIST).drop("adc", "rk")
-    # exact rerank: the shortlist is nq * shortlist rows — broadcast it
-    # against the embeddings table twice (query + candidate side); all
-    # exact math happens on shortlist rows only, never the corpus.
     qdf = spark.createDataFrame(
         [(q, v) for q, v in queries], "query_id long, q_emb array<double>"
     )
@@ -2164,6 +2196,72 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", F.round("ip", 6).alias("score"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+@query("q_ann_pq_adc", oracle=_pq_oracle(), tags=("llm", "similarity", "iterative"))
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.similarity import pq_encode, pq_fit
+
+    e = load(spark, sf_dir, "embeddings")
+    cbs = pq_fit(e, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    enc = _memo_artifact(
+        spark, ("pq_codes", sf_dir), lambda: pq_encode(e, cbs).repartition(32)
+    )
+    return _adc_rerank(spark, enc, cbs, _pq_queries(e), e)
+
+
+# Persisted-index variant: the index lives as a managed table (code
+# rows) + TBLPROPERTIES (codebooks). The gate replays the two-batch
+# pipeline — fit on the BASE slice only, CTAS, then append-encode the
+# increment with the STORED codebooks — and queries the appended index.
+# The oracle trains its eight k-means chains on the base slice
+# (train_pred) but assigns codes to every vector: exactly the
+# append-without-refit semantics. Rebuilt from scratch each run (drop +
+# create + append) so the gate is deterministic however often it runs;
+# cross-session reuse and the staleness/refresh hooks are exercised in
+# tests/test_ann_store.py.
+
+_PQ_INCR_PRED = "vec_id % 3 <> 0"
+
+
+@query(
+    "q_ann_pq_adc_incremental",
+    oracle=_pq_oracle(train_pred=_PQ_INCR_PRED),
+    tags=("llm", "similarity", "iterative", "scale"),
+)
+def q_ann_pq_adc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.ann_store import (
+        append_pq_index,
+        create_pq_index,
+        pq_index_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"pqindex_{slug}"
+
+    def build():
+        create_pq_index(
+            spark,
+            e.filter(F.expr(_PQ_INCR_PRED)),
+            name,
+            m=_PQ_M,
+            k=_PQ_K,
+            iters=_PQ_ITERS,
+            overwrite=True,
+            tag="base",
+        )
+        append_pq_index(
+            spark,
+            e.filter(~F.expr(_PQ_INCR_PRED)),
+            name,
+            tag="base+inc",
+        )
+        return spark.table(name).localCheckpoint()
+
+    enc = _memo_artifact(spark, ("pq_index", sf_dir), build)
+    cbs = pq_index_codebooks(spark, name)
+    return _adc_rerank(spark, enc, cbs, _pq_queries(e), e)
 
 
 # Count-min heavy hitters: bounded-memory frequency estimation. The

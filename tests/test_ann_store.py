@@ -1,0 +1,127 @@
+"""Persisted PQ index (operators/ann_store.py): build → append →
+query → staleness → refresh lifecycle, plus recall after append.
+
+The q_ann_pq_adc_incremental gate hash-checks the two-batch replay
+against the oracle; these tests pin what the gate can't — reuse
+across builds (metadata-only), the staleness/refresh maintenance
+hook, and that appending KEEPS the stored codebooks (append must
+never silently refit: that would invalidate every code row on disk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.operators.ann_store import (
+    append_pq_index,
+    create_pq_index,
+    pq_index_codebooks,
+    pq_index_staleness,
+    pq_index_tag,
+    pq_index_topk,
+    refresh_pq_index,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from rspl_spark.catalog import load
+
+    return load(spark, SF_DIR, "embeddings").localCheckpoint()
+
+
+def _drop(spark, name):
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_append_keeps_codebooks_and_counts(spark, emb):
+    name = "pqidx_test_append"
+    _drop(spark, name)
+    try:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        inc = emb.filter(F.col("vec_id") % 3 == 0)
+        create_pq_index(spark, base, name, overwrite=True)
+        books_before = pq_index_codebooks(spark, name)
+        n = append_pq_index(spark, inc, name, tag="base+inc")
+        assert n == inc.count()
+        assert pq_index_codebooks(spark, name) == books_before
+        assert spark.table(name).count() == emb.count()
+        assert pq_index_tag(spark, name) == "base+inc"
+        # idempotent reuse: create without overwrite is metadata-only
+        create_pq_index(spark, base, name)
+        assert spark.table(name).count() == emb.count()
+    finally:
+        _drop(spark, name)
+
+
+def test_recall_after_append(spark, emb):
+    """Recall@5 of the appended index vs exact inner-product top-5,
+    over 10 probe queries — increment vectors are encoded with BASE
+    codebooks, so this asserts the append path's search quality, not
+    just its bookkeeping. (The full-fit gate measures 0.92 at this
+    corpus/config; base-fit append loses a little.)"""
+    name = "pqidx_test_recall"
+    _drop(spark, name)
+    try:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        inc = emb.filter(F.col("vec_id") % 3 == 0)
+        create_pq_index(spark, base, name, overwrite=True)
+        append_pq_index(spark, inc, name)
+
+        rows = emb.select("vec_id", "embedding").collect()
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+        qids = sorted(vecs)[:10]
+        queries = [(q, vecs[q].tolist()) for q in qids]
+
+        # production two-stage shape: ADC shortlist, then exact rerank
+        # of shortlist rows only (what _adc_rerank does in the gate)
+        short = pq_index_topk(spark, name, queries, topk=100).collect()
+        short_by_q: dict[int, list[int]] = {}
+        for r in short:
+            short_by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+
+        ids = np.array(sorted(vecs))
+        M = np.stack([vecs[i] for i in ids])
+        hits = tot = 0
+        for q in qids:
+            cand = short_by_q.get(q, [])
+            reranked = sorted(cand, key=lambda v: (-float(vecs[v] @ vecs[q]), v))[:5]
+            ip = M @ vecs[q]
+            ip[ids == q] = -np.inf
+            exact = set(ids[np.argsort(-ip)[:5]].tolist())
+            hits += len(exact & set(reranked))
+            tot += 5
+        recall = hits / tot
+        assert recall >= 0.8, f"recall@5 after append = {recall}"
+    finally:
+        _drop(spark, name)
+
+
+def test_staleness_and_refresh(spark, emb):
+    name = "pqidx_test_stale"
+    _drop(spark, name)
+    try:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        inc = emb.filter(F.col("vec_id") % 3 == 0)
+        create_pq_index(spark, base, name, overwrite=True)
+        assert pq_index_staleness(spark, name) == 0.0
+        append_pq_index(spark, inc, name)
+        stale = pq_index_staleness(spark, name)
+        assert 0.4 < stale < 0.6  # one third of the corpus appended
+
+        # below threshold: no refit
+        assert refresh_pq_index(spark, emb, name, stale_threshold=0.9) is False
+        # at threshold: refit on the FULL corpus, staleness resets,
+        # codebooks change (they now saw the increment)
+        books_before = pq_index_codebooks(spark, name)
+        assert refresh_pq_index(spark, emb, name, stale_threshold=0.4) is True
+        assert pq_index_staleness(spark, name) == 0.0
+        assert pq_index_tag(spark, name) == "refit"
+        assert pq_index_codebooks(spark, name) != books_before
+        assert spark.table(name).count() == emb.count()
+    finally:
+        _drop(spark, name)
