@@ -379,3 +379,143 @@ def streaming_pq_encode(
     from rspl_spark.operators.similarity import pq_encode
 
     return pq_encode(vectors, codebooks, vec_col=vec_col, id_col=id_col)
+
+
+def semantic_prep(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, emb double[], nrm, cid) — ONE projection definition for
+    both sides of the semantic probe (store prep AND arrival prep), so
+    stream and batch assign cells with the identical Arrow kernel and
+    carry bit-identical norms. Works on static and streaming frames."""
+    import numpy as np  # noqa: F401  (kernel dependency, fail at import)
+
+    from rspl_spark.operators.similarity import _nearest_centroid_arrow
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda s, v: s + v * v))
+    best = _nearest_centroid_arrow(centroids)(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        dbl.alias("emb"),
+        nrm.alias("nrm"),
+        best.getField("cid").alias("cid"),
+    )
+
+
+def streaming_semantic_dedup(
+    arrivals: DataFrame,
+    store_prepped: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ttl_seconds: float | None = None,
+    max_per_cell: int | None = 1024,
+) -> DataFrame:
+    """Embedding-space twin of :func:`streaming_dedup_against_store`:
+    live embedding arrivals probe a PERSISTED semantic store and each
+    other; emits (doc_a, doc_b, score) cosine pairs >= threshold.
+
+    - new-vs-store: stateless STREAM-STATIC equi-join on the k-means
+      cell id (``semantic_prep`` both sides with the centroids the
+      batch pipeline trained — the blocking discipline of the batch
+      ``semantic_dedup``), then one codegen dot per same-cell candidate.
+      No streaming state; the store is the same prepped artifact the
+      batch maintains.
+    - new-vs-new: stateful per-cell comparison with BOUNDED state (the
+      streaming_lsh_dedup contract: ``max_per_cell`` oldest-first cap +
+      ``ttl_seconds`` horizon with processing-time timeout) — arrivals
+      the store hasn't absorbed yet still pair inside the horizon.
+
+    A pair may surface once per path; downstream dedups by (a, b) and
+    takes max(score), after which the pairs inside the horizon equal the
+    batch blocked formulation on the same prefix
+    (tests/test_streaming_parity.py). Decisions derive downstream: an
+    arrival is a DROP iff it appears as doc_b of any pair whose partner
+    precedes it — the batch decision-table semantics for in-order ids.
+
+    Scale: the stream side shuffles once on cid; per-cell work is
+    bounded by the cell-size contract (centroid count scales with the
+    corpus — see semantic_dedup's adaptive k) plus the state cap."""
+    import numpy as np
+
+    if max_per_cell is not None and max_per_cell < 1:
+        raise ValueError("max_per_cell must be >= 1 (or None to disable)")
+    if ttl_seconds is not None and ttl_seconds <= 0:
+        raise ValueError("ttl_seconds must be positive (or None to disable)")
+
+    new = semantic_prep(arrivals, centroids, vec_col, id_col)
+    n, s = new.alias("n"), store_prepped.alias("s")
+    dot = F.aggregate(
+        F.zip_with(F.col("n.emb"), F.col("s.emb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    score = dot / F.nullif(F.col("n.nrm") * F.col("s.nrm"), F.lit(0.0))
+    vs_store = (
+        n.join(s, F.col("n.cid") == F.col("s.cid"))
+        .filter(F.col("n.vec_id") != F.col("s.vec_id"))
+        .select(
+            F.least(F.col("n.vec_id"), F.col("s.vec_id")).alias("doc_a"),
+            F.greatest(F.col("n.vec_id"), F.col("s.vec_id")).alias("doc_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+    ttl_ms = None if ttl_seconds is None else max(1, int(ttl_seconds * 1000))
+
+    def proc(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        # entries are (vec_id, emb ndarray, nrm, arrival_ms)
+        seen: list[tuple] = pickle.loads(state.get[0]) if state.exists else []
+        now = state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
+        if ttl_ms is not None:
+            horizon = now - ttl_ms
+            seen = [e for e in seen if e[3] > horizon]
+        pairs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("vec_id")
+            for row in pdf.itertuples(index=False):
+                v = np.asarray(row.emb, dtype=np.float64)
+                nr = float(row.nrm)
+                for oid, ov, onrm, _ts in seen:
+                    if oid == row.vec_id:
+                        continue
+                    denom = nr * onrm
+                    if denom == 0:
+                        continue
+                    sc = float(np.dot(v, ov) / denom)
+                    if sc >= threshold:
+                        a, b = sorted((oid, row.vec_id))
+                        pairs.append((a, b, sc))
+                seen.append((row.vec_id, v, nr, now))
+                if max_per_cell is not None and len(seen) > max_per_cell:
+                    del seen[: len(seen) - max_per_cell]  # oldest-first
+        if seen:
+            state.update((cloudpickle.dumps(seen),))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b", "score"])
+
+    vs_new = new.groupBy("cid").applyInPandasWithState(
+        proc,
+        outputStructType="doc_a long, doc_b long, score double",
+        stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    return vs_store.unionByName(vs_new)

@@ -685,3 +685,39 @@ def test_streaming_lsh_dedup_ttl_evicts_old_signatures(spark):
         got = {(r["doc_a"], r["doc_b"]) for r in spark.table("t_slsh_ttl").collect()}
     assert (2, 3) in got  # inside-horizon duplicate found
     assert (1, 2) not in got and (1, 3) not in got  # stale signature evicted
+
+
+def test_streaming_semantic_dedup_cap_bounds_state(spark):
+    """max_per_cell=1 keeps only the newest embedding per cell:
+    identical vectors across three batches pair only with their
+    immediate predecessor (the semantic twin of the LSH cap test —
+    the bounded-state guarantee for month-long embedding ingests)."""
+    from rspl_spark.streaming.llm import semantic_prep, streaming_semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    vec = [1.0, 0.1]
+    chunks = [
+        spark.createDataFrame([(i, vec)], "vec_id long, embedding array<float>")
+        for i in (1, 2, 3)
+    ]
+    empty_store = semantic_prep(
+        chunks[0].limit(0), cents
+    )  # store-free run: only the stateful path is active
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "vec_id long, embedding array<float>")
+        pairs = streaming_semantic_dedup(
+            stream, empty_store, cents, threshold=0.5, max_per_cell=1
+        )
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("t_ssem_cap")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["doc_a"], r["doc_b"]) for r in spark.table("t_ssem_cap").collect()}
+    assert (1, 2) in got
+    assert (2, 3) in got
+    assert (1, 3) not in got  # evicted by the cap before batch 3

@@ -307,3 +307,56 @@ def test_streaming_pq_encode_matches_batch(spark):
             for r in spark.table("t_pq_stream").collect()
         }
     assert got == batch
+
+
+def test_streaming_semantic_dedup_matches_batch_blocked_pairs(spark):
+    """Embedding arrivals probing the persisted semantic store: the
+    union of (stream-static cell probe) and (stateful new-vs-new cosine)
+    reproduces the batch cell-blocked pair set touching the arrivals on
+    the same prefix, after the documented groupBy-max dedup — the last
+    batch-only LLM op's streaming twin."""
+    from rspl_spark.operators.similarity import (
+        cell_cosine_pairs,
+        kmeans_fit,
+    )
+    from rspl_spark.streaming.llm import semantic_prep, streaming_semantic_dedup
+
+    thr = 0.4
+    e = load(spark, SF, "embeddings").localCheckpoint()
+    store_vecs = e.filter(F.col("vec_id") % 3 != 0)
+    arrivals = e.filter(F.col("vec_id") % 3 == 0)
+    cents = kmeans_fit(store_vecs, k=8, iters=2)
+
+    # batch reference: same centroids, same blocking, pairs touching an
+    # arrival (vs-store or vs-new within a cell)
+    prepped_all = semantic_prep(e, cents)
+    want = {
+        (r["vec_id_a"], r["vec_id_b"], round(r["raw_score"], 6))
+        for r in cell_cosine_pairs(prepped_all, min_raw=thr - 1e-6)
+        .filter((F.col("vec_id_a") % 3 == 0) | (F.col("vec_id_b") % 3 == 0))
+        .filter(F.col("raw_score") >= thr)
+        .collect()
+    }
+
+    store_prepped = semantic_prep(store_vecs, cents).localCheckpoint()
+    pdf = arrivals.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    half = len(pdf) // 2
+    schema = arrivals.select("vec_id", "embedding").schema
+    chunks = [
+        spark.createDataFrame(pdf.iloc[:half], schema),
+        spark.createDataFrame(pdf.iloc[half:], schema),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "vec_id long, embedding array<float>")
+        out = streaming_semantic_dedup(stream, store_prepped, cents, threshold=thr)
+        run_to_memory_sink(out, "t_semantic_stream", timeout_s=180)
+        raw = spark.table("t_semantic_stream")
+    got = {
+        (r["doc_a"], r["doc_b"], r["score"])
+        for r in raw.groupBy("doc_a", "doc_b")
+        .agg(F.round(F.max("score"), 6).alias("score"))
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
