@@ -610,3 +610,140 @@ def test_fuzz_hof_queries(spark, duck):
         if not sdf.equals(ddf):
             failures.append((i, sql))
     assert not failures, f"hof fuzz mismatches: {failures}"
+
+
+def _gen_setop_query(rng: random.Random):
+    """Random parenthesized set-op chains over filtered low-cardinality
+    projections of lineitem (grammar #11): UNION/INTERSECT/EXCEPT with
+    and without ALL, left-folded on both engines. Multiset (ALL)
+    semantics are the interesting part — duplicates survive or cancel
+    per-occurrence, which single-example gates barely exercise."""
+    m = rng.randint(2, 5)
+    cols_spark = ["l_returnflag", "l_linestatus"]
+    proj_sql = f"l_returnflag, l_linestatus, l_orderkey % {m} AS k"
+
+    def leg():
+        kind = rng.choice(["flag", "status", "qty", "none"])
+        if kind == "flag":
+            v = rng.choice(["A", "N", "R"])
+            return f"l_returnflag = '{v}'", lambda df: df.filter(F.col("l_returnflag") == v)
+        if kind == "status":
+            v = rng.choice(["O", "F"])
+            return f"l_linestatus = '{v}'", lambda df: df.filter(F.col("l_linestatus") == v)
+        if kind == "qty":
+            v = rng.randint(5, 45)
+            return f"l_quantity > {v}", lambda df: df.filter(F.col("l_quantity") > v)
+        return "1 = 1", lambda df: df
+
+    n_legs = rng.randint(2, 3)
+    legs = [leg() for _ in range(n_legs)]
+    ops = [
+        rng.choice(
+            ["UNION ALL", "UNION", "INTERSECT ALL", "INTERSECT", "EXCEPT ALL", "EXCEPT"]
+        )
+        for _ in range(n_legs - 1)
+    ]
+
+    def spark_fn(spark):
+        li = load(spark, SF, "lineitem")
+
+        def one(flt):
+            return flt(li).select(
+                *cols_spark, (F.col("l_orderkey") % m).alias("k")
+            )
+
+        acc = one(legs[0][1])
+        for op, (_, flt) in zip(ops, legs[1:]):
+            nxt = one(flt)
+            if op == "UNION ALL":
+                acc = acc.union(nxt)
+            elif op == "UNION":
+                acc = acc.union(nxt).distinct()
+            elif op == "INTERSECT ALL":
+                acc = acc.intersectAll(nxt)
+            elif op == "INTERSECT":
+                acc = acc.intersect(nxt)
+            elif op == "EXCEPT ALL":
+                acc = acc.exceptAll(nxt)
+            else:
+                acc = acc.subtract(nxt)
+        return acc.groupBy("l_returnflag", "l_linestatus", "k").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+
+    sql = f"(SELECT {proj_sql} FROM lineitem WHERE {legs[0][0]})"
+    for op, (pred, _) in zip(ops, legs[1:]):
+        sql = f"({sql} {op} (SELECT {proj_sql} FROM lineitem WHERE {pred}))"
+    sql = (
+        "SELECT l_returnflag, l_linestatus, k, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM {sql} t GROUP BY 1, 2, 3"
+    )
+    return spark_fn, sql
+
+
+def test_fuzz_setop_queries(spark, duck):
+    rng = random.Random(111111)
+    failures = []
+    for i in range(15):
+        spark_fn, sql = _gen_setop_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"set-op fuzz mismatches: {failures}"
+
+
+def _gen_pivot_roundtrip_query(rng: random.Random):
+    """Pivot → unpivot round-trips (grammar #12): groupBy A pivot B
+    agg(num) then unpivot back and drop empty cells must equal the flat
+    GROUP BY A, B aggregate — checked against DuckDB computing the flat
+    form directly. Exercises explicit pivot value lists, cell NULL
+    semantics, and unpivot column naming in one property."""
+    id_col, pv_col, pv_vals = rng.choice(
+        [
+            ("l_returnflag", "l_linestatus", ["F", "O"]),
+            ("l_linestatus", "l_returnflag", ["A", "N", "R"]),
+        ]
+    )
+    agg_col = rng.choice(NUM_COLS)
+    agg_kind = rng.choice(["sum", "count", "max"])
+    q = rng.randint(0, 40)
+
+    def spark_fn(spark):
+        li = load(spark, SF, "lineitem").filter(F.col("l_quantity") > q)
+        if agg_kind == "sum":
+            a = F.round(F.sum(agg_col), 4)
+        elif agg_kind == "max":
+            a = F.round(F.max(agg_col), 6)
+        else:
+            a = F.count(agg_col).cast("double")
+        wide = li.groupBy(id_col).pivot(pv_col, pv_vals).agg(a.alias("v"))
+        return (
+            wide.unpivot([id_col], pv_vals, "pv", "val")
+            .filter(F.col("val").isNotNull())
+            .select(id_col, "pv", F.col("val").cast("double").alias("val"))
+        )
+
+    if agg_kind == "sum":
+        a = f"ROUND(SUM({agg_col}), 4)"
+    elif agg_kind == "max":
+        a = f"ROUND(MAX({agg_col}), 6)"
+    else:
+        a = f"CAST(COUNT({agg_col}) AS DOUBLE)"
+    sql = (
+        f"SELECT {id_col}, {pv_col} AS pv, CAST({a} AS DOUBLE) AS val "
+        f"FROM lineitem WHERE l_quantity > {q} GROUP BY 1, 2"
+    )
+    return spark_fn, sql
+
+
+def test_fuzz_pivot_roundtrip_queries(spark, duck):
+    rng = random.Random(121212)
+    failures = []
+    for i in range(12):
+        spark_fn, sql = _gen_pivot_roundtrip_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"pivot round-trip fuzz mismatches: {failures}"
