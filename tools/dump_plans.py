@@ -50,6 +50,8 @@ FLAGSHIPS = [
     "q_heavy_hitters_cms",
     "q_quality_classifier",
     "q_bigram_lm_perplexity",
+    "q_approx_distinct_hll",
+    "q_ann_pq_adc_incremental",
 ]
 
 
