@@ -161,3 +161,27 @@ def run_complete_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120
     return run_to_memory_sink(
         stream_df, name, timeout_s=timeout_s, output_mode="complete"
     )
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming HyperLogLog registers: live distinct-count over an
+    unbounded key stream with PROVABLY bounded state.
+
+    Same windowless-aggregation argument as :func:`streaming_cms`: the
+    group key is (group..., idx), so the state store holds at most m
+    register rows per group FOREVER — max() merges micro-batch partials
+    exactly like partition partials, so the complete-mode output is
+    register-for-register equal to the batch
+    :func:`~rspl_spark.operators.sketches.hll_registers` of everything
+    ingested so far. Feed the emitted registers to ``hll_estimate`` (a
+    batch read of the memory/delta sink) for the live cardinality.
+
+    Delegate-to-the-batch-kernel: hll_registers' plan works unchanged on
+    a streaming frame, so batch and stream cannot drift apart."""
+    from rspl_spark.operators.sketches import hll_registers
+
+    return hll_registers(stream_df, key_col, group_cols=group_cols)

@@ -360,3 +360,56 @@ def test_streaming_semantic_dedup_matches_batch_blocked_pairs(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_hll_matches_batch_registers_with_bounded_state(spark):
+    """The streaming HLL over chunked keys ends register-for-register
+    equal to the batch registers of the full corpus (so hll_estimate of
+    the sink equals the batch estimate exactly), and the state store
+    never exceeds m rows — the CMS bounded-state argument applied to
+    distinct counting."""
+    import tempfile
+
+    from rspl_spark.operators.sketches import HLL_P, hll_estimate, hll_registers
+    from rspl_spark.streaming.analytics import run_complete_to_memory, streaming_hll
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    batch_regs = {
+        (r["idx"], r["mj"])
+        for r in hll_registers(li, "l_extendedprice").collect()
+    }
+    batch_est = hll_estimate(hll_registers(li, "l_extendedprice")).collect()[0][
+        "approx_distinct"
+    ]
+    pdf = li.orderBy("l_orderkey", "l_extendedprice").toPandas()
+    n = len(pdf)
+    chunks = [
+        spark.createDataFrame(
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3],
+            "l_orderkey long, l_extendedprice double",
+        )
+        for i in range(3)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "l_orderkey long, l_extendedprice double")
+        q = run_complete_to_memory(
+            streaming_hll(stream, "l_extendedprice"), "t_hll_stream", timeout_s=180
+        )
+        got = {
+            (r["idx"], r["mj"]) for r in spark.table("t_hll_stream").collect()
+        }
+        stream_est = hll_estimate(spark.table("t_hll_stream")).collect()[0][
+            "approx_distinct"
+        ]
+        state_rows = max(
+            (
+                op["numRowsTotal"]
+                for op in (q.lastProgress or {}).get("stateOperators", [])
+                if "numRowsTotal" in op
+            ),
+            default=0,
+        )
+    assert got == batch_regs
+    assert stream_est == batch_est
+    assert 0 < state_rows <= (1 << HLL_P)
