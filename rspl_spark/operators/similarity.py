@@ -324,6 +324,105 @@ def cell_cosine_pairs(
     return prepped.groupBy(cell_col).applyInPandas(fn, out_schema)
 
 
+def cell_cosine_pairs_blocked(
+    prepped: DataFrame,
+    max_cell_rows: int = 4096,
+    cell_col: str = "cid",
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    nrm_col: str = "nrm",
+    min_raw: float | None = None,
+) -> DataFrame:
+    """:func:`cell_cosine_pairs` with BOUNDED per-task memory: cells
+    larger than ``max_cell_rows`` are split into B = ceil(n/max) blocks
+    and every block PAIR (bi <= bj) becomes its own task — the
+    triangle-join grid. A row in block b is shipped to the B grid cells
+    containing b (shuffle cost x B for oversized cells only; healthy
+    cells keep B=1 and degenerate to the plain kernel), and each task
+    holds at most 2 * max_cell_rows vectors whatever the skew.
+
+    This closes cell_cosine_pairs' "a cell must fit one task's memory"
+    contract from the OTHER side: adaptive centroid count
+    (semantic_dedup's k = n/target_cell) bounds the EXPECTED cell size;
+    the grid bounds the WORST CASE — one pathological hot cell (near-
+    constant embeddings, a crawler loop) cannot OOM an executor, it
+    just fans out into B(B+1)/2 bounded tasks. Pair set is identical to
+    the unblocked kernel (parity-tested); block ids are assigned by
+    row_number within the cell, so the split is deterministic."""
+    cnt = prepped.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(cell_col).orderBy(id_col)
+    rows = (
+        prepped.join(cnt, cell_col)
+        .withColumn("_B", F.ceil(F.col("_n") / max_cell_rows).cast("int"))
+        .withColumn("_blk", ((F.row_number().over(w) - 1) % F.col("_B")))
+    )
+    # one grid entry per (row, partner block): (bi, bj) with bi <= bj
+    grid = F.concat(
+        F.transform(
+            F.sequence(F.col("_blk"), F.col("_B") - 1),
+            lambda j: F.struct(F.col("_blk").alias("bi"), j.alias("bj")),
+        ),
+        # sequence(0, -1) would generate a DESCENDING [0, -1] — guard
+        # block 0 with an empty array instead
+        F.when(
+            F.col("_blk") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("_blk") - 1),
+                lambda i: F.struct(i.alias("bi"), F.col("_blk").alias("bj")),
+            ),
+        ).otherwise(F.array().cast("array<struct<bi:int,bj:int>>")),
+    )
+    exploded = rows.select(
+        cell_col, id_col, emb_col, nrm_col, "_blk",
+        F.explode(grid).alias("_g"),
+    ).select(
+        cell_col, id_col, emb_col, nrm_col, "_blk",
+        F.col("_g.bi").alias("_bi"), F.col("_g.bj").alias("_bj"),
+    )
+    out_schema = f"{id_col}_a long, {id_col}_b long, raw_score double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bi, bj = pdf["_bi"].iat[0], pdf["_bj"].iat[0]
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        nrm = pdf[nrm_col].to_numpy()
+        if bi == bj:
+            # diagonal grid cell: triangle within the block
+            S = M @ M.T
+            denom = np.outer(nrm, nrm)
+            i, j = np.triu_indices(len(ids), 1)
+        else:
+            la = (pdf["_blk"] == bi).to_numpy()
+            lb = ~la
+            S = M[la] @ M[lb].T
+            denom = np.outer(nrm[la], nrm[lb])
+            i, j = np.meshgrid(
+                np.arange(int(la.sum())), np.arange(int(lb.sum())), indexing="ij"
+            )
+            i, j = i.ravel(), j.ravel()
+            ids_a, ids_b = ids[la], ids[lb]
+        if bi == bj:
+            a_ids, b_ids = ids[i], ids[j]
+        else:
+            a_ids, b_ids = ids_a[i], ids_b[j]
+        d = denom[i, j]
+        ok = d != 0
+        raw = np.where(ok, S[i, j] / np.where(ok, d, 1.0), np.nan)
+        keep = ok if min_raw is None else ok & (raw >= min_raw)
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame(
+            {
+                f"{id_col}_a": lo[keep],
+                f"{id_col}_b": hi[keep],
+                "raw_score": raw[keep],
+            }
+        )
+
+    return exploded.groupBy(cell_col, "_bi", "_bj").applyInPandas(fn, out_schema)
+
+
 # DoubleType() (not the DDL string "double"): the string form parses the
 # DDL through the active session at import time — importable only with a
 # running SparkContext.

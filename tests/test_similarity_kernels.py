@@ -261,3 +261,43 @@ def test_pca_power_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(Exception):
         pca_power_fit(df)
+
+
+def test_cell_cosine_pairs_blocked_parity_and_bound(spark):
+    """The triangle-join grid (bounded per-task memory for skewed cells)
+    emits exactly the unblocked kernel's pairs: forced blocking
+    (max_cell_rows far below the cell sizes) must change the plan, not
+    the answer. Also checks B=1 degeneration on a loose bound."""
+    from rspl_spark.catalog import load
+    from rspl_spark.operators.similarity import (
+        cell_cosine_pairs,
+        cell_cosine_pairs_blocked,
+        kmeans_assign,
+        kmeans_fit,
+        unit_prep,
+    )
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = kmeans_fit(e, k=4, iters=1)
+    prepped = (
+        unit_prep(e, "vec_id", "emb", "nrm")
+        .join(kmeans_assign(e, cents).select("vec_id", "cid"), "vec_id")
+        .localCheckpoint()
+    )
+
+    def canon(df):
+        return {
+            (r["vec_id_a"], r["vec_id_b"], round(r["raw_score"], 9))
+            for r in df.collect()
+        }
+
+    want = canon(cell_cosine_pairs(prepped, min_raw=0.3))
+    got_forced = canon(
+        cell_cosine_pairs_blocked(prepped, max_cell_rows=37, min_raw=0.3)
+    )
+    got_loose = canon(
+        cell_cosine_pairs_blocked(prepped, max_cell_rows=10**6, min_raw=0.3)
+    )
+    assert got_forced == want
+    assert got_loose == want
+    assert len(want) > 0
