@@ -661,6 +661,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     target_cell: int = 512,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate dedup, end to end: trained-cell
     blocking (kmeans_fit/assign) → in-cell BLAS cosine pairs ≥ threshold
@@ -680,7 +681,11 @@ def semantic_dedup(
     scan is O(n^2 / k) — measured super-linear in the sf0.1->sf3 sweep.
     Scaling the cell count keeps per-cell work bounded, so total pair
     work grows ~linearly; the kmeans fit itself is O(n * k * d) per
-    iter, which the cap bounds (beyond it, fit on a sample)."""
+    iter, which the cap bounds (beyond it, fit on a sample).
+
+    ``max_cell_rows`` (optional) additionally bounds the WORST-CASE
+    task via :func:`cell_cosine_pairs_blocked` — adaptive k bounds the
+    expected cell size, the grid bounds a pathological hot cell."""
     from rspl_spark.operators.dedup import connected_components_star
 
     if k is None:
@@ -688,7 +693,12 @@ def semantic_dedup(
     cents = kmeans_fit(e, vec_col, id_col, k, iters)
     assign = kmeans_assign(e, cents, vec_col, id_col).select(id_col, "cid")
     prepped = unit_prep(e, id_col, "emb", "nrm", vec_col, id_col).join(assign, id_col)
-    pairs = cell_cosine_pairs(prepped, min_raw=threshold - 1e-6, id_col=id_col)
+    if max_cell_rows is not None:
+        pairs = cell_cosine_pairs_blocked(
+            prepped, max_cell_rows, min_raw=threshold - 1e-6, id_col=id_col
+        )
+    else:
+        pairs = cell_cosine_pairs(prepped, min_raw=threshold - 1e-6, id_col=id_col)
     edges = (
         pairs.select(
             F.col(f"{id_col}_a").alias("doc_a"),
