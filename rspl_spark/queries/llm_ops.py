@@ -2385,6 +2385,62 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Time-bucketed HLL: distinct users per day — the dashboard cardinality
+# primitive (registers keyed by (day, idx), so a year of days costs
+# 365*m register rows, not 365 * |users|). m=32 here: daily cardinality
+# is small, and the COARSER sketch deliberately exercises BOTH estimate
+# branches across SFs (sf0.001 days fall into linear counting, sf0.01
+# days use the raw formula — branch choice itself is deterministic
+# because E compares identically on both engines; the linear branch's
+# ln() carries the documented <=1-ulp libm risk that round(2) absorbs,
+# same class as every round(6) float gate).
+
+_HLL_DAY_P = 5
+
+
+def _hll_day_oracle() -> str:
+    from rspl_spark.operators.sketches import hll_sql
+
+    ctes = hll_sql(
+        "(SELECT CAST(ts AS DATE) AS day, user_id FROM events) ev",
+        "user_id",
+        ("day",),
+        p=_HLL_DAY_P,
+    )
+    return f"""
+WITH {ctes},
+dexact AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.day, h.approx_distinct, e.exact_distinct
+FROM hest h JOIN dexact e USING (day)
+ORDER BY e.day
+"""
+
+
+@query(
+    "q_hll_daily_users",
+    oracle=_hll_day_oracle(),
+    tags=("llm", "sketch", "aggregation", "time"),
+)
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "user_id")
+    est = hll_estimate(hll_registers(d, "user_id", ("day",), p=_HLL_DAY_P), ("day",), p=_HLL_DAY_P)
+    exact = d.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "day")
+        .select("day", "approx_distinct", "exact_distinct")
+        .orderBy("day")
+    )
+
+
 # Semantic dedup: the embedding-space sibling of MinHash dedup as ONE
 # decision table. Trained-cell blocked cosine pairs >= 0.4 (the
 # q_embedding_cosine_pairs machinery) feed O(log n) connected
