@@ -18,7 +18,7 @@ the q_heavy_hitters_cms gate is an exact hash check.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -208,4 +208,132 @@ hest AS (
                     THEN {float(m)!r} * LN({float(m)!r} / CAST(v AS DOUBLE))
                     ELSE {numer} / CAST(s AS DOUBLE) END, 2) AS approx_distinct
   FROM hagg
+)"""
+
+
+# --- Histogram quantiles ----------------------------------------------------
+#
+# approx_percentile's t-digest is engine-private (same story as HLL++);
+# the replayable scale-native alternative is a fixed-bin equi-width
+# histogram: integer bin counts are MERGEABLE by addition (partial agg
+# IS the merge; shuffle <= nbins rows per partition per group), and the
+# quantile estimate is linear interpolation inside the bin where the
+# cumulative count crosses q*N — every intermediate an exact integer or
+# an identically-promoted double, so DuckDB reproduces the estimate
+# bit-for-bit. Error bound: one bin width (range/nbins). Together with
+# CMS (frequency) and HLL (cardinality) this completes the bounded-
+# state sketch trio.
+
+
+def hist_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_cols: tuple[str, ...] = (),
+    nbins: int = 256,
+) -> DataFrame:
+    """(group..., q, est) — histogram-interpolated quantiles per group.
+
+    Range [lo, hi] is the group's exact min/max (one partial-agg pass,
+    broadcast back); bin width (hi-lo)/nbins; values at hi clamp into
+    the last bin. A degenerate group (hi == lo) estimates lo for every
+    q. Two shuffles total: the min/max/count agg and the <= nbins-row
+    bin-count agg."""
+    g = list(group_cols)
+    stats = df.groupBy(*g).agg(
+        F.min(col).cast("double").alias("_lo"),
+        F.max(col).cast("double").alias("_hi"),
+        F.count(col).cast("long").alias("_n"),
+    )
+    j = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(nbins - 1),
+            F.floor((F.col(col).cast("double") - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    bins = (
+        j.select(*g, "_lo", "_hi", "_n", bin_.alias("_bin"))
+        .groupBy(*g, "_lo", "_hi", "_n", "_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    w = Window.partitionBy(*g).orderBy("_bin") if g else Window.orderBy("_bin")
+    cum = bins.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_prev", F.col("_cum") - F.col("_cnt")
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    t = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "_target", F.col("q") * F.col("_n").cast("double")
+    )
+    hit = t.filter(
+        (F.col("_prev").cast("double") < F.col("_target"))
+        & (F.col("_target") <= F.col("_cum").cast("double"))
+    )
+    width_h = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+        F.col("_lo")
+        + width_h
+        * (
+            F.col("_bin").cast("double")
+            + (F.col("_target") - F.col("_prev").cast("double"))
+            / F.col("_cnt").cast("double")
+        )
+    )
+    return hit.select(*g, "q", F.round(est, 4).alias("est"))
+
+
+def hist_quantiles_sql(
+    table_expr: str,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_exprs: tuple[str, ...] = (),
+    nbins: int = 256,
+) -> str:
+    """DuckDB mirror of :func:`hist_quantiles` (CTE chain ending in
+    ``hq``). Bin counts are integers and the interpolation applies the
+    same operations in the same order, so estimates hash-match."""
+    g = list(group_exprs)
+    gsel = "".join(f"{x}, " for x in g)
+    dsel = "".join(f"d.{x}, " for x in g)
+    gby = ("GROUP BY " + ", ".join(g)) if g else ""
+    on = (" AND ".join(f"d.{x} = s.{x}" for x in g)) or "TRUE"
+    part = ("PARTITION BY " + ", ".join(f"b.{x}" for x in g)) if g else ""
+    qvals = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+hstats AS (
+  SELECT {gsel}CAST(MIN({col}) AS DOUBLE) AS _lo,
+         CAST(MAX({col}) AS DOUBLE) AS _hi,
+         CAST(COUNT({col}) AS BIGINT) AS _n
+  FROM {table_expr} {gby}
+),
+hbins AS (
+  SELECT {dsel}s._lo, s._hi, s._n,
+         CASE WHEN s._hi = s._lo THEN 0
+              ELSE LEAST({nbins - 1},
+                         CAST(FLOOR((CAST(d.{col} AS DOUBLE) - s._lo)
+                                    / ((s._hi - s._lo) / {float(nbins)!r})) AS INT))
+         END AS _bin,
+         CAST(COUNT(*) AS BIGINT) AS _cnt
+  FROM {table_expr} d JOIN hstats s ON {on}
+  GROUP BY ALL
+),
+hcum AS (
+  SELECT b.*, CAST(SUM(_cnt) OVER ({part} ORDER BY _bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum
+  FROM hbins b
+),
+hq AS (
+  SELECT {gsel}q,
+         ROUND(CASE WHEN _hi = _lo THEN _lo
+                    ELSE _lo + ((_hi - _lo) / {float(nbins)!r})
+                          * (CAST(_bin AS DOUBLE)
+                             + (q * CAST(_n AS DOUBLE) - CAST(_cum - _cnt AS DOUBLE))
+                               / CAST(_cnt AS DOUBLE))
+               END, 4) AS est
+  FROM hcum CROSS JOIN (VALUES {qvals}) qs(q)
+  WHERE CAST(_cum - _cnt AS DOUBLE) < q * CAST(_n AS DOUBLE)
+    AND q * CAST(_n AS DOUBLE) <= CAST(_cum AS DOUBLE)
 )"""

@@ -2441,6 +2441,42 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Histogram quantiles: the replayable approximate-percentile path
+# (approx_percentile's t-digest is engine-private, the HLL++ story
+# again). Integer bin counts merge by addition — partial agg IS the
+# merge, shuffle <= nbins rows/partition/group — and the interpolation
+# applies identical operations in identical order on both engines, so
+# the gate hash-checks the ESTIMATES. Completes the bounded-state
+# sketch trio: CMS (frequency), HLL (cardinality), histogram
+# (quantiles).
+
+
+def _hist_q_oracle() -> str:
+    from rspl_spark.operators.sketches import hist_quantiles_sql
+
+    ctes = hist_quantiles_sql(
+        "lineitem", "l_extendedprice", (0.5, 0.95, 0.99), ("l_returnflag",)
+    )
+    return f"""
+WITH {ctes}
+SELECT l_returnflag, q, est FROM hq ORDER BY l_returnflag, q
+"""
+
+
+@query(
+    "q_approx_percentile_hist",
+    oracle=_hist_q_oracle(),
+    tags=("llm", "sketch", "aggregation"),
+)
+def q_approx_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.sketches import hist_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return hist_quantiles(
+        li, "l_extendedprice", (0.5, 0.95, 0.99), ("l_returnflag",)
+    ).orderBy("l_returnflag", "q")
+
+
 # Semantic dedup: the embedding-space sibling of MinHash dedup as ONE
 # decision table. Trained-cell blocked cosine pairs >= 0.4 (the
 # q_embedding_cosine_pairs machinery) feed O(log n) connected

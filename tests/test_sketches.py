@@ -215,3 +215,38 @@ def test_portable_hll_register_bound(spark):
         .collect()
     )
     assert all(r["count"] <= (1 << HLL_P) for r in counts)
+
+
+def test_hist_quantiles_accuracy_and_bound(spark):
+    """Histogram quantile error is bounded by one bin width; assert the
+    p50/p95 estimates land within 2 bins of the exact percentiles on a
+    uniform corpus, and the bin table never exceeds nbins rows/group."""
+    from rspl_spark.operators.sketches import hist_quantiles
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 10_000).cast("double").alias("v")
+    )
+    nbins = 128
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in hist_quantiles(df, "v", (0.5, 0.95), ("g",), nbins=nbins).collect()
+    }
+    width = 9999.0 / nbins
+    for g in (0, 1):
+        exact = df.filter(F.col("g") == g).selectExpr(
+            "percentile(v, 0.5) p50", "percentile(v, 0.95) p95"
+        ).collect()[0]
+        assert abs(est[(g, 0.5)] - exact["p50"]) <= 2 * width
+        assert abs(est[(g, 0.95)] - exact["p95"]) <= 2 * width
+
+
+def test_hist_quantiles_degenerate_group(spark):
+    """A constant-valued group (hi == lo) estimates the constant for
+    every q instead of dividing by zero width."""
+    from rspl_spark.operators.sketches import hist_quantiles
+
+    df = spark.range(100).select(F.lit("a").alias("g"), F.lit(7.5).alias("v"))
+    rows = hist_quantiles(df, "v", (0.5, 0.99), ("g",)).collect()
+    assert {(r["g"], r["q"], r["est"]) for r in rows} == {
+        ("a", 0.5, 7.5), ("a", 0.99, 7.5)
+    }
