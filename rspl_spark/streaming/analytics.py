@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -185,3 +186,40 @@ def streaming_hll(
     from rspl_spark.operators.sketches import hll_registers
 
     return hll_registers(stream_df, key_col, group_cols=group_cols)
+
+
+def streaming_hist(
+    stream_df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming fixed-range histogram: live quantile sketching over an
+    unbounded stream with at most nbins+1 state rows per group (the
+    extra row catches out-of-range values in the clamp bins).
+
+    The batch :func:`~rspl_spark.operators.sketches.hist_quantiles`
+    derives [lo, hi] from the data — a second pass a stream cannot
+    take; the streaming form pins the range up front (dashboards know
+    their axis) and clamps outliers into the edge bins. Counts merge by
+    addition across micro-batches exactly like partition partials, so
+    complete-mode output equals the batch bin counts of everything
+    ingested; interpolate quantiles from the sink with the same
+    formula."""
+    if hi <= lo:
+        raise ValueError("streaming_hist: hi must exceed lo")
+    width = (hi - lo) / float(nbins)
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(nbins - 1),
+            F.floor((F.col(col).cast("double") - lo) / width).cast("int"),
+        ),
+    )
+    return (
+        stream_df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

@@ -413,3 +413,48 @@ def test_streaming_hll_matches_batch_registers_with_bounded_state(spark):
     assert got == batch_regs
     assert stream_est == batch_est
     assert 0 < state_rows <= (1 << HLL_P)
+
+
+def test_streaming_hist_matches_batch_bins_with_bounded_state(spark):
+    """Streaming fixed-range histogram ends bin-for-bin equal to the
+    batch bin counts over the same rows, with state bounded at nbins."""
+    import tempfile
+
+    from rspl_spark.streaming.analytics import run_complete_to_memory, streaming_hist
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    lo, hi, nbins = 900.0, 105000.0, 64
+    batch = {
+        (r["bin"], r["cnt"])
+        for r in streaming_hist(li, "l_extendedprice", lo, hi, nbins).collect()
+    }
+    pdf = li.orderBy("l_orderkey", "l_extendedprice").toPandas()
+    n = len(pdf)
+    chunks = [
+        spark.createDataFrame(
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3],
+            "l_orderkey long, l_extendedprice double",
+        )
+        for i in range(3)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "l_orderkey long, l_extendedprice double")
+        q = run_complete_to_memory(
+            streaming_hist(stream, "l_extendedprice", lo, hi, nbins),
+            "t_hist_stream",
+            timeout_s=180,
+        )
+        got = {
+            (r["bin"], r["cnt"]) for r in spark.table("t_hist_stream").collect()
+        }
+        state_rows = max(
+            (
+                op["numRowsTotal"]
+                for op in (q.lastProgress or {}).get("stateOperators", [])
+                if "numRowsTotal" in op
+            ),
+            default=0,
+        )
+    assert got == batch
+    assert 0 < state_rows <= nbins
