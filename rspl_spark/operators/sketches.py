@@ -22,13 +22,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _bucket(key: Column, i: int, w: int) -> Column:
-    """Row i's bucket for ``key``: the repo's portable md5 hash (same
-    value as DuckDB's CAST('0x'||SUBSTR(MD5(i||':'||key),1,15) AS
-    BIGINT)) mod w."""
-    from rspl_spark.operators.dedup import portable_hash
-
-    return portable_hash(F.concat(F.lit(f"{i}:"), key)) % w
+def _fields(h: Column, d: int, w: int) -> list[Column]:
+    """The d bucket indices from ONE portable md5 hash column ``h``:
+    disjoint 20-bit fields of the 60 hash bits, each mod w. md5 bits
+    are independent, so the d row-hashes are too — and one digest
+    instead of d cuts the dominant cost of the sketch build (the
+    md5+conv projection) by d. Integer-only, so SQL replays exactly."""
+    if not 1 <= d <= 3:
+        raise ValueError(f"d={d}: one 60-bit hash yields at most 3 20-bit rows")
+    if w > (1 << 20):
+        raise ValueError(f"w={w} exceeds the 20-bit field")
+    return [(F.shiftright(h, 20 * i) % (1 << 20)) % w for i in range(d)]
 
 
 def cms_sketch(
@@ -42,10 +46,18 @@ def cms_sketch(
     the exchange never carries more than d*w rows per partition
     whatever the corpus size. ``weight_col`` turns it into a weighted
     frequency sketch (default: each row counts 1)."""
+    from rspl_spark.operators.dedup import portable_hash
+
     wcol = F.col(weight_col) if weight_col else F.lit(1)
-    buckets = F.array(*[_bucket(F.col(key_col), i, w) for i in range(d)])
+    # hash in a CHILD projection: one md5 per key, referenced d times.
+    # Inlining portable_hash into the d array slots is NOT CSE'd by
+    # codegen (measured 3x the md5 cost at 27.5M tokens, DEVNOTES r6);
+    # CollapseProject keeps the split because _h is non-cheap and
+    # multiply-referenced.
+    pre = df.select(portable_hash(F.col(key_col)).alias("_h"), wcol.alias("_w"))
+    buckets = F.array(*_fields(F.col("_h"), d, w))
     return (
-        df.select(F.posexplode(buckets).alias("i", "bucket"), wcol.alias("_w"))
+        pre.select(F.posexplode(buckets).alias("i", "bucket"), "_w")
         .groupBy("i", "bucket")
         .agg(F.sum("_w").cast("long").alias("c"))
     )
@@ -67,8 +79,11 @@ def cms_estimate(
     d rows of the key's cell counts. The sketch is <= d*w rows —
     broadcast — so the probe is a narrow map-side join however many
     keys are probed. Keys hashing to empty cells estimate 0."""
-    buckets = F.array(*[_bucket(F.col(key_col), i, w) for i in range(d)])
-    probes = keys.select(
+    from rspl_spark.operators.dedup import portable_hash
+
+    pre = keys.select(key_col, portable_hash(F.col(key_col)).alias("_h"))
+    buckets = F.array(*_fields(F.col("_h"), d, w))
+    probes = pre.select(
         key_col, F.posexplode(buckets).alias("i", "bucket")
     )
     return (
@@ -79,10 +94,9 @@ def cms_estimate(
 
 
 def cms_bucket_sql(key_expr: str, i: int, w: int) -> str:
-    """DuckDB mirror of :func:`_bucket` for oracle SQL."""
-    return (
-        f"CAST('0x' || SUBSTR(MD5('{i}:' || {key_expr}), 1, 15) AS BIGINT) % {w}"
-    )
+    """DuckDB mirror of :func:`_buckets`' row i for oracle SQL."""
+    h = f"CAST('0x' || SUBSTR(MD5({key_expr}), 1, 15) AS BIGINT)"
+    return f"(({h} // {1 << (20 * i)}) % {1 << 20}) % {w}"
 
 
 # --- HyperLogLog ------------------------------------------------------------

@@ -2275,6 +2275,9 @@ def q_ann_pq_adc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_W = 64
 _CMS_D = 3
 
+# hrows carries the integer divisor 2^(20*i) so the bucket derivation
+# stays integer division (h // 2^(20*i)) % 2^20 % w — the one-md5
+# field split of operators/sketches._buckets, replayed exactly.
 _CMS_ORACLE = f"""
 WITH tok AS (
   SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
@@ -2283,11 +2286,14 @@ tf AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
   FROM tok WHERE token <> '' GROUP BY token
 ),
-hrows AS (SELECT UNNEST(RANGE(0, {_CMS_D})) AS i),
+hrows AS (
+  SELECT UNNEST(RANGE(0, {_CMS_D})) AS i,
+         UNNEST([{", ".join(str(1 << (20 * i)) + "::BIGINT" for i in range(_CMS_D))}]) AS dv
+),
 cells AS (
   SELECT h.i,
-         CAST('0x' || SUBSTR(MD5(CAST(h.i AS VARCHAR) || ':' || t.token), 1, 15)
-              AS BIGINT) % {_CMS_W} AS bucket,
+         ((CAST('0x' || SUBSTR(MD5(t.token), 1, 15) AS BIGINT) // h.dv)
+          % {1 << 20}) % {_CMS_W} AS bucket,
          CAST(SUM(t.true_cnt) AS BIGINT) AS c
   FROM tf t CROSS JOIN hrows h
   GROUP BY 1, 2
@@ -2298,8 +2304,8 @@ est AS (
   CROSS JOIN hrows h
   JOIN cells c
     ON c.i = h.i
-   AND c.bucket = CAST('0x' || SUBSTR(MD5(CAST(h.i AS VARCHAR) || ':' || t.token),
-                                      1, 15) AS BIGINT) % {_CMS_W}
+   AND c.bucket = ((CAST('0x' || SUBSTR(MD5(t.token), 1, 15) AS BIGINT) // h.dv)
+                   % {1 << 20}) % {_CMS_W}
   GROUP BY t.token
 )
 SELECT token, est, true_cnt FROM est
