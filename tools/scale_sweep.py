@@ -46,20 +46,31 @@ def main() -> None:
 
     reg = load_registry()
     spark = get_spark("rspl-scale-sweep")
+
+    def run(df) -> int:
+        # noop sink, NOT count(): count() lets Catalyst prune every
+        # non-key column through the aggregates — for q_approx_distinct_hll
+        # it deleted the md5 sketch entirely (0.5s "measured" vs ~3s real
+        # at sf10, DEVNOTES r6). The noop write materializes every output
+        # column without sinking bytes.
+        df.write.format("noop").mode("overwrite").save()
+        return df.count()
+
     out: dict[str, dict[str, float]] = {n: {} for n in names}
     rows: dict[str, dict[str, int]] = {n: {} for n in names}
     for d in dirs:
         label = os.path.basename(d.rstrip("/"))
         for n in names:
             fn = reg[n].fn
-            fn(spark, d).count()  # warm: codegen/broadcast/memoized fits
+            run(fn(spark, d))  # warm: codegen/broadcast/memoized fits
             best, cnt = None, 0
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.time()
-                cnt = fn(spark, d).count()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
+            cnt = fn(spark, d).count()
             out[n][label] = round(best, 3)
             rows[n][label] = cnt
             print(f"# {label} {n}: {out[n][label]}s ({cnt} rows)", file=sys.stderr)
