@@ -92,7 +92,36 @@ def main() -> None:
         result["embedding_pairs"] = embedding_pairs_probe(spark, reg, sf_dir)
     except Exception as e:
         print(f"# embedding pairs probe failed: {e}", file=sys.stderr)
+    try:
+        result["sketch_trio"] = sketch_trio_probe(spark, reg, sf_dir)
+    except Exception as e:
+        print(f"# sketch trio probe failed: {e}", file=sys.stderr)
     print(json.dumps(result))
+
+
+def sketch_trio_probe(spark, reg, sf_dir: str) -> dict[str, float]:
+    """Supplementary metric: the three bounded-state sketches (CMS
+    frequency, HLL cardinality, histogram quantiles) measured with a
+    noop write — NOT count(), which Catalyst can hollow out by pruning
+    value columns through the aggregates (DEVNOTES r6). Steady-state
+    min of 2, one number per sketch."""
+    out: dict[str, float] = {}
+    for key, name in (
+        ("cms_sec", "q_heavy_hitters_cms"),
+        ("hll_sec", "q_approx_distinct_hll"),
+        ("hist_sec", "q_approx_percentile_hist"),
+    ):
+        fn = reg[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[key] = round(best, 3)
+    return out
 
 
 def _warm_python_workers(spark) -> None:
