@@ -52,7 +52,15 @@ def _ts_col(us: np.ndarray) -> pa.Array:
 
 
 def _write(out: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    # Cap row groups well under Spark's 128MB maxPartitionBytes: Spark
+    # assigns file SPLITS by byte range but a split only does work for
+    # row groups whose midpoint falls in it — a table written as one
+    # big row group runs on ONE task no matter how many splits exist
+    # (measured: every documents-based sf10 stage was a 1-straggler
+    # "(13+1)/14"). ~32k rows keeps groups at a few MB for every table.
+    pq.write_table(
+        table, os.path.join(out, f"{name}.parquet"), row_group_size=32768
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 
