@@ -519,3 +519,47 @@ def streaming_semantic_dedup(
         ),
     )
     return vs_store.unionByName(vs_new)
+
+
+def pq_index_ingest(
+    vectors: DataFrame,
+    index: str,
+    stale_threshold: float = 0.5,
+    full_corpus=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """``foreachBatch`` maintenance loop for the PERSISTED PQ index
+    (operators/ann_store.py): every micro-batch is append-encoded with
+    the index's STORED codebooks (a frozen-codebook narrow op — the hot
+    path never trains), then the staleness hook runs: once appended
+    rows exceed ``stale_threshold`` of the training base, the index is
+    refit on ``full_corpus()`` (a callable returning the current full
+    corpus — an out-of-band driver decision, same posture as
+    ivf_ingest_with_retrain's refit hook; pass None to never refit).
+
+    Returns the writeStream builder — call .start()/awaitTermination.
+    The batch pipeline's create/append/refresh and this stream maintain
+    the SAME table, so queries always probe one artifact."""
+    from rspl_spark.operators.ann_store import append_pq_index, refresh_pq_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_pq_index(
+            batch_df.sparkSession,
+            batch_df,
+            index,
+            vec_col=vec_col,
+            id_col=id_col,
+            tag=f"stream-batch-{batch_id}",
+        )
+        if full_corpus is not None:
+            refresh_pq_index(
+                batch_df.sparkSession,
+                full_corpus(),
+                index,
+                stale_threshold=stale_threshold,
+                vec_col=vec_col,
+                id_col=id_col,
+            )
+
+    return vectors.writeStream.foreachBatch(handle)

@@ -125,3 +125,51 @@ def test_staleness_and_refresh(spark, emb):
         assert spark.table(name).count() == emb.count()
     finally:
         _drop(spark, name)
+
+
+def test_streaming_pq_index_ingest(spark, emb):
+    """Streaming maintenance of the persisted index: micro-batches are
+    append-encoded with the STORED codebooks (no refit on the hot
+    path); the staleness hook refits once appended rows cross the
+    threshold. Same table as the batch pipeline throughout."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rspl_spark.streaming.llm import pq_index_ingest
+    from rspl_spark.streaming.sources import file_stream, write_stream_chunks
+
+    name = "pqidx_test_stream"
+    _drop(spark, name)
+    try:
+        base = emb.filter(F.col("vec_id") % 3 == 1)
+        create_pq_index(spark, base, name, overwrite=True)
+        books0 = pq_index_codebooks(spark, name)
+        arrivals = emb.filter(F.col("vec_id") % 3 != 1)
+        pdf = arrivals.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+        half = len(pdf) // 2
+        schema = arrivals.select("vec_id", "embedding").schema
+        chunks = [
+            spark.createDataFrame(pdf.iloc[:half], schema),
+            spark.createDataFrame(pdf.iloc[half:], schema),
+        ]
+        with tempfile.TemporaryDirectory() as tmp, tempfile.TemporaryDirectory() as ck:
+            write_stream_chunks(spark, tmp, chunks)
+            stream = file_stream(spark, tmp, "vec_id long, embedding array<float>")
+            q = (
+                pq_index_ingest(stream, name, stale_threshold=10.0)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck + "/ckpt")
+                .start()
+            )
+            q.awaitTermination(120)
+        # appends landed, codebooks untouched (threshold never crossed)
+        assert spark.table(name).count() == emb.count()
+        assert pq_index_codebooks(spark, name) == books0
+        assert pq_index_staleness(spark, name) > 1.0
+        # low-threshold refresh now refits on the full corpus
+        assert refresh_pq_index(spark, emb, name, stale_threshold=0.5) is True
+        assert pq_index_codebooks(spark, name) != books0
+        assert pq_index_staleness(spark, name) == 0.0
+    finally:
+        _drop(spark, name)
