@@ -747,3 +747,59 @@ def test_fuzz_pivot_roundtrip_queries(spark, duck):
         if not sdf.equals(ddf):
             failures.append((i, sql))
     assert not failures, f"pivot round-trip fuzz mismatches: {failures}"
+
+
+def _gen_sketch_query(rng: random.Random):
+    """Randomized sketch configs (grammar #13): HLL with varying
+    register count p and grouping, and histogram quantiles with varying
+    bin count / quantile set / grouping — the gates pin ONE config each;
+    this walks the parameter space against the same SQL mirrors."""
+    kind = rng.choice(["hll", "hist"])
+    grp = rng.choice([(), ("l_returnflag",), ("l_linestatus",)])
+    if kind == "hll":
+        from rspl_spark.operators.sketches import hll_estimate, hll_registers, hll_sql
+
+        p = rng.choice([6, 8, 10, 12])
+        key = rng.choice(["l_extendedprice", "l_partkey", "l_orderkey"])
+
+        def spark_fn(spark):
+            li = load(spark, SF, "lineitem")
+            out = hll_estimate(hll_registers(li, key, grp, p=p), grp, p=p)
+            return out.orderBy(*grp) if grp else out
+
+        gsel = "".join(f"{g}, " for g in grp)
+        sql = (
+            f"WITH {hll_sql('lineitem', key, grp, p=p)} "
+            f"SELECT {gsel}approx_distinct FROM hest"
+            + (f" ORDER BY {', '.join(grp)}" if grp else "")
+        )
+        return spark_fn, sql
+    from rspl_spark.operators.sketches import hist_quantiles, hist_quantiles_sql
+
+    nbins = rng.choice([16, 64, 100, 256])
+    qs = tuple(sorted(rng.sample([0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99], rng.randint(1, 3))))
+    col = rng.choice(["l_extendedprice", "l_quantity"])
+
+    def spark_fn(spark):
+        li = load(spark, SF, "lineitem")
+        return hist_quantiles(li, col, qs, grp, nbins=nbins).orderBy(*grp, "q")
+
+    gsel = "".join(f"{g}, " for g in grp)
+    order = ", ".join(list(grp) + ["q"])
+    sql = (
+        f"WITH {hist_quantiles_sql('lineitem', col, qs, grp, nbins=nbins)} "
+        f"SELECT {gsel}q, est FROM hq ORDER BY {order}"
+    )
+    return spark_fn, sql
+
+
+def test_fuzz_sketch_queries(spark, duck):
+    rng = random.Random(131313)
+    failures = []
+    for i in range(12):
+        spark_fn, sql = _gen_sketch_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql[:160]))
+    assert not failures, f"sketch fuzz mismatches: {failures}"
