@@ -52,6 +52,8 @@ FLAGSHIPS = [
     "q_bigram_lm_perplexity",
     "q_approx_distinct_hll",
     "q_ann_pq_adc_incremental",
+    "q_approx_percentile_hist",
+    "q_hll_daily_users",
 ]
 
 
