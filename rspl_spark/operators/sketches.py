@@ -134,15 +134,22 @@ def hll_registers(
 
     m = 1 << p
     wbits = 60 - p
-    h = portable_hash(F.col(key_col).cast("string"))
+    # hash in a CHILD projection referenced by idx and both rank
+    # branches. Measured neutral here (plain Project slots DO get
+    # subexpression elimination — unlike the posexplode array slots in
+    # cms_sketch, where inlining cost 3x, DEVNOTES r6); the explicit
+    # split guarantees single evaluation rather than relying on it.
+    pre = df.select(
+        *group_cols, portable_hash(F.col(key_col).cast("string")).alias("_h")
+    )
     # m = 2^p, so the split is exact bit arithmetic — h/m through
     # doubles would round above 2^53 and corrupt the suffix.
-    w = F.shiftright(h, p)
+    w = F.shiftright(F.col("_h"), p)
     rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(w))
     )
     return (
-        df.select(*group_cols, F.pmod(h, m).alias("idx"), rank.alias("rank"))
+        pre.select(*group_cols, F.pmod(F.col("_h"), m).alias("idx"), rank.alias("rank"))
         .groupBy(*group_cols, "idx")
         .agg(F.max("rank").cast("long").alias("mj"))
     )
