@@ -54,7 +54,11 @@ def cms_sketch(
     # codegen (measured 3x the md5 cost at 27.5M tokens, DEVNOTES r6);
     # CollapseProject keeps the split because _h is non-cheap and
     # multiply-referenced.
-    pre = df.select(portable_hash(F.col(key_col)).alias("_h"), wcol.alias("_w"))
+    # NULL keys hash to NULL and would materialize phantom NULL-bucket
+    # cells; count-distinct/frequency semantics ignore NULLs.
+    pre = df.filter(F.col(key_col).isNotNull()).select(
+        portable_hash(F.col(key_col).cast("string")).alias("_h"), wcol.alias("_w")
+    )
     buckets = F.array(*_fields(F.col("_h"), d, w))
     return (
         pre.select(F.posexplode(buckets).alias("i", "bucket"), "_w")
@@ -81,7 +85,9 @@ def cms_estimate(
     keys are probed. Keys hashing to empty cells estimate 0."""
     from rspl_spark.operators.dedup import portable_hash
 
-    pre = keys.select(key_col, portable_hash(F.col(key_col)).alias("_h"))
+    pre = keys.filter(F.col(key_col).isNotNull()).select(
+        key_col, portable_hash(F.col(key_col).cast("string")).alias("_h")
+    )
     buckets = F.array(*_fields(F.col("_h"), d, w))
     probes = pre.select(
         key_col, F.posexplode(buckets).alias("i", "bucket")
@@ -94,8 +100,8 @@ def cms_estimate(
 
 
 def cms_bucket_sql(key_expr: str, i: int, w: int) -> str:
-    """DuckDB mirror of :func:`_buckets`' row i for oracle SQL."""
-    h = f"CAST('0x' || SUBSTR(MD5({key_expr}), 1, 15) AS BIGINT)"
+    """DuckDB mirror of :func:`_fields`' row i for oracle SQL."""
+    h = f"CAST('0x' || SUBSTR(MD5(CAST({key_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
     return f"(({h} // {1 << (20 * i)}) % {1 << 20}) % {w}"
 
 
@@ -139,7 +145,10 @@ def hll_registers(
     # subexpression elimination — unlike the posexplode array slots in
     # cms_sketch, where inlining cost 3x, DEVNOTES r6); the explicit
     # split guarantees single evaluation rather than relying on it.
-    pre = df.select(
+    # NULL keys would create one phantom register per group (NULL idx,
+    # NULL mj — consistently on both engines, but semantically wrong:
+    # COUNT(DISTINCT x) ignores NULLs). Drop them first.
+    pre = df.filter(F.col(key_col).isNotNull()).select(
         *group_cols, portable_hash(F.col(key_col).cast("string")).alias("_h")
     )
     # m = 2^p, so the split is exact bit arithmetic — h/m through
@@ -212,7 +221,8 @@ hreg AS (
     SELECT {gsel}h % {m} AS idx,
            CASE WHEN h // {m} = 0 THEN {wbits + 1}
                 ELSE {wbits + 1} - LENGTH(BIN(h // {m})) END AS rank
-    FROM (SELECT {gsel}{h} AS h FROM {table_expr}) t
+    FROM (SELECT {gsel}{h} AS h FROM {table_expr}
+          WHERE {key_expr} IS NOT NULL) t
   ) r {gby_idx}
 ),
 hagg AS (
@@ -261,6 +271,11 @@ def hist_quantiles(
     q. Two shuffles total: the min/max/count agg and the <= nbins-row
     bin-count agg."""
     g = list(group_cols)
+    # NULL values: _n (COUNT(col)) already excludes them, so the bins
+    # must too — and a NULL bin would sort FIRST in Spark's cumulative
+    # window but LAST under DuckDB's ORDER BY, shifting every
+    # cumulative count between engines.
+    df = df.filter(F.col(col).isNotNull())
     stats = df.groupBy(*g).agg(
         F.min(col).cast("double").alias("_lo"),
         F.max(col).cast("double").alias("_hi"),
@@ -339,6 +354,7 @@ hbins AS (
          END AS _bin,
          CAST(COUNT(*) AS BIGINT) AS _cnt
   FROM {table_expr} d JOIN hstats s ON {on}
+  WHERE d.{col} IS NOT NULL
   GROUP BY ALL
 ),
 hcum AS (

@@ -250,3 +250,37 @@ def test_hist_quantiles_degenerate_group(spark):
     assert {(r["g"], r["q"], r["est"]) for r in rows} == {
         ("a", 0.5, 7.5), ("a", 0.99, 7.5)
     }
+
+
+def test_sketches_ignore_null_keys_and_values(spark):
+    """NULL keys/values follow COUNT(DISTINCT)/aggregate semantics:
+    ignored. Before this guard, NULLs minted phantom HLL registers and
+    CMS cells (consistently on both engines — semantically wrong, not
+    a hash risk) and a NULL histogram bin sorted FIRST under Spark's
+    cumulative window but LAST under DuckDB's ORDER BY — a latent
+    cross-engine divergence on any nullable column."""
+    from rspl_spark.operators.sketches import (
+        cms_sketch,
+        hist_quantiles,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.col("id") % 500).alias("k"),
+        F.when(F.col("id") % 10 != 0, (F.col("id") % 100).cast("double")).alias("v"),
+    )
+    clean = df.filter(F.col("k").isNotNull())
+
+    est_null = hll_estimate(hll_registers(df, "k")).collect()[0]["approx_distinct"]
+    est_clean = hll_estimate(hll_registers(clean, "k")).collect()[0]["approx_distinct"]
+    assert est_null == est_clean
+
+    cells_null = {tuple(r) for r in cms_sketch(df, "k").collect()}
+    cells_clean = {tuple(r) for r in cms_sketch(clean, "k").collect()}
+    assert cells_null == cells_clean
+    assert all(r[1] is not None for r in cells_null)
+
+    q_null = {tuple(r) for r in hist_quantiles(df, "v", (0.5,)).collect()}
+    q_clean = {tuple(r) for r in hist_quantiles(clean, "v", (0.5,)).collect()}
+    assert q_null == q_clean
