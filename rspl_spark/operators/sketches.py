@@ -138,6 +138,8 @@ def hll_registers(
     partial-agg groupBy — same scale shape as cms_sketch."""
     from rspl_spark.operators.dedup import portable_hash
 
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll_registers: p={p} outside [4, 18]")
     m = 1 << p
     wbits = 60 - p
     # hash in a CHILD projection referenced by idx and both rank
@@ -270,6 +272,10 @@ def hist_quantiles(
     the last bin. A degenerate group (hi == lo) estimates lo for every
     q. Two shuffles total: the min/max/count agg and the <= nbins-row
     bin-count agg."""
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"hist_quantiles: quantiles must lie in (0, 1]: {qs}")
+    if nbins < 2:
+        raise ValueError(f"hist_quantiles: nbins={nbins} < 2")
     g = list(group_cols)
     # NULL values: _n (COUNT(col)) already excludes them, so the bins
     # must too — and a NULL bin would sort FIRST in Spark's cumulative
