@@ -130,14 +130,13 @@ def append_pq_index(
     the appended row count (also accumulated in pq.appended_rows, the
     staleness numerator)."""
     cbs = pq_index_codebooks(spark, name)
-    before = spark.table(name).count()
-    (
-        pq_encode(new_vecs, cbs, vec_col=vec_col, id_col=id_col)
-        .write.mode("append")
-        .format("parquet")
-        .saveAsTable(name)
-    )
-    n = spark.table(name).count() - before
+    # count the INCREMENT, not the table: two corpus-sized table counts
+    # per daily append would dwarf the append itself at a large index.
+    # localCheckpoint materializes the (increment-sized) encoding once
+    # for both the count and the write.
+    enc = pq_encode(new_vecs, cbs, vec_col=vec_col, id_col=id_col).localCheckpoint()
+    n = enc.count()
+    enc.write.mode("append").format("parquet").saveAsTable(name)
     props = _props(spark, name)
     upd = {"pq.appended_rows": str(int(props.get("pq.appended_rows", "0")) + n)}
     if tag is not None:
