@@ -342,3 +342,48 @@ def weighted_sample_topk(
         .orderBy(F.desc("es_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def thin_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    max_rows_per_key: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bot-flood guard: keys holding more than ``max_rows_per_key`` rows
+    are deterministically Bernoulli-thinned to ~that many expected rows;
+    healthy keys pass untouched.
+
+    The classic hot-key failure is a crawler loop or bot account whose
+    single key holds millions of rows: every downstream per-key op
+    (sessionize, FSM interpretation, window ranks) serializes on it. A
+    per-key row_number cap IS itself a skewed window — this op avoids
+    it: one groupBy count keyed on ``key_col`` (the survivors of the
+    HAVING are hot keys only — a small broadcast however big the
+    corpus), then a pure-codegen hash-ratio filter. Deterministic
+    (hash, not rand()): stable across retries and replayable in SQL.
+
+    At a vocabulary too large even for the count shuffle, prefilter
+    candidate hot keys with the count-min sketch
+    (operators/sketches.cms_estimate) and pass only suspects here.
+    Keep-ratio uses FLOOR on both engines (DuckDB CAST(double AS
+    BIGINT) rounds, Spark's truncates — floor sidesteps the mismatch).
+    """
+    if max_rows_per_key < 1:
+        raise ValueError("max_rows_per_key must be >= 1")
+    hot = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .filter(F.col("_n") > max_rows_per_key)
+    )
+    keep = F.floor(
+        F.lit(float(max_rows_per_key * SAMPLE_MOD)) / F.col("_n").cast("double")
+    )
+    u = sample_hash(
+        F.lit("thin"), F.col(key_col).cast("string"), F.col(id_col).cast("string")
+    )
+    return (
+        df.join(F.broadcast(hot), key_col, "left")
+        .filter(F.col("_n").isNull() | (u < keep))
+        .drop("_n")
+    )

@@ -467,3 +467,59 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     out = weighted_sample_topk(d, F.col("n_chars") + 1, k=20)
     return out.select("doc_id", F.round("es_key", 6).alias("es_key"))
+
+
+# Hot-key thinning (bot-flood guard): keys over the cap are
+# deterministically Bernoulli-thinned to ~cap expected rows; the gate
+# reports per-key before/after counts so the oracle checks BOTH the
+# hot-key detection and every individual keep/drop decision.
+
+_THIN_CAP = 40
+
+_THIN_ORACLE = f"""
+WITH thot AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS _n FROM events
+  GROUP BY user_id HAVING COUNT(*) > {_THIN_CAP}
+),
+tkept AS (
+  SELECT e.user_id
+  FROM events e LEFT JOIN thot h ON e.user_id = h.user_id
+  WHERE h._n IS NULL
+     OR {{hash}} % {{mod}}
+        < FLOOR({float(_THIN_CAP)!r} * {{mod}} / CAST(h._n AS DOUBLE))
+)
+SELECT b.user_id, b.n_before, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM events GROUP BY user_id) b
+LEFT JOIN (SELECT user_id, COUNT(*) AS n_kept FROM tkept GROUP BY user_id) k
+  ON b.user_id = k.user_id
+ORDER BY b.user_id
+"""
+
+
+def _thin_oracle() -> str:
+    h = _sql_hash(
+        "CONCAT_WS(':', 'thin', CAST(e.user_id AS VARCHAR), CAST(e.event_id AS VARCHAR))"
+    )
+    return _THIN_ORACLE.format(hash=h, mod=C.SAMPLE_MOD)
+
+
+@query("q_thin_hot_keys", oracle=_thin_oracle(), tags=("llm", "curation", "skew"))
+def q_thin_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    thinned = C.thin_hot_keys(ev, "user_id", _THIN_CAP, id_col="event_id")
+    before = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    kept = thinned.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return (
+        before.join(kept, "user_id", "left")
+        .select(
+            "user_id",
+            "n_before",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("user_id")
+    )
