@@ -501,3 +501,77 @@ def cdc_chunks(
             (F.col("_span.e") - F.col("_span.s") + 1).cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+def simhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """Linear-output SimHash dedup: (doc_id, cluster, keep) — one row
+    per document, keep = 1 iff the doc is its cluster's minimum id.
+
+    Why this exists: materializing near-dup PAIRS is quadratic in the
+    identical-signature group sizes — measured fatal at sf10, where the
+    synthetic corpus's signature groups make hamming<=1 pair output
+    explode into the billions while this formulation stays linear. The
+    trick is to collapse identical signatures FIRST (one groupBy; a
+    group is a clique, represented by its min id), mine hamming<=1
+    edges only between DISTINCT signature values (two 16-bit bands,
+    pigeonhole-exact for <=1 on the 32-bit hash; candidate space is
+    distinct-signatures sized, not corpus sized), run O(log n)
+    connected components over the representative graph, then broadcast
+    the decision back through the signature — no in-clique pair is ever
+    materialized. The cluster label is the component's minimum doc id.
+    """
+    sh = sig if sig is not None else simhash(df, text_col=text_col, id_col=id_col)
+    sigs = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    bands = sigs.select(
+        "simhash",
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("b"),
+    ).select("simhash", "rep", "b.band", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            <= 1
+        )
+        .select(F.col("a.rep").alias("doc_a"), F.col("b.rep").alias("doc_b"))
+        .distinct()
+    )
+    cc = connected_components_star(edges)
+    rep_cluster = sigs.join(
+        cc.withColumnRenamed("doc_id", "rep"), "rep", "left"
+    ).select(
+        "simhash", F.coalesce(F.col("cluster"), F.col("rep")).alias("cluster")
+    )
+    return (
+        sh.join(rep_cluster, "simhash")
+        .select(
+            id_col,
+            "cluster",
+            (F.col("cluster") == F.col(id_col)).cast("long").alias("keep"),
+        )
+    )

@@ -447,6 +447,56 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Linear-output simhash dedup (the scale path the pair gate is NOT):
+# identical signatures collapse to one representative before any pair
+# is mined, so in-clique quadratic output never materializes — at sf10
+# the pair formulation's output explodes into the billions while this
+# stays one row per doc. Oracle: distinct-signature pairs (tiny) + the
+# recursive-CTE reachability pattern of the semantic-dedup gate.
+
+_SIMHASH_CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS ({_simhash_body()}),
+sc_sig AS (SELECT simhash, MIN(doc_id) AS rep FROM sh GROUP BY simhash),
+sc_pairs AS (
+  SELECT a.rep AS pa, b.rep AS pb
+  FROM sc_sig a JOIN sc_sig b
+    ON a.rep < b.rep
+   AND BIT_COUNT(CAST(XOR(a.simhash, b.simhash) AS BIGINT)) <= 1
+),
+sc_und AS (
+  SELECT pa AS a, pb AS b FROM sc_pairs
+  UNION SELECT pb, pa FROM sc_pairs
+),
+sc_reach AS (
+  SELECT a AS src, a AS dst FROM sc_und
+  UNION SELECT a, b FROM sc_und
+  UNION SELECT r.src, u.b FROM sc_reach r JOIN sc_und u ON r.dst = u.a
+),
+sc_comp AS (
+  SELECT src AS rep, MIN(dst) AS cluster FROM sc_reach GROUP BY src
+)
+SELECT s.doc_id,
+       COALESCE(c.cluster, g.rep) AS cluster,
+       CAST(CASE WHEN COALESCE(c.cluster, g.rep) = s.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sh s
+JOIN sc_sig g ON s.simhash = g.simhash
+LEFT JOIN sc_comp c ON c.rep = g.rep
+ORDER BY s.doc_id
+"""
+
+
+@query(
+    "q_simhash_dedup_clusters",
+    oracle=_SIMHASH_CLUSTER_ORACLE,
+    tags=("llm", "dedup", "scale", "iterative"),
+)
+def q_simhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = _memo_artifact(spark, ("simhash", sf_dir), lambda: D.simhash(d))
+    return D.simhash_clusters(d, sig=sig).orderBy("doc_id")
+
+
 @query("q_simhash_neardup_pairs", oracle=_SIMHASH_NEARDUP_ORACLE, tags=("llm", "dedup"))
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
