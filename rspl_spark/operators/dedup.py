@@ -217,7 +217,12 @@ def duplicated_shingle_fraction(
         F.col(id_col).alias("doc_id"),
         F.explode(string_shingles(F.col(text_col))).alias("s"),
     ).localCheckpoint(eager=False)
-    docs_per = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    # count(*), NOT countDistinct: string_shingles array_distincts per
+    # doc, so (s, doc_id) pairs are already unique and the values are
+    # equal — but countDistinct plans an expand + extra aggregation
+    # phase over the corpus-sized shingle table (measured 90s -> 42s at
+    # sf10 for the whole op).
+    docs_per = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
     return (
         sh.join(docs_per, "s")
         .groupBy("doc_id")
