@@ -242,9 +242,28 @@ def duplicated_shingle_fraction(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_jaccard: float = 0.1
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.1,
+    candidates: DataFrame | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
-    """Exact pairwise word-shingle Jaccard ≥ min_jaccard (the verifier)."""
+    """Exact pairwise word-shingle Jaccard ≥ min_jaccard (the verifier).
+
+    Pass ``candidates`` — a (doc_a, doc_b) frame, normally the LSH
+    banding output — to verify ONLY those pairs: two keyed joins, work
+    linear in candidate-pair shingles. Without candidates the op is the
+    full shingle self-join, whose output is quadratic in per-shingle
+    document counts (measured divergent at sf10 on the collision-dense
+    synthetic corpus — could not finish), so that path now requires
+    ``allow_quadratic=True``, the exact_scored_pairs contract."""
+    if candidates is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without candidates is an all-pairs "
+            "shingle self-join (quadratic in per-shingle doc counts); "
+            "pass candidates=<LSH pairs> or allow_quadratic=True"
+        )
     # localCheckpoint, not cache(): the shingle table is read three times
     # (sizes + both join sides) and a per-call cache() entry is never
     # unpersisted — in a long-lived session each invocation would pin
@@ -256,12 +275,29 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"), F.explode(string_shingles(F.col(text_col))).alias("s")
     ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if candidates is not None:
+        # candidate-driven: shingles of doc_a joined to doc_b's on the
+        # shingle value, keyed by the pair — pairs with no common
+        # shingle drop out here, correctly (their jaccard is 0).
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        pa = cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("s")), "doc_a"
+        )
+        inter = (
+            pa.join(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("s")),
+                ["doc_b", "s"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
     return (

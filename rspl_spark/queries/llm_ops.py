@@ -301,7 +301,10 @@ ORDER BY i.doc_a, i.doc_b
 @query("q_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, min_jaccard=0.1).orderBy("doc_a", "doc_b")
+    # gate scale: the oracle IS the O(n^2) definition, so the Spark
+    # side runs the full self-join deliberately (allow_quadratic);
+    # production verifies LSH candidates via the candidates= path.
+    return D.ngram_jaccard_pairs(d, min_jaccard=0.1, allow_quadratic=True).orderBy("doc_a", "doc_b")
 
 
 # Content-defined chunking (FastCDC at token granularity): boundaries

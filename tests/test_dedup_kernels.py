@@ -1,0 +1,36 @@
+"""Dedup kernel guards: the exact-Jaccard verifier's candidate path
+(the scale formulation) vs the guarded full self-join."""
+
+def test_jaccard_candidate_path_matches_full_join(spark):
+    """The candidate-driven verifier (the scale path: verify LSH pairs
+    only) equals the full self-join restricted to those pairs, and the
+    unguarded full join now refuses without allow_quadratic."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rspl_spark.catalog import load
+    from rspl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        ngram_jaccard_pairs(d)
+
+    cand = lsh_candidate_pairs(minhash_signatures(d), threshold=0.5).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    assert cand.count() > 0
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(d, min_jaccard=0.1, candidates=cand).collect()
+    }
+    full = ngram_jaccard_pairs(d, min_jaccard=0.1, allow_quadratic=True)
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in full.join(cand, ["doc_a", "doc_b"], "semi").collect()
+    }
+    assert got == want
+    assert len(got) > 0
