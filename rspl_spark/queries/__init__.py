@@ -58,6 +58,7 @@ def load_registry() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         scale_queries,
+        tpch_partsupp,
         windows,
     )
 
