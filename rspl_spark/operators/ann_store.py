@@ -70,10 +70,12 @@ def create_pq_index(
         if not overwrite:
             return name
         spark.sql(f"DROP TABLE {name}")
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(repo_root, "spark-warehouse", name.lower())
+    # Respect the session's configured warehouse (NOT this module's file
+    # location): a session pointed elsewhere must get its index there.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    path = os.path.join(os.path.abspath(warehouse), name.lower())
     if os.path.isdir(path):
         import shutil
 

@@ -367,7 +367,12 @@ def thin_hot_keys(
     candidate hot keys with the count-min sketch
     (operators/sketches.cms_estimate) and pass only suspects here.
     Keep-ratio uses FLOOR on both engines (DuckDB CAST(double AS
-    BIGINT) rounds, Spark's truncates — floor sidesteps the mismatch).
+    BIGINT) rounds, Spark's truncates — floor sidesteps the mismatch),
+    with a GREATEST(..., 1) floor-of-the-floor: when a key's count
+    exceeds max_rows_per_key * SAMPLE_MOD the raw ratio quantizes to 0
+    and would drop the ultra-hot key ENTIRELY — exactly the bot-flood
+    key the op exists to thin. The guard keeps ~n / SAMPLE_MOD rows
+    for such keys instead of zero.
     """
     if max_rows_per_key < 1:
         raise ValueError("max_rows_per_key must be >= 1")
@@ -376,8 +381,11 @@ def thin_hot_keys(
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .filter(F.col("_n") > max_rows_per_key)
     )
-    keep = F.floor(
-        F.lit(float(max_rows_per_key * SAMPLE_MOD)) / F.col("_n").cast("double")
+    keep = F.greatest(
+        F.floor(
+            F.lit(float(max_rows_per_key * SAMPLE_MOD)) / F.col("_n").cast("double")
+        ),
+        F.lit(1),
     )
     u = sample_hash(
         F.lit("thin"), F.col(key_col).cast("string"), F.col(id_col).cast("string")

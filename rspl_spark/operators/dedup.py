@@ -279,7 +279,19 @@ def ngram_jaccard_pairs(
         # candidate-driven: shingles of doc_a joined to doc_b's on the
         # shingle value, keyed by the pair — pairs with no common
         # shingle drop out here, correctly (their jaccard is 0).
-        cand = candidates.select("doc_a", "doc_b").distinct()
+        # Canonicalize FIRST: a reversed (b, a) duplicate or a self
+        # pair (a, a) in the input would survive the raw distinct()
+        # as a doubled or jaccard=1 row; least/greatest + the <
+        # filter enforce the same doc_a < doc_b orientation the
+        # all-pairs path gets from its join condition.
+        cand = (
+            candidates.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
+        )
         pa = cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("s")), "doc_a"
         )

@@ -82,7 +82,9 @@ def cms_estimate(
     """Point-frequency estimates for each key in ``keys``: min over the
     d rows of the key's cell counts. The sketch is <= d*w rows —
     broadcast — so the probe is a narrow map-side join however many
-    keys are probed. Keys hashing to empty cells estimate 0."""
+    keys are probed. Non-NULL keys hashing to empty cells estimate 0;
+    NULL probe keys are dropped (no output row) — the portable hash is
+    undefined on NULL, so a NULL key has no cells to probe."""
     from rspl_spark.operators.dedup import portable_hash
 
     pre = keys.filter(F.col(key_col).isNotNull()).select(

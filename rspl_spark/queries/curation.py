@@ -486,7 +486,7 @@ tkept AS (
   FROM events e LEFT JOIN thot h ON e.user_id = h.user_id
   WHERE h._n IS NULL
      OR {{hash}} % {{mod}}
-        < FLOOR({float(_THIN_CAP)!r} * {{mod}} / CAST(h._n AS DOUBLE))
+        < GREATEST(FLOOR({float(_THIN_CAP)!r} * {{mod}} / CAST(h._n AS DOUBLE)), 1)
 )
 SELECT b.user_id, b.n_before, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_before

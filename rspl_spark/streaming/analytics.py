@@ -197,8 +197,11 @@ def streaming_hist(
     group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Streaming fixed-range histogram: live quantile sketching over an
-    unbounded stream with at most nbins+1 state rows per group (the
-    extra row catches out-of-range values in the clamp bins).
+    unbounded stream with at most nbins state rows per group
+    (out-of-range values clamp into the edge bins 0 / nbins-1; NULLs
+    are filtered before binning, matching batch hist_quantiles'
+    COUNT(col) semantics — without the filter a nullable column would
+    carry a phantom NULL-bin state row and skew sink-side quantiles).
 
     The batch :func:`~rspl_spark.operators.sketches.hist_quantiles`
     derives [lo, hi] from the data — a second pass a stream cannot
@@ -219,7 +222,8 @@ def streaming_hist(
         ),
     )
     return (
-        stream_df.select(*group_cols, bin_.alias("bin"))
+        stream_df.filter(F.col(col).isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

@@ -167,3 +167,29 @@ def test_weighted_sample_topk_properties(spark):
     df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, w double")
     got = weighted_sample_topk(df2, F.col("w"), k=5, id_col="doc_id").collect()
     assert {r["doc_id"] for r in got} == {3}
+
+
+def test_thin_hot_keys_ultra_hot_key_survives(spark):
+    """ADVICE r6: when a key's count exceeds cap * SAMPLE_MOD the raw
+    keep-ratio floors to 0 and would delete the bot key outright; the
+    GREATEST(keep, 1) guard thins it to ~n / SAMPLE_MOD rows instead.
+    Simulated by shrinking SAMPLE_MOD so the regime is reachable."""
+    import rspl_spark.operators.curation as C
+
+    df = spark.createDataFrame(
+        [("bot", i) for i in range(500)] + [("ok", 0)],
+        "user_id string, event_id long",
+    )
+    old = C.SAMPLE_MOD
+    C.SAMPLE_MOD = 100  # cap * MOD = 100 < 500 bot rows -> raw keep = 0
+    try:
+        out = C.thin_hot_keys(df, "user_id", 1, id_col="event_id")
+        by_key = {
+            r["user_id"]: r["n"]
+            for r in out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    finally:
+        C.SAMPLE_MOD = old
+    assert by_key.get("ok") == 1  # healthy key untouched
+    # ultra-hot key survives (≈ n/SAMPLE_MOD = 5 expected, > 0 required)
+    assert 0 < by_key.get("bot", 0) < 500

@@ -34,3 +34,27 @@ def test_jaccard_candidate_path_matches_full_join(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_jaccard_candidates_canonicalized(spark):
+    """ADVICE r6: reversed duplicates and self-pairs in the candidates
+    frame must not yield doubled or jaccard=1 self rows — the candidate
+    path canonicalizes to doc_a < doc_b before the shingle joins."""
+    from rspl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and often"),
+        ],
+        "doc_id long, text string",
+    )
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 2)], "doc_a long, doc_b long"
+    )
+    rows = ngram_jaccard_pairs(
+        docs, min_jaccard=0.0, candidates=messy
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["doc_a"], rows[0]["doc_b"]) == (1, 2)
+    assert rows[0]["jaccard"] < 1.0

@@ -458,3 +458,19 @@ def test_streaming_hist_matches_batch_bins_with_bounded_state(spark):
         )
     assert got == batch
     assert 0 < state_rows <= nbins
+
+
+def test_streaming_hist_filters_nulls_like_batch(spark):
+    """ADVICE r6: a nullable column must not grow a phantom NULL-bin
+    state row — streaming_hist filters NULLs before binning, matching
+    batch hist_quantiles' COUNT(col) semantics."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.streaming.analytics import streaming_hist
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (None,), (9.0,)], "x double"
+    )
+    bins = streaming_hist(df, "x", lo=0.0, hi=10.0, nbins=4).collect()
+    assert all(r["bin"] is not None for r in bins)
+    assert sum(r["cnt"] for r in bins) == 3  # NULLs contribute nothing
