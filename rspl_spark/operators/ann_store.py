@@ -28,8 +28,9 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rspl_spark.operators.similarity import pq_adc_topk, pq_encode, pq_fit
 
@@ -44,6 +45,21 @@ def _props(spark: SparkSession, name: str) -> dict[str, str]:
 def _set_props(spark: SparkSession, name: str, props: dict[str, str]) -> None:
     kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
     spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
+
+
+def _fresh_table_path(spark: SparkSession, name: str) -> str:
+    """A clean on-disk location for a (re)built index table, derived
+    from the session's configured warehouse (NOT this module's file
+    location): a session pointed elsewhere must get its index there."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    path = os.path.join(os.path.abspath(warehouse), name.lower())
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 def create_pq_index(
@@ -70,16 +86,7 @@ def create_pq_index(
         if not overwrite:
             return name
         spark.sql(f"DROP TABLE {name}")
-    # Respect the session's configured warehouse (NOT this module's file
-    # location): a session pointed elsewhere must get its index there.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:") :]
-    path = os.path.join(os.path.abspath(warehouse), name.lower())
-    if os.path.isdir(path):
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
+    path = _fresh_table_path(spark, name)
     cbs = pq_fit(df, vec_col=vec_col, id_col=id_col, m=m, k=k, iters=iters)
     enc = pq_encode(df, cbs, vec_col=vec_col, id_col=id_col)
     (
@@ -200,4 +207,383 @@ def pq_index_topk(
         queries,
         topk=topk,
         id_col=id_col,
+    )
+
+
+# --- Persisted IVF index ----------------------------------------------------
+#
+# Same maintenance contract as the PQ index: trained state (the k*d
+# centroid matrix) in TBLPROPERTIES, the data-sized half (unit-prepped
+# vectors + their cell assignment) as an append-only managed parquet
+# table. Increments are assigned with the STORED centroids (assignment
+# is a pure function of the centroids), staleness tracks drift, refit
+# rebuilds. Query = probe n_probe nearest cells against the stored
+# centroids, scan ONLY those cells of the table — the candidate set
+# shrinks by ~cells/probes and the cell id keys the shuffle.
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _centroid_frame(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    cent = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+        "cid long, cemb array<double>",
+    )
+    cnrm = F.sqrt(F.aggregate(F.col("cemb"), F.lit(0.0), lambda s, v: s + v * v))
+    return cent.select("cid", "cemb", cnrm.alias("cnrm"))
+
+
+def _rank_cells(prep: DataFrame, centp: DataFrame, id_col: str, n_keep: int) -> DataFrame:
+    """(id, emb, nrm, cid) for each row's n_keep most-cosine-similar
+    cells: broadcast the (tiny) centroid frame, window-rank per row.
+    Pure codegen — one dot product per (row, cell)."""
+    csim = (
+        _dot(F.col("emb"), F.col("cemb")) / F.nullif(F.col("nrm") * F.col("cnrm"), F.lit(0.0))
+    ).alias("csim")
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        prep.crossJoin(F.broadcast(centp))
+        .select(id_col, "emb", "nrm", "cid", csim)
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= n_keep)
+        .select(id_col, "emb", "nrm", "cid")
+    )
+
+
+def create_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    overwrite: bool = False,
+    tag: str = "base",
+    n_partitions: int = 32,
+) -> str:
+    """Train centroids on ``df`` (Lloyd k-means, deterministic init),
+    assign every vector to its nearest-by-cosine cell, persist the
+    assigned unit-prepped table + the centroids in TBLPROPERTIES.
+
+    Idempotent unless ``overwrite`` — stored centroids win, because a
+    silent refit would strand every assignment row on disk."""
+    from rspl_spark.operators.similarity import kmeans_fit, unit_prep
+
+    if spark.catalog.tableExists(name):
+        if not overwrite:
+            return name
+        spark.sql(f"DROP TABLE {name}")
+    path = _fresh_table_path(spark, name)
+    cents = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    prep = unit_prep(df, "vec_id", "emb", "nrm", vec_col=vec_col, id_col=id_col)
+    assigned = _rank_cells(prep, _centroid_frame(spark, cents), "vec_id", 1)
+    (
+        assigned.repartition(n_partitions, "cid")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    base_rows = spark.table(name).count()
+    _set_props(
+        spark,
+        name,
+        {
+            "ivf.centroids": json.dumps(cents),
+            "ivf.k": str(k),
+            "ivf.iters": str(iters),
+            "ivf.base_rows": str(base_rows),
+            "ivf.appended_rows": "0",
+            "ivf.tag": tag,
+        },
+    )
+    return name
+
+
+def ivf_index_centroids(spark: SparkSession, name: str) -> list[list[float]]:
+    """The stored centroid matrix — one catalog call, exact float
+    round-trip (json repr), no data files touched."""
+    return json.loads(_props(spark, name)["ivf.centroids"])
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    name: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tag: str | None = None,
+) -> int:
+    """Assign the increment with the STORED centroids and append —
+    append-only files, no rewrite, the increment is the only data
+    scanned."""
+    from rspl_spark.operators.similarity import unit_prep
+
+    cents = ivf_index_centroids(spark, name)
+    prep = unit_prep(new_vecs, "vec_id", "emb", "nrm", vec_col=vec_col, id_col=id_col)
+    assigned = _rank_cells(prep, _centroid_frame(spark, cents), "vec_id", 1).localCheckpoint()
+    n = assigned.count()
+    assigned.write.mode("append").format("parquet").saveAsTable(name)
+    props = _props(spark, name)
+    upd = {"ivf.appended_rows": str(int(props.get("ivf.appended_rows", "0")) + n)}
+    if tag is not None:
+        upd["ivf.tag"] = tag
+    _set_props(spark, name, upd)
+    return n
+
+
+def ivf_index_staleness(spark: SparkSession, name: str) -> float:
+    p = _props(spark, name)
+    base = int(p.get("ivf.base_rows", "0"))
+    return int(p.get("ivf.appended_rows", "0")) / max(base, 1)
+
+
+def refresh_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    stale_threshold: float = 0.5,
+    tag: str = "refit",
+    **fit_kw,
+) -> bool:
+    """Refit-on-drift: past the threshold, retrain on the CURRENT full
+    corpus and rewrite assignments. Returns True iff a refit ran."""
+    if ivf_index_staleness(spark, name) < stale_threshold:
+        return False
+    p = _props(spark, name)
+    create_ivf_index(
+        spark,
+        df,
+        name,
+        k=int(p["ivf.k"]),
+        iters=int(p["ivf.iters"]),
+        overwrite=True,
+        tag=tag,
+        **fit_kw,
+    )
+    return True
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, score, rk): exact cosine top-k within the
+    n_probe stored cells nearest each query. The centroid probe is a
+    broadcast; the cell join hits only the probed cells' partitions
+    (the table is written partitioned-by-cid-hash)."""
+    from rspl_spark.operators.similarity import unit_prep
+
+    cents = ivf_index_centroids(spark, name)
+    qprep = unit_prep(queries, "query_id", "q_emb", "q_nrm", vec_col=vec_col, id_col=id_col)
+    probes = _rank_cells(
+        qprep.select(F.col("query_id"), F.col("q_emb").alias("emb"), F.col("q_nrm").alias("nrm")),
+        _centroid_frame(spark, cents),
+        "query_id",
+        n_probe,
+    ).select("query_id", F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"), "cid")
+    cand = probes.join(spark.table(name), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0))).alias("raw_score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "vec_id", F.round("raw_score", 6).alias("score"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# --- Persisted SRP band index -----------------------------------------------
+#
+# SRP needs no training — the hyperplanes are a pure function of
+# (plane index, dim) — so the persisted state is just the band table
+# plus the generation CONFIG in TBLPROPERTIES (planes/bands/dim pin
+# the hash family; an append encoded under different config would
+# silently never collide with existing buckets). Appends re-derive the
+# planes from config; no staleness dimension exists, but tag/row
+# accounting matches the other stores.
+
+
+def srp_signs(p: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane p (Knuth-multiply hash — linear
+    correlation between planes is fine for bucket-then-rerank; see
+    similarity.rp_signs for the isometry-grade mixer)."""
+    return [
+        1 if ((p * dim + d) * 2654435761 % 4294967296) >> 31 else -1
+        for d in range(dim)
+    ]
+
+
+def srp_sketch_col(emb: Column, planes: int, dim: int) -> Column:
+    """planes-bit SRP sketch as a long: bit p = (dot(emb, plane_p) >= 0)."""
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    bits = None
+    for p in range(planes):
+        signs = F.array(*[F.lit(float(s)) for s in srp_signs(p, dim)])
+        bit = F.when(_dot(dbl, signs) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("long")
+
+
+def _srp_band_rows(
+    df: DataFrame,
+    planes: int,
+    dim: int,
+    bands: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    from rspl_spark.operators.similarity import unit_prep
+
+    band_bits = planes // bands
+    prep = unit_prep(df, "vec_id", "emb", "nrm", vec_col=vec_col, id_col=id_col)
+    sk = prep.withColumn("sketch", srp_sketch_col(F.col("emb"), planes, dim))
+    return sk.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sketch", band_bits * b)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "emb", "nrm", "b.band", "b.bv")
+
+
+def create_srp_index(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    overwrite: bool = False,
+    tag: str = "base",
+    n_partitions: int = 32,
+) -> str:
+    """Persist the exploded (vec_id, band, bv) table with unit-prepped
+    vectors, config in TBLPROPERTIES. planes must divide by bands."""
+    if planes % bands:
+        raise ValueError("planes must be divisible by bands")
+    if spark.catalog.tableExists(name):
+        if not overwrite:
+            return name
+        spark.sql(f"DROP TABLE {name}")
+    path = _fresh_table_path(spark, name)
+    rows = _srp_band_rows(df, planes, dim, bands, vec_col, id_col)
+    (
+        rows.repartition(n_partitions, "band", "bv")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    base_rows = spark.table(name).count()
+    _set_props(
+        spark,
+        name,
+        {
+            "srp.planes": str(planes),
+            "srp.bands": str(bands),
+            "srp.dim": str(dim),
+            "srp.base_rows": str(base_rows),
+            "srp.appended_rows": "0",
+            "srp.tag": tag,
+        },
+    )
+    return name
+
+
+def srp_index_config(spark: SparkSession, name: str) -> dict[str, int]:
+    p = _props(spark, name)
+    return {k: int(p[f"srp.{k}"]) for k in ("planes", "bands", "dim")}
+
+
+def append_srp_index(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    name: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tag: str | None = None,
+) -> int:
+    """Band the increment under the STORED config and append."""
+    cfg = srp_index_config(spark, name)
+    rows = _srp_band_rows(
+        new_vecs, cfg["planes"], cfg["dim"], cfg["bands"], vec_col, id_col
+    ).localCheckpoint()
+    n = rows.count()
+    rows.write.mode("append").format("parquet").saveAsTable(name)
+    props = _props(spark, name)
+    upd = {"srp.appended_rows": str(int(props.get("srp.appended_rows", "0")) + n)}
+    if tag is not None:
+        upd["srp.tag"] = tag
+    _set_props(spark, name, upd)
+    return n
+
+
+def srp_index_topk(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    topk: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, score, rk): exact cosine rerank of stored
+    vectors sharing >= 1 band value with the query. The band join keys
+    the shuffle; candidates dedup before scoring."""
+    from rspl_spark.operators.similarity import unit_prep
+
+    cfg = srp_index_config(spark, name)
+    qb = _srp_band_rows(
+        queries, cfg["planes"], cfg["dim"], cfg["bands"], vec_col, id_col
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "band",
+        "bv",
+    )
+    cand = (
+        qb.join(spark.table(name), ["band", "bv"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "q_nrm", "vec_id", "emb", "nrm")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0))).alias("raw_score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "vec_id", F.round("raw_score", 6).alias("score"), "rk")
+        .orderBy("query_id", "rk")
     )

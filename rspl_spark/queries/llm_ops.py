@@ -703,11 +703,28 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(e, cent)
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3, train_pred: str | None = None) -> str:
     """WITH-clause prefix deriving k-means centroids independently in
     SQL: ev (long-format embeddings), c0 (init = first k vectors), then
     per-iteration assignment/update CTEs ending at c{iters} =
-    (cid, dim, val). Shared by the k-means and trained-IVF oracles."""
+    (cid, dim, val). Shared by the k-means and trained-IVF oracles.
+
+    ``train_pred`` restricts TRAINING (init + every Lloyd update) to a
+    slice of the corpus — the incremental-index replay, where appended
+    vectors are assigned with centroids the fit never saw. Init then
+    takes the k smallest ids IN THE SLICE (rank-numbered cids, matching
+    kmeans_fit's orderBy(id).limit(k) on the base frame)."""
+    if train_pred is None:
+        train_src = "ev"
+        c0 = f"c0 AS (SELECT vec_id AS cid, dim, val FROM ev WHERE vec_id < {k})"
+    else:
+        train_src = "evt"
+        c0 = f"""evt AS (SELECT * FROM ev WHERE {train_pred}),
+c0 AS (
+  SELECT CAST(r.rk - 1 AS BIGINT) AS cid, e.dim, e.val
+  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+        FROM (SELECT DISTINCT vec_id FROM evt ORDER BY vec_id LIMIT {k})) r
+  JOIN evt e ON e.vec_id = r.vec_id)"""
     parts = [
         f"""
 WITH ev AS (
@@ -716,7 +733,7 @@ WITH ev AS (
          CAST(UNNEST(embedding) AS DOUBLE) AS val
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, dim, val FROM ev WHERE vec_id < {k})"""
+{c0}"""
     ]
     prev = "c0"
     for i in range(1, iters + 1):
@@ -724,7 +741,7 @@ c0 AS (SELECT vec_id AS cid, dim, val FROM ev WHERE vec_id < {k})"""
             f"""
 d{i} AS (
   SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS dist
-  FROM ev e JOIN {prev} c ON e.dim = c.dim
+  FROM {train_src} e JOIN {prev} c ON e.dim = c.dim
   GROUP BY e.vec_id, c.cid
 ),
 a{i} AS (
@@ -947,6 +964,139 @@ def q_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(ci, c) for ci, c in enumerate(cents)], "cid long, cemb array<double>"
     )
     return _ivf_topk(e, cent)
+
+
+# Persisted-SRP two-batch replay (operators/ann_store.py): the band
+# table is built from the base slice, the increment is banded under
+# the STORED config (planes/bands/dim pinned in TBLPROPERTIES) and
+# appended. Banding is a pure per-row function of the config — no
+# training — so the two-batch table must equal the one-shot build and
+# the one-shot oracle (_SRP_ORACLE) applies verbatim; what the gate
+# proves is the persisted store's config round-trip and append path.
+
+
+@query(
+    "q_cosine_topk_srp_incremental",
+    oracle=_SRP_ORACLE,
+    tags=("llm", "similarity", "scale"),
+)
+def q_cosine_topk_srp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.ann_store import (
+        append_srp_index,
+        create_srp_index,
+        srp_index_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"srpindex_{slug}"
+
+    def build():
+        create_srp_index(
+            spark,
+            e.filter(F.expr(_IVF_INCR_PRED)),
+            name,
+            planes=_SRP_PLANES,
+            bands=4,
+            dim=_SRP_DIM,
+            overwrite=True,
+            tag="base",
+        )
+        append_srp_index(spark, e.filter(~F.expr(_IVF_INCR_PRED)), name, tag="base+inc")
+        return spark.table(name).localCheckpoint()
+
+    _memo_artifact(spark, ("srp_index", sf_dir), build)
+    return srp_index_topk(spark, name, e.filter(F.col("vec_id") < 10), topk=5)
+
+
+# Persisted-IVF two-batch replay (operators/ann_store.py): centroids
+# trained on the BASE slice only, the increment assigned with those
+# STORED centroids and appended, queries probed against the persisted
+# table. The oracle re-derives the base-slice training run via
+# _kmeans_ctes(train_pred=...) and assigns the FULL corpus with the
+# resulting centroids — exactly what the stored table holds, because
+# appends never refit.
+
+_IVF_INCR_PRED = "vec_id % 3 <> 0"
+
+
+def _ivf_incr_oracle(k: int = 8, iters: int = _IVF_TRAINED_ITERS) -> str:
+    cos = _SQL_COS.format(a="q.embedding", b="v.embedding")
+    return (
+        _kmeans_ctes(k, iters, train_pred=_IVF_INCR_PRED)
+        + f""",
+cnorm AS (SELECT cid, SQRT(SUM(val * val)) AS nrm FROM c{iters} GROUP BY cid),
+ecos AS (
+  SELECT e.vec_id, c.cid, SUM(e.val * c.val) AS dot, SQRT(SUM(e.val * e.val)) AS en
+  FROM ev e JOIN c{iters} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+),
+sim AS (
+  SELECT ec.vec_id, ec.cid, ec.dot / NULLIF(ec.en * n.nrm, 0) AS csim
+  FROM ecos ec JOIN cnorm n ON ec.cid = n.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+    FROM sim
+  ) t WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+    FROM sim WHERE vec_id < 10
+  ) t WHERE crk <= 2
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT p.query_id, a.vec_id,
+         ROUND({cos}, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {cos} DESC, a.vec_id) AS rk
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN embeddings v ON v.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+) t WHERE rk <= 5
+ORDER BY query_id, rk"""
+    )
+
+
+@query(
+    "q_cosine_topk_ivf_incremental",
+    oracle=_ivf_incr_oracle(),
+    tags=("llm", "similarity", "iterative", "scale"),
+)
+def q_cosine_topk_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.ann_store import (
+        append_ivf_index,
+        create_ivf_index,
+        ivf_index_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"ivfindex_{slug}"
+
+    def build():
+        create_ivf_index(
+            spark,
+            e.filter(F.expr(_IVF_INCR_PRED)),
+            name,
+            k=8,
+            iters=_IVF_TRAINED_ITERS,
+            overwrite=True,
+            tag="base",
+        )
+        append_ivf_index(spark, e.filter(~F.expr(_IVF_INCR_PRED)), name, tag="base+inc")
+        return spark.table(name).localCheckpoint()
+
+    _memo_artifact(spark, ("ivf_index", sf_dir), build)
+    return ivf_index_topk(
+        spark, name, e.filter(F.col("vec_id") < 10), topk=5, n_probe=2
+    )
 
 
 # Embedding-cosine pair mining under cluster blocking: assign every

@@ -173,3 +173,128 @@ def test_streaming_pq_index_ingest(spark, emb):
         assert pq_index_staleness(spark, name) == 0.0
     finally:
         _drop(spark, name)
+
+
+def test_ivf_append_keeps_centroids_and_counts(spark, emb):
+    from rspl_spark.operators.ann_store import (
+        append_ivf_index,
+        create_ivf_index,
+        ivf_index_centroids,
+        ivf_index_staleness,
+        refresh_ivf_index,
+    )
+
+    name = "ivfidx_test_append"
+    _drop(spark, name)
+    try:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        inc = emb.filter(F.col("vec_id") % 3 == 0)
+        create_ivf_index(spark, base, name, overwrite=True)
+        cents_before = ivf_index_centroids(spark, name)
+        n = append_ivf_index(spark, inc, name, tag="base+inc")
+        assert n == inc.count()
+        # append must NEVER refit: stored centroids win
+        assert ivf_index_centroids(spark, name) == cents_before
+        assert spark.table(name).count() == emb.count()
+        # every appended row landed in a valid stored cell
+        k = len(cents_before)
+        cids = {r["cid"] for r in spark.table(name).select("cid").distinct().collect()}
+        assert cids <= set(range(k))
+        stale = ivf_index_staleness(spark, name)
+        assert 0.4 < stale < 0.6
+        assert refresh_ivf_index(spark, emb, name, stale_threshold=0.9) is False
+        assert refresh_ivf_index(spark, emb, name, stale_threshold=0.4) is True
+        assert ivf_index_staleness(spark, name) == 0.0
+        assert ivf_index_centroids(spark, name) != cents_before
+        assert spark.table(name).count() == emb.count()
+    finally:
+        _drop(spark, name)
+
+
+def test_ivf_recall_after_append(spark, emb):
+    """Recall@5 of the appended IVF index (probe-2 of 8 cells) vs exact
+    cosine top-5 over 10 queries — the increment is assigned with BASE
+    centroids, so this asserts search quality through the append path."""
+    from rspl_spark.operators.ann_store import (
+        append_ivf_index,
+        create_ivf_index,
+        ivf_index_topk,
+    )
+
+    name = "ivfidx_test_recall"
+    _drop(spark, name)
+    try:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        inc = emb.filter(F.col("vec_id") % 3 == 0)
+        create_ivf_index(spark, base, name, overwrite=True)
+        append_ivf_index(spark, inc, name)
+
+        got = ivf_index_topk(
+            spark, name, emb.filter(F.col("vec_id") < 10), topk=5, n_probe=2
+        ).collect()
+        by_q: dict[int, set[int]] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        rows = emb.select("vec_id", "embedding").collect()
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+        ids = np.array(sorted(vecs))
+        M = np.stack([vecs[i] for i in ids])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        hits = tot = 0
+        for q in range(10):
+            cos = M @ (vecs[q] / np.linalg.norm(vecs[q]))
+            cos[ids == q] = -np.inf
+            exact = set(ids[np.argsort(-cos)[:5]].tolist())
+            hits += len(exact & by_q.get(q, set()))
+            tot += 5
+        recall = hits / tot
+        assert recall >= 0.6, f"IVF recall@5 after append = {recall}"
+    finally:
+        _drop(spark, name)
+
+
+def test_srp_incremental_equals_oneshot(spark, emb):
+    """SRP banding is a pure function of the stored config, so a
+    base+increment build must equal the one-shot build row-for-row,
+    and top-k answers must match exactly."""
+    from rspl_spark.operators.ann_store import (
+        append_srp_index,
+        create_srp_index,
+        srp_index_config,
+        srp_index_topk,
+    )
+
+    n1, n2 = "srpidx_test_two", "srpidx_test_one"
+    _drop(spark, n1)
+    _drop(spark, n2)
+    try:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        inc = emb.filter(F.col("vec_id") % 3 == 0)
+        create_srp_index(spark, base, n1, overwrite=True)
+        append_srp_index(spark, inc, n1)
+        create_srp_index(spark, emb, n2, overwrite=True)
+        assert srp_index_config(spark, n1) == srp_index_config(spark, n2)
+        a = {
+            (r["vec_id"], r["band"], r["bv"])
+            for r in spark.table(n1).select("vec_id", "band", "bv").collect()
+        }
+        b = {
+            (r["vec_id"], r["band"], r["bv"])
+            for r in spark.table(n2).select("vec_id", "band", "bv").collect()
+        }
+        assert a == b
+        q = emb.filter(F.col("vec_id") < 5)
+        t1 = [tuple(r) for r in srp_index_topk(spark, n1, q).collect()]
+        t2 = [tuple(r) for r in srp_index_topk(spark, n2, q).collect()]
+        assert t1 == t2 and len(t1) > 0
+    finally:
+        _drop(spark, n1)
+        _drop(spark, n2)
+
+
+def test_srp_config_validation(spark, emb):
+    from rspl_spark.operators.ann_store import create_srp_index
+
+    with pytest.raises(ValueError, match="divisible"):
+        create_srp_index(spark, emb, "srpidx_test_bad", planes=16, bands=5)
