@@ -382,3 +382,48 @@ hq AS (
   WHERE CAST(_cum - _cnt AS DOUBLE) < q * CAST(_n AS DOUBLE)
     AND q * CAST(_n AS DOUBLE) <= CAST(_cum AS DOUBLE)
 )"""
+
+
+def hist_estimate_from_bins(
+    bins: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group..., q, est) — quantiles interpolated from a FIXED-RANGE
+    bin-count table (the :func:`~rspl_spark.streaming.analytics.
+    streaming_hist` sink shape: group..., bin, cnt).
+
+    The batch :func:`hist_quantiles` derives [lo, hi] from the data;
+    here the range was pinned at binning time, so the caller passes it
+    back. Interpolation is the same formula (cumulative counts, linear
+    within the hit bin), so for identical bins the estimates are
+    identical. Inputs are <= nbins rows per group — driver-light,
+    broadcast-sized — which is what makes a per-micro-batch live
+    estimate essentially free."""
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"hist_estimate_from_bins: quantiles must lie in (0, 1]: {qs}")
+    g = list(group_cols)
+    width = (hi - lo) / float(nbins)
+    totals = bins.groupBy(*g).agg(F.sum("cnt").cast("long").alias("_n"))
+    j = bins.join(F.broadcast(totals), g) if g else bins.crossJoin(F.broadcast(totals))
+    w = Window.partitionBy(*g).orderBy("bin") if g else Window.orderBy("bin")
+    cum = j.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_prev", F.col("_cum") - F.col("cnt")
+    )
+    qdf = bins.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    t = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "_target", F.col("q") * F.col("_n").cast("double")
+    )
+    hit = t.filter(
+        (F.col("_prev").cast("double") < F.col("_target"))
+        & (F.col("_target") <= F.col("_cum").cast("double"))
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin").cast("double")
+        + (F.col("_target") - F.col("_prev").cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return hit.select(*g, "q", F.round(est, 4).alias("est"))

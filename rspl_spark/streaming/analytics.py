@@ -227,3 +227,76 @@ def streaming_hist(
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def _start_complete_foreach(stream_df, emit, checkpoint, trigger_available_now):
+    writer = stream_df.writeStream.foreachBatch(emit).outputMode("complete")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_hll_with_live_estimate(
+    stream_df: DataFrame,
+    key_col: str,
+    estimates_path: str,
+    group_cols: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming HLL that also maintains a LIVE estimates table: each
+    micro-batch overwrites ``estimates_path`` with
+    ``hll_estimate``(current registers) — one row per group, queryable
+    by anything at any time, no register math at read time.
+
+    The registers flow in complete mode, so the foreachBatch sees the
+    FULL register table (state-store bounded at m rows per group) each
+    batch; the estimate recompute is an aggregation over that <= m-row
+    frame — driver-light however large the ingested stream. Overwrite
+    per batch makes the sink trivially idempotent under replay (unlike
+    the merge-into-store sinks): re-emitting batch n rewrites the same
+    estimates. Returns the started StreamingQuery."""
+    from rspl_spark.operators.sketches import hll_estimate
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hll_estimate(batch_df, group_cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(estimates_path)
+
+    regs = streaming_hll(stream_df, key_col, group_cols=group_cols)
+    return _start_complete_foreach(regs, emit, checkpoint, trigger_available_now)
+
+
+def stream_hist_with_live_estimate(
+    stream_df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    estimates_path: str,
+    nbins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_cols: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming fixed-range histogram with a LIVE quantile-estimates
+    table: each micro-batch overwrites ``estimates_path`` with
+    ``hist_estimate_from_bins`` over the current bin counts — the same
+    interpolation formula as the batch path, applied to a <= nbins-row
+    frame. Same complete-mode/overwrite contract as
+    :func:`stream_hll_with_live_estimate`."""
+    from rspl_spark.operators.sketches import hist_estimate_from_bins
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist_estimate_from_bins(
+            batch_df, lo, hi, nbins, qs=qs, group_cols=group_cols
+        ).coalesce(1).write.mode("overwrite").parquet(estimates_path)
+
+    bins = streaming_hist(stream_df, col, lo, hi, nbins, group_cols=group_cols)
+    return _start_complete_foreach(bins, emit, checkpoint, trigger_available_now)
