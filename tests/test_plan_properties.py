@@ -149,3 +149,76 @@ def test_events_scan_prunes_props(spark):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     rs = plan.split("ReadSchema:")[-1]
     assert "props" not in rs
+
+
+def test_q9_lineitem_joins_all_broadcast(spark, reg):
+    """Q9's fact-side joins (part-pruned partsupp, supplier, nation)
+    must all broadcast — lineitem is never shuffled before the final
+    (nation, year) aggregate; orders joins on the orderkey shuffle."""
+    plan = _plan(spark, reg, "q9_product_type_profit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # p_name filter reaches the part scan
+    assert "PushedFilters: [IsNotNull(p_name)" in plan or "Contains(p_name,red)" in plan
+
+
+def test_q2_window_min_not_rejoined_subquery(spark, reg):
+    """The correlated MIN-per-part subquery must compile to ONE window
+    over the region-filtered frame, not a re-derived subquery join."""
+    plan = _plan(spark, reg, "q2_min_cost_supplier")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    # partsupp derivation appears twice at most (main + none): the
+    # explode of the 4-supplier array must not be duplicated per branch
+    assert plan.count("Generate explode") <= 1
+
+
+def test_q16_anti_join_broadcast(spark, reg):
+    plan = _plan(spark, reg, "q16_parts_supplier")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_single_lineitem_aggregate(spark, reg):
+    """The correlated quantity subquery decorelates into exactly one
+    aggregate over the filtered lineitem slice."""
+    plan = _plan(spark, reg, "q20_potential_promotion")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "LeftSemi" in plan
+
+
+def test_ivf_index_topk_scans_probed_cells_only(spark):
+    """The persisted-IVF query path joins the store on cid after a
+    broadcast centroid probe — no cartesian against the stored table,
+    and the store scan reads only the assignment columns it needs."""
+    from rspl_spark.operators.ann_store import create_ivf_index, ivf_index_topk
+
+    emb = load(spark, SF, "embeddings")
+    name = "ivfidx_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        create_ivf_index(spark, emb, name, overwrite=True)
+        df = ivf_index_topk(spark, name, emb.filter(F.col("vec_id") < 5))
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "CartesianProduct" not in plan
+        # probe join keyed on cid
+        assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).{0,80}cid", plan)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_repetition_signals_plan_is_map_only(spark, reg):
+    """The r7 kernel formulation must have NO exchange before the final
+    orderBy — the corpus is never shuffled (contrast: the r6 explode
+    form shuffled three (doc, gram) streams)."""
+    from rspl_spark.operators.text import repetition_signals
+
+    d = load(spark, SF, "documents")
+    plan = repetition_signals(d)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
