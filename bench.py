@@ -96,7 +96,36 @@ def main() -> None:
         result["sketch_trio"] = sketch_trio_probe(spark, reg, sf_dir)
     except Exception as e:
         print(f"# sketch trio probe failed: {e}", file=sys.stderr)
+    try:
+        result["partsupp"] = partsupp_probe(spark, reg, sf_dir)
+    except Exception as e:
+        print(f"# partsupp probe failed: {e}", file=sys.stderr)
     print(json.dumps(result))
+
+
+def partsupp_probe(spark, reg, sf_dir: str) -> dict[str, float]:
+    """Supplementary metric (r7): the derived-partsupp family's two
+    heaviest shapes — Q9 (five joins against the lineitem fact; the
+    fact is never shuffled before the final agg) and Q11 (two-pass
+    exact-cents aggregate). Noop-write timing, steady-state min of 2.
+    Kept OUT of the headline total to preserve r1-baseline
+    comparability."""
+    out: dict[str, float] = {}
+    for key, name in (
+        ("q9_sec", "q9_product_type_profit"),
+        ("q11_sec", "q11_important_stock"),
+    ):
+        fn = reg[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[key] = round(best, 3)
+    return out
 
 
 def sketch_trio_probe(spark, reg, sf_dir: str) -> dict[str, float]:

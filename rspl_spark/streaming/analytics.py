@@ -300,3 +300,37 @@ def stream_hist_with_live_estimate(
 
     bins = streaming_hist(stream_df, col, lo, hi, nbins, group_cols=group_cols)
     return _start_complete_foreach(bins, emit, checkpoint, trigger_available_now)
+
+
+def stream_cms_with_live_estimate(
+    stream_df: DataFrame,
+    key_col: str,
+    probe_keys: list,
+    estimates_path: str,
+    w: int = 64,
+    d: int = 3,
+    weight_col: str | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming CMS that also maintains a LIVE frequency-estimates
+    table for a FIXED probe-key list (the heavy-hitter suspects a
+    dashboard watches): each micro-batch overwrites ``estimates_path``
+    with ``cms_estimate`` over the current <= d*w-cell sketch. Same
+    complete-mode/overwrite contract as the HLL/hist live estimates —
+    the sketch trio now all close the loop from state to a queryable
+    number."""
+    from rspl_spark.operators.sketches import cms_estimate
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keys_df = batch_df.sparkSession.createDataFrame(
+            [(k,) for k in probe_keys], f"{key_col} string"
+        )
+        cms_estimate(batch_df, keys_df, key_col, w=w, d=d).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(estimates_path)
+
+    sk = streaming_cms(stream_df, key_col, w=w, d=d, weight_col=weight_col)
+    return _start_complete_foreach(sk, emit, checkpoint, trigger_available_now)

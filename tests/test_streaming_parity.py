@@ -557,3 +557,44 @@ def test_stream_hist_live_estimate_equals_batch_formula(spark):
         got = {(r["q"], r["est"]) for r in spark.read.parquet(est_path).collect()}
     assert got == want
     assert len(got) == 3
+
+
+def test_stream_cms_live_estimate_equals_batch(spark):
+    """The live CMS frequency table for a fixed probe list ends equal
+    to cms_estimate over the batch sketch of everything ingested —
+    completing the live-estimates contract for the sketch trio."""
+    import tempfile
+
+    from rspl_spark.operators.sketches import cms_estimate, cms_sketch
+    from rspl_spark.streaming.analytics import stream_cms_with_live_estimate
+
+    d = load(spark, SF, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    probes = [
+        r["token"]
+        for r in tok.groupBy("token").count().orderBy(F.desc("count"), "token").limit(5).collect()
+    ]
+    keys_df = spark.createDataFrame([(k,) for k in probes], "token string")
+    want = {
+        (r["token"], r["est"])
+        for r in cms_estimate(cms_sketch(tok, "token"), keys_df, "token").collect()
+    }
+    pdf = tok.orderBy("token").toPandas()
+    n = len(pdf)
+    chunks = [
+        spark.createDataFrame(pdf.iloc[i * n // 3 : (i + 1) * n // 3], "token string")
+        for i in range(3)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        import os
+
+        write_stream_chunks(spark, os.path.join(tmp, "in"), chunks)
+        stream = file_stream(spark, os.path.join(tmp, "in"), "token string")
+        est_path = os.path.join(tmp, "est")
+        q = stream_cms_with_live_estimate(stream, "token", probes, est_path)
+        q.awaitTermination(180)
+        got = {(r["token"], r["est"]) for r in spark.read.parquet(est_path).collect()}
+    assert got == want
+    assert len(got) == 5
