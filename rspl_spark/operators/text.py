@@ -401,3 +401,71 @@ def bigram_lm_score(
             F.col("avg_nll"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide line/passage deduplication (the RefinedWeb /
+    CCNet-style boilerplate pass — concept attribution): a line whose
+    exact text appears in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav menus, cookie banners, licence headers) and is
+    removed from every document; the survivors are reassembled in
+    original order.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_removed) — one row
+    per input document (a fully-boilerplate document comes back with
+    clean_text = '' and n_lines_kept = 0, it is not silently dropped).
+
+    Scale shape: explode keyed on line -> one partial-agg count
+    (boilerplate detection), then the boilerplate set — tiny relative
+    to the corpus by construction (only REPEATED lines survive the
+    HAVING) — broadcasts into a left-anti join, and reassembly is one
+    shuffle keyed on doc id with an in-row array_sort on the (pos,
+    line) structs (positions are unique ints — deterministic order,
+    unlike raw collect_list). The corpus is shuffled twice total; the
+    dominant text payload moves through the line-keyed exchange once.
+    ``sep`` is a regex (escape literal separators).
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would delete every line)")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    # the join separator is always a literal newline (``sep`` is a
+    # regex and cannot be inverted in general)
+    joiner = "\n"
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x.getField("line"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_n_total"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -254,12 +254,14 @@ JOIN region ON r_regionkey = n_regionkey
 WHERE r_name = 'EUROPE'
 GROUP BY ps_partkey
 HAVING SUM(ps_supplycost_cents * ps_availqty) > (
-  SELECT SUM(ps_supplycost_cents * ps_availqty) * 0.0005
-  FROM partsupp
-  JOIN supplier ON s_suppkey = ps_suppkey
-  JOIN nation ON n_nationkey = s_nationkey
-  JOIN region ON r_regionkey = n_regionkey
-  WHERE r_name = 'EUROPE')
+  SELECT 2.0 * SUM(v) / COUNT(*) FROM (
+    SELECT ps_partkey AS pk, SUM(ps_supplycost_cents * ps_availqty) AS v
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY ps_partkey))
 ORDER BY value_cents DESC, ps_partkey
 """
 
@@ -270,7 +272,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BIGINT — exact, order-insensitive, no float drift); the global
     threshold is ONE extra reduction over the same per-part aggregate
     (reused, not recomputed from the base scan) joined back as a
-    broadcast scalar — the two-pass shape a 100 TB plan wants."""
+    broadcast scalar — the two-pass shape a 100 TB plan wants.
+
+    Threshold is SCALE-INVARIANT: 2x the mean per-part value, not
+    TPC-H's literal fixed fraction (whose selectivity collapses to the
+    empty set as the part count grows — the spec itself scales the
+    fraction by 1/SF; the r7 sf10 sweep caught the fixed form returning
+    0 rows beyond sf0.01)."""
     ps = derived_partsupp(spark, sf_dir)
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
@@ -287,7 +295,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents")
     )
     total = per_part.agg(
-        (F.sum("value_cents") * F.lit(0.0005)).alias("threshold")
+        (F.lit(2.0) * F.sum("value_cents") / F.count(F.lit(1))).alias("threshold")
     )
     return (
         per_part.join(F.broadcast(total))

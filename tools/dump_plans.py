@@ -54,6 +54,14 @@ FLAGSHIPS = [
     "q_ann_pq_adc_incremental",
     "q_approx_percentile_hist",
     "q_hll_daily_users",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_potential_promotion",
+    "q_cosine_topk_ivf_incremental",
+    "q_cosine_topk_srp_incremental",
+    "q_semantic_dedup_adaptive",
 ]
 
 
