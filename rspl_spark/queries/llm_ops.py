@@ -2998,3 +2998,67 @@ def q_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("proj", 6).alias("proj"))
         .orderBy("vec_id")
     )
+
+
+# Corpus-wide line/passage dedup (operators/text.py::line_dedup — the
+# RefinedWeb/CCNet boilerplate pass): lines repeated across >= min_docs
+# DISTINCT documents are removed everywhere and the survivors
+# reassembled in order. The synthetic corpus has no newlines, so the
+# gate first re-chunks each document into 8-token "lines" with the
+# SAME deterministic expression in both engines — the dedup then has
+# real cross-document collisions to remove (the tiny synthetic
+# vocabulary makes 8-token chunks repeat often).
+
+_LD_CHUNK = 8
+
+_LINE_DEDUP_ORACLE = f"""
+WITH ld_base AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ts FROM documents
+),
+ld_lines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(chunks, 1) AS BIGINT) AS pos,
+         UNNEST(chunks) AS line
+  FROM (
+    SELECT doc_id,
+           LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(ts) / {float(_LD_CHUNK)!r}) AS BIGINT)),
+                          i -> ARRAY_TO_STRING(LIST_SLICE(ts, i * {_LD_CHUNK} + 1,
+                                                          i * {_LD_CHUNK} + {_LD_CHUNK}), ' ')) AS chunks
+    FROM ld_base)
+),
+ld_boiler AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM ld_lines GROUP BY line
+  ) t WHERE nd >= 2
+),
+ld_kept AS (
+  SELECT * FROM ld_lines WHERE line NOT IN (SELECT line FROM ld_boiler)
+),
+ld_tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total FROM ld_lines GROUP BY doc_id),
+ld_re AS (
+  SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM ld_kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_removed
+FROM ld_tot t LEFT JOIN ld_re r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("q_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("llm", "dedup", "text"))
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.text import line_dedup
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_LD_CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * _LD_CHUNK + 1, _LD_CHUNK)),
+    )
+    chunked = d.select("doc_id", F.concat_ws("\n", chunks).alias("text"))
+    return line_dedup(chunked, sep="\n", min_docs=2).orderBy("doc_id")

@@ -90,3 +90,31 @@ def test_bigram_lm_short_doc_edge_cases(spark):
 
     assert out[3]["n_bigrams"] == 3
     assert abs(out[3]["avg_nll"] - math.log(3.0)) < 1e-9
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    """Corpus-wide line dedup: a line shared by >= min_docs documents
+    vanishes from every document; within-doc repeats of a UNIQUE line
+    survive (the threshold counts distinct docs, not occurrences); the
+    surviving lines keep their original order; a fully-boilerplate doc
+    comes back empty rather than disappearing."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rspl_spark.operators.text import line_dedup
+
+    banner = "accept cookies to continue"
+    docs = [
+        (1, f"unique alpha\n{banner}\nunique beta"),
+        (2, f"{banner}\nsolo gamma\nsolo gamma"),
+        (3, banner),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+    assert len(out) == 3
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"
+    assert out[1]["n_lines_removed"] == 1
+    # within-doc repetition of a unique line is NOT boilerplate
+    assert out[2]["clean_text"] == "solo gamma\nsolo gamma"
+    assert out[2]["n_lines_kept"] == 2
+    # fully-boilerplate doc present with empty text
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
