@@ -427,3 +427,95 @@ def hist_estimate_from_bins(
         / F.col("cnt").cast("double")
     )
     return hit.select(*g, "q", F.round(est, 4).alias("est"))
+
+
+# --- Bloom filter -----------------------------------------------------------
+#
+# The membership sketch (Bloom 1970): "have we seen this key" with no
+# false negatives and a tunable false-positive rate — the standard
+# prefilter in front of an exact dedup store (skip the store probe for
+# keys the filter rejects) or an anti-join against a huge key set.
+# Spark ships bloom_filter_agg, but its bit layout is engine-private;
+# this one uses the repo's portable md5 idiom so a SQL engine replays
+# every bit — and every membership answer — exactly. Representation:
+# (word, bits) rows, word = bit_position // 60, bits = BIT_OR of
+# 1 << (position % 60) — at most ceil(m_bits / 60) rows however many
+# keys are inserted, MERGEABLE by cell-wise BIT_OR (the partial agg IS
+# the distributed merge, same scale argument as CMS/HLL/hist).
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 14, k: int = 3
+) -> DataFrame:
+    """Build the filter: (word, bits) with <= ceil(m_bits/60) rows.
+
+    The k bit positions come from the same one-digest 20-bit field
+    split as the CMS (md5 evaluated ONCE per key in a child
+    projection); NULL keys are ignored (membership semantics follow
+    COUNT DISTINCT's NULL treatment)."""
+    from rspl_spark.operators.dedup import portable_hash
+
+    if not 1 <= k <= 3:
+        raise ValueError(f"k={k}: one 60-bit hash yields at most 3 20-bit fields")
+    if m_bits > (1 << 20):
+        raise ValueError(f"m_bits={m_bits} exceeds the 20-bit field")
+    pre = df.filter(F.col(key_col).isNotNull()).select(
+        portable_hash(F.col(key_col).cast("string")).alias("_h")
+    )
+    positions = F.array(*_fields(F.col("_h"), k, m_bits))
+    return (
+        pre.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 60).cast("long").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 60 as int))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(_m)").cast("long").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of the two key sets: cell-wise BIT_OR."""
+    return (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame, keys: DataFrame, key_col: str, m_bits: int = 1 << 14, k: int = 3
+) -> DataFrame:
+    """(key, member): member = 1 iff ALL k of the key's bits are set —
+    never 0 for an inserted key (no false negatives); 1 for a small
+    hash-collision fraction of absent keys. The sketch broadcasts
+    (<= ceil(m_bits/60) rows), so the probe is a narrow map-side join.
+    NULL probe keys are dropped, as in cms_estimate."""
+    from rspl_spark.operators.dedup import portable_hash
+
+    pre = keys.filter(F.col(key_col).isNotNull()).select(
+        key_col, portable_hash(F.col(key_col).cast("string")).alias("_h")
+    )
+    positions = F.array(*_fields(F.col("_h"), k, m_bits))
+    probes = pre.select(key_col, F.explode(positions).alias("pos")).select(
+        key_col,
+        (F.col("pos") / 60).cast("long").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 60 as int))").alias("_m"),
+    )
+    hit = (
+        F.when(
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m"))) != 0, 1
+        ).otherwise(0)
+    )
+    return (
+        probes.join(F.broadcast(sketch), "word", "left")
+        .select(key_col, hit.alias("_hit"))
+        .groupBy(key_col)
+        .agg(F.min("_hit").cast("long").alias("member"))
+    )
+
+
+def bloom_bit_sql(key_expr: str, i: int, m_bits: int) -> str:
+    """DuckDB mirror of probe/build position i: (word, mask) pieces are
+    derived from this bit position."""
+    return cms_bucket_sql(key_expr, i, m_bits)

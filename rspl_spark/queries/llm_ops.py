@@ -3062,3 +3062,68 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunked = d.select("doc_id", F.concat_ws("\n", chunks).alias("text"))
     return line_dedup(chunked, sep="\n", min_docs=2).orderBy("doc_id")
+
+
+# Bloom-filter membership (operators/sketches.py): the 4th mergeable
+# sketch. Build on the customer name set, probe every supplier name
+# (disjoint — members only via hash collision) plus a customer sample
+# (guaranteed members): no false negatives is a THEOREM the gate
+# hash-checks, and the false-positive bits replay exactly because the
+# whole filter is integer ops on the portable hash.
+
+_BLOOM_M = 1 << 14
+_BLOOM_K = 3
+
+
+def _bloom_oracle() -> str:
+    from rspl_spark.operators.sketches import bloom_bit_sql
+
+    build_pos = "\nUNION ALL\n".join(
+        f"SELECT {bloom_bit_sql('c_name', i, _BLOOM_M)} AS pos FROM customer"
+        for i in range(_BLOOM_K)
+    )
+    probe_pos = "\nUNION ALL\n".join(
+        f"SELECT probe, {bloom_bit_sql('probe', i, _BLOOM_M)} AS pos FROM bl_probes"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH bl_pos AS (
+{build_pos}
+),
+bl_words AS (
+  SELECT pos // 60 AS word,
+         BIT_OR(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+  FROM bl_pos GROUP BY pos // 60
+),
+bl_probes AS (
+  SELECT s_name AS probe FROM supplier
+  UNION ALL
+  SELECT c_name FROM customer WHERE c_custkey % 10 = 0
+),
+bl_pp AS (
+{probe_pos}
+)
+SELECT pp.probe,
+       CAST(MIN(CASE WHEN (COALESCE(w.bits, 0)
+                           & (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS member
+FROM bl_pp pp LEFT JOIN bl_words w ON w.word = pp.pos // 60
+GROUP BY pp.probe
+ORDER BY pp.probe
+"""
+
+
+@query("q_bloom_membership", oracle=_bloom_oracle(), tags=("llm", "sketch"))
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.sketches import bloom_build, bloom_probe
+
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    sketch = bloom_build(c.select(F.col("c_name")), "c_name", m_bits=_BLOOM_M, k=_BLOOM_K)
+    probes = s.select(F.col("s_name").alias("probe")).unionAll(
+        c.filter(F.col("c_custkey") % 10 == 0).select(F.col("c_name").alias("probe"))
+    )
+    return (
+        bloom_probe(sketch, probes, "probe", m_bits=_BLOOM_M, k=_BLOOM_K)
+        .orderBy("probe")
+    )

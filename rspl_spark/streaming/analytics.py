@@ -334,3 +334,17 @@ def stream_cms_with_live_estimate(
 
     sk = streaming_cms(stream_df, key_col, w=w, d=d, weight_col=weight_col)
     return _start_complete_foreach(sk, emit, checkpoint, trigger_available_now)
+
+
+def streaming_bloom(
+    stream_df: DataFrame, key_col: str, m_bits: int = 1 << 14, k: int = 3
+) -> DataFrame:
+    """Streaming Bloom filter: live membership sketch over an unbounded
+    key stream with PROVABLY bounded state — the group key is word, so
+    the state store holds at most ceil(m_bits/60) rows FOREVER; BIT_OR
+    merges micro-batch partials exactly like partition partials
+    (complete-mode output == batch bloom_build of everything ingested).
+    Same delegate-to-the-batch-kernel pattern as streaming_cms/hll."""
+    from rspl_spark.operators.sketches import bloom_build
+
+    return bloom_build(stream_df, key_col, m_bits=m_bits, k=k)

@@ -284,3 +284,36 @@ def test_sketches_ignore_null_keys_and_values(spark):
     q_null = {tuple(r) for r in hist_quantiles(df, "v", (0.5,)).collect()}
     q_clean = {tuple(r) for r in hist_quantiles(clean, "v", (0.5,)).collect()}
     assert q_null == q_clean
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom invariants: every inserted key probes member=1 (theorem,
+    not tolerance); merge(a, b) == build(a ∪ b) bit-for-bit; state is
+    bounded at ceil(m/60) words; the false-positive rate on a disjoint
+    probe set sits near the analytic (1 - e^{-kn/m})^k."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.sketches import bloom_build, bloom_merge, bloom_probe
+
+    m, k = 1 << 14, 3
+    a = spark.range(0, 700).select(F.concat(F.lit("in_a_"), "id").alias("key"))
+    b = spark.range(0, 700).select(F.concat(F.lit("in_b_"), "id").alias("key"))
+    absent = spark.range(0, 2000).select(F.concat(F.lit("out_"), "id").alias("key"))
+
+    sk_a, sk_b = bloom_build(a, "key", m, k), bloom_build(b, "key", m, k)
+    merged = bloom_merge(sk_a, sk_b)
+    union_built = bloom_build(a.unionAll(b), "key", m, k)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in union_built.collect()
+    }
+    assert merged.count() <= -(-m // 60)
+
+    members = bloom_probe(merged, a.unionAll(b), "key", m, k)
+    assert members.filter(F.col("member") == 0).count() == 0  # no false negatives
+
+    fp = bloom_probe(merged, absent, "key", m, k).filter(F.col("member") == 1).count()
+    n = 1400
+    expected = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 2000 < max(4 * expected, 0.05), f"fp rate {fp/2000} vs analytic {expected}"
