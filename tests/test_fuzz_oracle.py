@@ -803,3 +803,59 @@ def test_fuzz_sketch_queries(spark, duck):
         if not sdf.equals(ddf):
             failures.append((i, sql[:160]))
     assert not failures, f"sketch fuzz mismatches: {failures}"
+
+
+def _gen_scalar_subquery_query(rng: random.Random):
+    """Grammar #14: random correlated SCALAR-aggregate subqueries — the
+    Q2/Q11/Q17/Q20 family. The oracle keeps the literal correlated
+    form (per-group MIN/MAX/AVG compared against each row); the Spark
+    side decorrelates into a window aggregate over the same partition
+    (the at-scale formulation used by q2_min_cost_supplier). Integer
+    comparisons where possible; float aggregates rounded before
+    comparison never appear — the flag column is derived from raw
+    doubles identically on both engines."""
+    agg = rng.choice(["MIN", "MAX", "AVG"])
+    c = rng.choice(["l_quantity", "l_extendedprice"])
+    part = rng.choice(["l_suppkey", "l_partkey", "l_returnflag"])
+    cmp_frac = round(rng.uniform(0.5, 1.5), 2)
+    group = rng.choice(["l_returnflag", "l_linestatus"])
+
+    spark_agg = {"MIN": F.min, "MAX": F.max, "AVG": F.avg}[agg]
+
+    def spark_fn(spark):
+        li = load(spark, SF, "lineitem")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(part)
+        flagged = li.withColumn("_t", spark_agg(F.col(c)).over(w)).filter(
+            F.col(c) > F.lit(cmp_frac) * F.col("_t")
+        )
+        return flagged.groupBy(group).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+
+    sql = (
+        f"SELECT {group}, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"CAST(SUM(l_quantity) AS BIGINT) AS qty "
+        f"FROM lineitem l1 "
+        f"WHERE {c} > {cmp_frac} * (SELECT {agg}({c}) FROM lineitem l2 "
+        f"WHERE l2.{part} = l1.{part}) "
+        f"GROUP BY {group}"
+    )
+    return spark_fn, sql
+
+
+def test_fuzz_scalar_subquery_queries(spark, duck):
+    duck.sql(
+        f"CREATE VIEW IF NOT EXISTS lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
+    )
+    rng = random.Random(24680)
+    failures = []
+    for i in range(12):
+        spark_fn, sql = _gen_scalar_subquery_query(rng)
+        sdf = _canon(spark_fn(spark).toPandas())
+        ddf = _canon(duck.sql(sql).df())
+        if not sdf.equals(ddf):
+            failures.append((i, sql))
+    assert not failures, f"scalar-subquery fuzz mismatches: {failures}"
