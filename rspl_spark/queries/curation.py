@@ -523,3 +523,64 @@ def q_thin_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# PII scrubbing (operators/curation.py::pii_scrub): the synthetic corpus
+# carries no PII, so the gate INJECTS deterministic emails/IPs/phones
+# (pure function of doc_id, identical expression in both engines) and
+# then hash-checks every redacted byte and per-kind count.
+
+
+def _pii_oracle() -> str:
+    pats = {name: (pat, tok) for name, pat, tok in C.PII_PATTERNS}
+    em, emt = pats["email"]
+    ip, ipt = pats["ip"]
+    ph, pht = pats["phone"]
+    return f"""
+WITH pii_in AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END AS t
+  FROM documents
+),
+pii_s1 AS (
+  SELECT doc_id, CAST(LEN(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '{em}', '{emt}', 'g') AS t
+  FROM pii_in
+),
+pii_s2 AS (
+  SELECT doc_id, n_email, CAST(LEN(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ip,
+         regexp_replace(t, '{ip}', '{ipt}', 'g') AS t
+  FROM pii_s1
+),
+pii_s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         CAST(LEN(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phone,
+         regexp_replace(t, '{ph}', '{pht}', 'g') AS t
+  FROM pii_s2
+)
+SELECT doc_id, t AS clean_text, n_email, n_ip, n_phone,
+       CAST(n_email + n_ip + n_phone AS BIGINT) AS n_redactions
+FROM pii_s3
+ORDER BY doc_id
+"""
+
+
+@query("q_pii_scrub", oracle=_pii_oracle(), tags=("llm", "curation", "text"))
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return C.pii_scrub(injected).orderBy("doc_id")

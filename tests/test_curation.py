@@ -193,3 +193,24 @@ def test_thin_hot_keys_ultra_hot_key_survives(spark):
     assert by_key.get("ok") == 1  # healthy key untouched
     # ultra-hot key survives (≈ n/SAMPLE_MOD = 5 expected, > 0 required)
     assert 0 < by_key.get("bot", 0) < 500
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from rspl_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and 192.168.0.1 then 555-000-1111 done"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io z@w.co one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "mail [EMAIL] and [IP] then [PHONE] done"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["n_redactions"] == 3
+    assert out[2]["clean_text"] == "no pii here at all"
+    assert out[2]["n_redactions"] == 0
+    assert out[3]["n_email"] == 2 and out[3]["n_ip"] == 1
+    assert "[EMAIL]" in out[3]["clean_text"] and "@" not in out[3]["clean_text"]
