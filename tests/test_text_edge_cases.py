@@ -118,3 +118,20 @@ def test_line_dedup_removes_boilerplate_preserves_order(spark):
     assert out[2]["n_lines_kept"] == 2
     # fully-boilerplate doc present with empty text
     assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
+
+
+def test_line_dedup_identity_when_no_cross_doc_repeats(spark):
+    """Property: when every line is globally unique, line_dedup is the
+    identity (modulo separator normalization) — nothing removed, text
+    reassembles byte-identically."""
+    from rspl_spark.operators.text import line_dedup
+
+    docs = [
+        (i, "\n".join(f"doc{i} line{j} payload" for j in range(1 + i % 4)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+    for i, text in docs:
+        assert out[i]["clean_text"] == text
+        assert out[i]["n_lines_removed"] == 0
