@@ -662,6 +662,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     target_cell: int = 512,
     max_cell_rows: int | None = None,
+    max_k: int = 4096,
 ) -> DataFrame:
     """Embedding-space near-duplicate dedup, end to end: trained-cell
     blocking (kmeans_fit/assign) → in-cell BLAS cosine pairs ≥ threshold
@@ -676,7 +677,7 @@ def semantic_dedup(
     formulation that scales: no all-pairs scan, shuffles keyed on cell
     then on node id.
 
-    ``k`` defaults to n / target_cell (capped at 4096): with a FIXED
+    ``k`` defaults to n / target_cell (capped at ``max_k``): with a FIXED
     cell count, cell size grows with the corpus and the in-cell pair
     scan is O(n^2 / k) — measured super-linear in the sf0.1->sf3 sweep.
     Scaling the cell count keeps per-cell work bounded, so total pair
@@ -689,7 +690,11 @@ def semantic_dedup(
     from rspl_spark.operators.dedup import connected_components_star
 
     if k is None:
-        k = max(8, min(4096, e.count() // target_cell))
+        # cap: the Lloyd fit is O(n * k * d) per iteration — past max_k
+        # the fit itself becomes the bottleneck (a k=4096 fit over 500k
+        # 64-d vectors is ~131 GFLOP per pass); fit on a sample instead
+        # of raising the cap.
+        k = max(8, min(max_k, e.count() // target_cell))
     cents = kmeans_fit(e, vec_col, id_col, k, iters)
     assign = kmeans_assign(e, cents, vec_col, id_col).select(id_col, "cid")
     prepped = unit_prep(e, id_col, "emb", "nrm", vec_col, id_col).join(assign, id_col)

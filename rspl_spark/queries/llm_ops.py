@@ -2774,16 +2774,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The SCALE-PATH default, hash-gated: k derived from the corpus size
-# (semantic_dedup's k=None branch — max(8, min(4096, n // target_cell)))
+# (semantic_dedup's k=None branch — max(8, min(max_k, n // target_cell)))
 # instead of the fixed k=8 the gate above binds for oracle determinism.
 # target_cell=32 makes adaptive k = 15 at sf0.01, so the gate actually
 # exercises a DIFFERENT cell count than the fixed-k gate; the oracle
 # derives the same k with a scalar subquery (r6 judge ask #4 — the
 # adaptive default was parity-tested but never oracle-gated).
+# max_k=64 bounds the GATE's fit when run at big sf — target_cell=32
+# would otherwise push k to the 4096 cap at 500k vectors, and the
+# O(n*k*d) Lloyd fit (131 GFLOP/pass) timed out the r7 sf10 sweep;
+# the OPERATOR default (target_cell=512) measured 22.7s there in r6.
 
 _SD_ADAPTIVE_TARGET_CELL = 32
+_SD_ADAPTIVE_MAX_K = 64
 _SD_ADAPTIVE_K_SQL = (
-    f"SELECT GREATEST(8, LEAST(4096, COUNT(*) // {_SD_ADAPTIVE_TARGET_CELL})) "
+    f"SELECT GREATEST(8, LEAST({_SD_ADAPTIVE_MAX_K}, COUNT(*) // {_SD_ADAPTIVE_TARGET_CELL})) "
     "FROM embeddings"
 )
 
@@ -2802,6 +2807,7 @@ def q_semantic_dedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_EMB_PAIR_THRESHOLD,
         iters=_IVF_TRAINED_ITERS,
         target_cell=_SD_ADAPTIVE_TARGET_CELL,
+        max_k=_SD_ADAPTIVE_MAX_K,
     ).orderBy("vec_id")
 
 
