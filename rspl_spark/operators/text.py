@@ -469,3 +469,118 @@ def line_dedup(
             .alias("n_lines_removed"),
         )
     )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Term -> postings-list index over a corpus (the classic IR build;
+    the reference's Get/Put pipelines consume streams — this is the
+    batch index a search front-end would sit on).
+
+    Returns (term, df, tf_total, postings) where ``postings`` is the
+    sorted array of the first ``max_postings`` doc ids containing the
+    term (all of them when None) while ``df``/``tf_total`` always count
+    the FULL corpus.
+
+    Scale shape: one partial-agg shuffle keyed (term, doc), then a
+    term-keyed window + final agg that share a single exchange (the
+    window's partitioning satisfies the groupBy's distribution). The
+    postings cap is applied BEFORE collect_list via the rank — a
+    stopword's row carries at most ``max_postings`` ids through the
+    aggregation, never the whole corpus; collect_list drops the NULLs
+    the cap produces. Deterministic: postings are the doc-id-sorted
+    prefix, not an arbitrary sample.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    per = toks.groupBy("term", "_doc").agg(F.count(F.lit(1)).alias("n"))
+    if max_postings is not None:
+        w = Window.partitionBy("term").orderBy("_doc")
+        per = per.withColumn("_rk", F.row_number().over(w))
+        keep_doc = F.when(F.col("_rk") <= max_postings, F.col("_doc"))
+    else:
+        keep_doc = F.col("_doc")
+    idx = per.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("n").cast("long").alias("tf_total"),
+        F.sort_array(F.collect_list(keep_doc)).alias("postings"),
+    )
+    if min_df > 1:
+        idx = idx.filter(F.col("df") >= min_df)
+    return idx
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 keyword search: score every document against a bag of query
+    terms with the Robertson/Sparck-Jones formulation Lucene uses
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5))) and return the top-k.
+
+    Returns (doc_id, score, n_terms_hit, rk), rk 1..k ranked by
+    (rounded score desc, doc_id) — ranking on the ROUNDED score keeps
+    the order replayable across engines whose group-sum float order
+    differs.
+
+    Scale shape: the query-term filter lands immediately after the
+    explode, so only matching (doc, term) rows ever reach a shuffle —
+    the corpus itself is scanned once and never re-keyed. df-per-term
+    (<= |query| rows) and the (N, avgdl) 1-row aggregate broadcast into
+    the scoring projection; the final top-k is a single-partition
+    row_number over <= |corpus| pre-aggregated rows (use a
+    TakeOrdered-style limit for interactive use; the window form here
+    keeps rk deterministic for the gate).
+    """
+    terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ts"),
+    ).select(F.col(id_col), F.col("_ts"), F.size("_ts").cast("long").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_N"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    hits = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("_ts").alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = hits.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("_N") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
