@@ -47,6 +47,22 @@ def _set_props(spark: SparkSession, name: str, props: dict[str, str]) -> None:
     spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
 
 
+def _check_increment_dim(
+    new_vecs: DataFrame, vec_col: str, expect_dim: int, kind: str
+) -> None:
+    """Fail fast on a wrong-dimension increment. Without this, a
+    mismatched append silently corrupts the index: zip_with over
+    unequal-length arrays yields NULL dots, so every SRP bit defaults
+    to 0 and IVF/PQ cell assignment becomes arbitrary. One-row driver
+    check (limit-1 scan of the increment), never a full pass."""
+    row = new_vecs.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] != expect_dim:
+        raise ValueError(
+            f"{kind} append: increment vector dim {row['d']} != "
+            f"stored index dim {expect_dim}"
+        )
+
+
 def _fresh_table_path(spark: SparkSession, name: str) -> str:
     """A clean on-disk location for a (re)built index table, derived
     from the session's configured warehouse (NOT this module's file
@@ -139,6 +155,7 @@ def append_pq_index(
     the appended row count (also accumulated in pq.appended_rows, the
     staleness numerator)."""
     cbs = pq_index_codebooks(spark, name)
+    _check_increment_dim(new_vecs, vec_col, len(cbs) * len(cbs[0][0]), "pq")
     # count the INCREMENT, not the table: two corpus-sized table counts
     # per daily append would dwarf the append itself at a large index.
     # localCheckpoint materializes the (increment-sized) encoding once
@@ -323,6 +340,7 @@ def append_ivf_index(
     from rspl_spark.operators.similarity import unit_prep
 
     cents = ivf_index_centroids(spark, name)
+    _check_increment_dim(new_vecs, vec_col, len(cents[0]), "ivf")
     prep = unit_prep(new_vecs, "vec_id", "emb", "nrm", vec_col=vec_col, id_col=id_col)
     assigned = _rank_cells(prep, _centroid_frame(spark, cents), "vec_id", 1).localCheckpoint()
     n = assigned.count()
@@ -533,6 +551,7 @@ def append_srp_index(
 ) -> int:
     """Band the increment under the STORED config and append."""
     cfg = srp_index_config(spark, name)
+    _check_increment_dim(new_vecs, vec_col, cfg["dim"], "srp")
     rows = _srp_band_rows(
         new_vecs, cfg["planes"], cfg["dim"], cfg["bands"], vec_col, id_col
     ).localCheckpoint()

@@ -432,8 +432,13 @@ def pii_scrub(
     double-count one span. Pure codegen (regexp_extract_all +
     regexp_replace chain) — a narrow projection, no shuffle, no
     Python; at 100 TB this runs at scan speed and composes into the
-    cleaning pipeline's single pass."""
-    cur = F.col(text_col)
+    cleaning pipeline's single pass.
+
+    NULL contract: a null ``text_col`` is treated as the empty string
+    — clean_text = '' with every count 0. Without the coalesce,
+    regexp_extract_all(NULL) is NULL, F.size(NULL) is -1, and the
+    redaction log would record negative counts for null rows."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for name, pat, token in patterns:
         counts.append(

@@ -419,7 +419,9 @@ def line_dedup(
 
     Returns (id, clean_text, n_lines_kept, n_lines_removed) — one row
     per input document (a fully-boilerplate document comes back with
-    clean_text = '' and n_lines_kept = 0, it is not silently dropped).
+    clean_text = '' and n_lines_kept = 0, it is not silently dropped;
+    a NULL-text document behaves exactly like an empty one — one ''
+    line — rather than vanishing from the output).
 
     Scale shape: explode keyed on line -> one partial-agg count
     (boilerplate detection), then the boilerplate set — tiny relative
@@ -433,9 +435,14 @@ def line_dedup(
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would delete every line)")
+    # NULL text coalesces to '' so the doc still explodes to one empty
+    # line and keeps its output row — split(NULL) would explode to
+    # zero rows and silently drop the document from the totals frame.
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "line"),
     )
     boiler = (
         lines.groupBy("line")
@@ -535,6 +542,12 @@ def bm25_search(
     the order replayable across engines whose group-sum float order
     differs.
 
+    Bag-of-terms semantics: a term repeated in the query weights its
+    contribution by its query-side count (Lucene's boost-by-repetition
+    behavior), not set semantics. Empty/whitespace-only documents
+    count dl = 0 (the empty token is not a token) and therefore
+    contribute 0 — not 1 — to avgdl.
+
     Scale shape: the query-term filter lands immediately after the
     explode, so only matching (doc, term) rows ever reach a shuffle —
     the corpus itself is scanned once and never re-keyed. df-per-term
@@ -544,12 +557,20 @@ def bm25_search(
     TakeOrdered-style limit for interactive use; the window form here
     keeps rk deterministic for the gate).
     """
-    terms = [str(t) for t in query_terms]
+    from collections import Counter
+
+    qcounts = Counter(str(t) for t in query_terms)
+    terms = sorted(qcounts)
     if not terms:
         raise ValueError("query_terms must be non-empty")
     base = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ts"),
+        # drop the '' token split() yields for empty/whitespace docs so
+        # dl/avgdl reflect real token counts (dl = 0 for empty docs)
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("_ts"),
     ).select(F.col(id_col), F.col("_ts"), F.size("_ts").cast("long").alias("dl"))
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("_N"),
@@ -569,7 +590,14 @@ def bm25_search(
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("_avgdl")
     )
-    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    # query-side term frequency: a repeated query term multiplies its
+    # contribution (bag-of-terms, matching the documented semantics)
+    qmap = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(float(qcounts[t])))]
+    )
+    contrib = (
+        F.element_at(qmap, F.col("term")) * idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    )
     per_doc = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))

@@ -298,3 +298,45 @@ def test_srp_config_validation(spark, emb):
 
     with pytest.raises(ValueError, match="divisible"):
         create_srp_index(spark, emb, "srpidx_test_bad", planes=16, bands=5)
+
+
+def test_append_wrong_dim_raises_fast(spark, emb):
+    """A wrong-dimension increment must fail fast in every append path
+    — silently accepting it corrupts the index (NULL zip_with dots →
+    SRP bits all 0, arbitrary IVF/PQ cells)."""
+    from rspl_spark.operators.ann_store import (
+        append_ivf_index,
+        append_srp_index,
+        create_ivf_index,
+        create_srp_index,
+    )
+
+    names = ("pqidx_test_dim", "ivfidx_test_dim", "srpidx_test_dim")
+    for n in names:
+        _drop(spark, n)
+    try:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        # truncate the embedding: same schema, wrong vector length
+        bad = (
+            emb.filter(F.col("vec_id") % 3 == 0)
+            .select("vec_id", F.slice("embedding", 1, 7).alias("embedding"))
+        )
+        create_pq_index(spark, base, names[0], overwrite=True)
+        create_ivf_index(spark, base, names[1], overwrite=True)
+        create_srp_index(spark, base, names[2], overwrite=True)
+        with pytest.raises(ValueError, match="dim"):
+            append_pq_index(spark, bad, names[0])
+        with pytest.raises(ValueError, match="dim"):
+            append_ivf_index(spark, bad, names[1])
+        with pytest.raises(ValueError, match="dim"):
+            append_srp_index(spark, bad, names[2])
+        # correct-dim append still works after the failed attempts
+        # (append_srp_index returns BAND rows: vectors x bands)
+        from rspl_spark.operators.ann_store import srp_index_config
+
+        good = emb.filter(F.col("vec_id") % 3 == 0)
+        bands = srp_index_config(spark, names[2])["bands"]
+        assert append_srp_index(spark, good, names[2]) == good.count() * bands
+    finally:
+        for n in names:
+            _drop(spark, n)

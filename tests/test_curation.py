@@ -214,3 +214,18 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[2]["n_redactions"] == 0
     assert out[3]["n_email"] == 2 and out[3]["n_ip"] == 1
     assert "[EMAIL]" in out[3]["clean_text"] and "@" not in out[3]["clean_text"]
+
+
+def test_pii_scrub_null_text_contract(spark):
+    """NULL text is treated as '': clean_text = '' with every count 0
+    — never NULL clean_text or negative counts (F.size(NULL) is -1)."""
+    from rspl_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "mail x@y.io now")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == ""
+    assert out[1]["n_email"] == 0 and out[1]["n_ip"] == 0 and out[1]["n_phone"] == 0
+    assert out[1]["n_redactions"] == 0
+    assert out[2]["clean_text"] == "mail [EMAIL] now"

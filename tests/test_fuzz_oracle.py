@@ -810,11 +810,14 @@ def _gen_scalar_subquery_query(rng: random.Random):
     Q2/Q11/Q17/Q20 family. The oracle keeps the literal correlated
     form (per-group MIN/MAX/AVG compared against each row); the Spark
     side decorrelates into a window aggregate over the same partition
-    (the at-scale formulation used by q2_min_cost_supplier). Integer
-    comparisons where possible; float aggregates rounded before
-    comparison never appear — the flag column is derived from raw
-    doubles identically on both engines."""
-    agg = rng.choice(["MIN", "MAX", "AVG"])
+    (the at-scale formulation used by q2_min_cost_supplier). The
+    fuzzed aggregate is restricted to MIN/MAX: both are exact and
+    order-insensitive, so the raw-double comparison flag is
+    engine-identical. AVG is deliberately excluded — its float
+    summation order differs between Spark partials and DuckDB, so
+    boundary rows near cmp_frac * AVG could flip under other seeds
+    (the repo's established Spark-vs-DuckDB determinism rule)."""
+    agg = rng.choice(["MIN", "MAX"])
     c = rng.choice(["l_quantity", "l_extendedprice"])
     part = rng.choice(["l_suppkey", "l_partkey", "l_returnflag"])
     cmp_frac = round(rng.uniform(0.5, 1.5), 2)

@@ -135,3 +135,72 @@ def test_line_dedup_identity_when_no_cross_doc_repeats(spark):
     for i, text in docs:
         assert out[i]["clean_text"] == text
         assert out[i]["n_lines_removed"] == 0
+
+
+def test_line_dedup_null_text_behaves_as_empty(spark):
+    """A NULL-text document must not vanish: it behaves exactly like
+    an empty document (one '' line) and keeps its output row —
+    split(NULL) would otherwise explode to zero rows and drop it."""
+    from rspl_spark.operators.text import line_dedup
+
+    banner = "accept cookies to continue"
+    docs = [
+        (1, f"unique alpha\n{banner}"),
+        (2, f"{banner}\nunique beta"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # NULL doc ≡ empty doc: identical counts and clean_text. The ''
+    # line appears in BOTH docs (3 and 4), so it is itself boilerplate
+    # here and both come back fully scrubbed — the point is they come
+    # back at all, with matching totals.
+    for k in (3, 4):
+        assert out[k]["clean_text"] == ""
+        assert out[k]["n_lines_kept"] == 0
+        assert out[k]["n_lines_removed"] == 1
+    assert out[1]["clean_text"] == "unique alpha"
+
+
+def test_bm25_duplicate_query_terms_weight_contribution(spark):
+    """Bag-of-terms: repeating a query term doubles its contribution;
+    a query with both terms repeated scales every score by the repeat
+    count, leaving the ranking intact."""
+    from rspl_spark.operators.text import bm25_search
+
+    docs = [
+        (1, "spark shuffle spark partition"),
+        (2, "spark only once here"),
+        (3, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    single = {r["doc_id"]: r["score"] for r in bm25_search(df, ["spark"]).collect()}
+    double = {r["doc_id"]: r["score"] for r in bm25_search(df, ["spark", "spark"]).collect()}
+    assert set(single) == {1, 2}
+    for d in single:
+        assert abs(double[d] - 2 * single[d]) < 1e-5
+
+
+def test_bm25_empty_docs_do_not_skew_avgdl(spark):
+    """Empty/whitespace docs count dl = 0, not 1: scores over a corpus
+    with empty docs appended must differ from the no-empties corpus
+    ONLY through N (the idf numerator), never through avgdl."""
+    import math
+
+    from rspl_spark.operators.text import bm25_search
+
+    base = [(1, "alpha beta gamma"), (2, "alpha alpha delta")]
+    with_empty = base + [(3, ""), (4, "   \t ")]
+    df = spark.createDataFrame(with_empty, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bm25_search(df, ["alpha"]).collect()}
+    assert set(out) == {1, 2}
+    # hand-computed: N=4, df=2, idf=ln(1+(4-2+0.5)/(2+0.5)); avgdl=6/4=1.5
+    # (six real tokens over four docs — the empty docs contribute 0)
+    k1, b = 1.2, 0.75
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    avgdl = 6 / 4
+    for doc_id, tf, dl in ((1, 1.0, 3), (2, 2.0, 3)):
+        expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert abs(out[doc_id]["score"] - round(expect, 6)) < 1e-6
