@@ -130,12 +130,19 @@ def merge_increment(
     merged = merged_view(
         spark, new_df, store, keys, measures, n_buckets, resolve_buckets=False
     )
-    # materialize BEFORE touching the store (the plan reads it), then
-    # swap the catalog entry and reap the superseded directory
+    _rewrite_swap(spark, merged, store, keys, n_buckets)
+
+
+def _rewrite_swap(
+    spark: SparkSession, df: DataFrame, store: str, keys: list[str], n_buckets: int
+) -> None:
+    """Materialize ``df`` (whose plan reads ``store``) to a versioned
+    tmp table BEFORE touching the store, then swap the catalog entry
+    and reap the superseded directory."""
     old_path = _table_location(spark, store)
     tmp_name = f"{store}__merge_{uuid.uuid4().hex[:8]}"
     tmp_path = f"{_store_path(store)}.__v_{uuid.uuid4().hex[:8]}"
-    _write_bucketed(merged, tmp_name, tmp_path, keys, n_buckets)
+    _write_bucketed(df, tmp_name, tmp_path, keys, n_buckets)
     spark.sql(f"DROP TABLE {store}")
     try:
         spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {store}")
@@ -222,6 +229,187 @@ def merged_view(
             null_safe=True,
         )
     )
+
+
+def retracted_view(
+    spark: SparkSession,
+    old_df: DataFrame,
+    store: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    history_df: DataFrame | None = None,
+    n_buckets: int = 8,
+    resolve_buckets: bool = True,
+) -> DataFrame:
+    """The retraction plan ``retract_increment`` writes — exposed for
+    plan inspection and tests. See retract_increment for semantics."""
+    _check(measures)
+    count_names = [n for n, (_c, k) in measures.items() if k == "count"]
+    if not count_names:
+        raise ValueError(
+            "retraction needs at least one 'count' measure (over a "
+            "non-null column) to detect groups that become empty"
+        )
+    minmax = {n: (c, k) for n, (c, k) in measures.items() if k in ("min", "max")}
+    if resolve_buckets:
+        n_buckets = _table_buckets(spark, store) or n_buckets
+    inc_all = partial_agg(old_df, keys, measures)
+    st_all = spark.table(store)
+
+    def nullsafe_cond(s, i):
+        cond = None
+        for k in keys:
+            kc = F.col(f"s.{k}").eqNullSafe(F.col(f"i.{k}"))
+            cond = kc if cond is None else (cond & kc)
+        return cond
+
+    # a retraction for a group the store never ingested is a caller
+    # bug (wrong old_df) — fail loudly, never silently drop it.
+    stray = inc_all.alias("i").join(
+        st_all.alias("s"), nullsafe_cond("s", "i"), "left_anti"
+    )
+    if stray.take(1):
+        raise ValueError(
+            "retract_increment: old_df contains groups absent from the "
+            "store — the retracted rows were never merged in"
+        )
+
+    def retract_select(s, i, null_safe: bool):
+        cond = None
+        for k in keys:
+            kc = (
+                F.col(f"s.{k}").eqNullSafe(F.col(f"i.{k}"))
+                if null_safe
+                else F.col(f"s.{k}") == F.col(f"i.{k}")
+            )
+            cond = kc if cond is None else (cond & kc)
+        cols = [F.col(f"s.{k}").alias(k) for k in keys]
+        dirty = F.lit(False)
+        for name, (_col, kind) in measures.items():
+            a, b = F.col(f"s.{name}"), F.col(f"i.{name}")
+            if kind in ("sum", "count"):
+                m = F.when(b.isNull(), a).otherwise(a - b)
+            else:
+                # min/max partials cannot subtract: the stored extreme
+                # stays valid ONLY if the retracted slice never touched
+                # it (strict inequality); otherwise the group is dirty
+                # and must lazily recompute from surviving history.
+                m = a
+                touch = b.isNotNull() & ((b <= a) if kind == "min" else (b >= a))
+                dirty = dirty | touch
+            cols.append(m.alias(name))
+        cols.append(dirty.alias("_dirty"))
+        return s.join(i, cond, "left").select(*cols)
+
+    def any_null(df):
+        c = F.lit(False)
+        for k in keys:
+            c = c | df[k].isNull()
+        return c
+
+    ret = retract_select(
+        st_all.filter(~any_null(st_all)).alias("s"),
+        inc_all.filter(~any_null(inc_all)).repartition(n_buckets, *keys).alias("i"),
+        null_safe=False,
+    ).unionByName(
+        retract_select(
+            st_all.filter(any_null(st_all)).alias("s"),
+            inc_all.filter(any_null(inc_all)).alias("i"),
+            null_safe=True,
+        )
+    )
+    # over-retraction (more rows retracted than ingested) is a caller
+    # bug the subtraction would silently absorb — fail loudly
+    neg = None
+    for n in count_names:
+        c = F.col(n) < 0
+        neg = c if neg is None else (neg | c)
+    if ret.filter(neg).take(1):
+        raise ValueError(
+            "retract_increment: a count went negative — old_df retracts "
+            "rows that were never ingested for that group"
+        )
+    # groups whose every count reaches 0 are gone entirely
+    import functools
+
+    empty = functools.reduce(
+        lambda a, b: a & b, [F.col(n) == 0 for n in count_names]
+    )
+    ret = ret.filter(~empty)
+    if minmax:
+        dirty_keys = ret.filter(F.col("_dirty")).select(*keys).localCheckpoint()
+        if dirty_keys.take(1):
+            if history_df is None:
+                raise ValueError(
+                    "retraction touched a stored min/max extreme for some "
+                    "groups; min/max partials are not subtractable — pass "
+                    "history_df (the SURVIVING raw rows) so those groups "
+                    "can be lazily recomputed (only they are rescanned)"
+                )
+            cond = None
+            for k in keys:
+                kc = F.col(f"h.{k}").eqNullSafe(F.col(f"d.{k}"))
+                cond = kc if cond is None else (cond & kc)
+            hist_slice = history_df.alias("h").join(
+                F.broadcast(dirty_keys.alias("d")), cond, "semi"
+            )
+            patch = partial_agg(hist_slice, keys, minmax).select(
+                *[F.col(k).alias(f"_p_{k}") for k in keys],
+                *[F.col(n).alias(f"_p_{n}") for n in minmax],
+            )
+            pcond = None
+            for k in keys:
+                kc = F.col(k).eqNullSafe(F.col(f"_p_{k}"))
+                pcond = kc if pcond is None else (pcond & kc)
+            ret = ret.join(F.broadcast(patch), pcond, "left").select(
+                *keys,
+                *[
+                    (
+                        F.when(F.col("_dirty"), F.col(f"_p_{n}")).otherwise(F.col(n))
+                        if n in minmax
+                        else F.col(n)
+                    ).alias(n)
+                    for n in measures
+                ],
+            )
+            return ret
+    return ret.drop("_dirty")
+
+
+def retract_increment(
+    spark: SparkSession,
+    old_df: DataFrame,
+    store: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    history_df: DataFrame | None = None,
+    n_buckets: int = 8,
+) -> None:
+    """Retract previously-merged rows from the store (the takedown /
+    opt-out compliance path): aggregate ``old_df`` alone, subtract its
+    partials from the store, rewrite + swap — the same cost class as
+    ``merge_increment`` (the aggregate table, never the raw history).
+
+    Mergeable partials subtract exactly for sum/count; groups whose
+    count reaches 0 are dropped. min/max partials are honestly NOT
+    subtractable: a group whose stored extreme was touched by the
+    retracted slice (retracted min <= stored min, resp. max >=) is
+    recomputed lazily from ``history_df`` — the SURVIVING raw rows —
+    narrowed to just the dirty groups by a broadcast semi join, so the
+    history rescan is proportional to the damage, not the corpus. With
+    min/max measures and no ``history_df``, a touched extreme raises
+    ValueError rather than guessing.
+
+    Caller-bug guards (both raise): retracting a group the store never
+    ingested; retracting more rows than a group ever had (negative
+    count). Requires at least one 'count' measure over a non-null
+    column — emptiness detection counts it down to exactly 0."""
+    n_buckets = _table_buckets(spark, store) or n_buckets
+    ret = retracted_view(
+        spark, old_df, store, keys, measures, history_df, n_buckets,
+        resolve_buckets=False,
+    )
+    _rewrite_swap(spark, ret, store, keys, n_buckets)
 
 
 def _table_buckets(spark: SparkSession, name: str) -> int | None:

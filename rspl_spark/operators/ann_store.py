@@ -63,6 +63,134 @@ def _check_increment_dim(
         )
 
 
+def _deleted_name(name: str) -> str:
+    return f"{name}__deleted"
+
+
+def _warehouse_path(spark: SparkSession, table: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    return os.path.join(os.path.abspath(warehouse), table.lower())
+
+
+def _tombstones(spark: SparkSession, name: str, key_col: str = "vec_id") -> DataFrame | None:
+    """The persisted tombstone set, or None. Tombstones OUTLIVE the
+    session (a takedown must not silently resurrect when the driver
+    restarts): the sidecar is an EXTERNAL parquet table, and a fresh
+    catalog that finds its directory on disk re-registers it here."""
+    dn = _deleted_name(name)
+    if spark.catalog.tableExists(dn):
+        return spark.table(dn)
+    path = _warehouse_path(spark, dn)
+    if os.path.isdir(path):
+        spark.sql(
+            f"CREATE TABLE {dn} ({key_col} BIGINT) USING PARQUET LOCATION '{path}'"
+        )
+        return spark.table(dn)
+    return None
+
+
+def _live_rows(spark: SparkSession, name: str) -> DataFrame:
+    """The index table minus tombstoned vec_ids. The tombstone set is
+    key-only (metadata-sized next to a corpus-sized index), so the
+    anti join broadcasts and preserves the stored table's partitioning
+    — the probe plans gain no Exchange from delete support."""
+    tbl = spark.table(name)
+    dead = _tombstones(spark, name)
+    if dead is not None:
+        tbl = tbl.join(F.broadcast(dead), "vec_id", "left_anti")
+    return tbl
+
+
+def delete_keys(
+    spark: SparkSession,
+    name: str,
+    vec_ids,
+) -> int:
+    """Retract vectors from a persisted index (pq/ivf/srp alike) by
+    tombstone: append the ids to a key-only sidecar table that every
+    probe anti-joins out. Takedown/opt-out compliance path.
+
+    The delete itself writes ONLY the tombstone file — zero index data
+    files are rewritten (asserted in tests/test_ann_store.py), so a
+    delete over a 100 TB index costs a metadata write, not a rewrite.
+    Physical removal is deferred to :func:`compact_index` (or the next
+    ``refresh_*``/``create_*(overwrite=True)`` rebuild, which clears
+    the tombstones — a fresh build defines a fresh membership).
+
+    ``vec_ids``: iterable of ids or a single-column DataFrame. Returns
+    the number of tombstones appended (repeat deletes are idempotent —
+    already-tombstoned ids are skipped)."""
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(F.col(vec_ids.columns[0]).cast("long").alias("vec_id"))
+    else:
+        ids = spark.createDataFrame([(int(v),) for v in vec_ids], "vec_id long")
+    ids = ids.distinct()
+    dn = _deleted_name(name)
+    existing = _tombstones(spark, name)
+    if existing is not None:
+        ids = ids.join(F.broadcast(existing), "vec_id", "left_anti")
+    ids = ids.localCheckpoint()
+    n = ids.count()
+    if n:
+        writer = ids.coalesce(1).write.mode("append").format("parquet")
+        if not spark.catalog.tableExists(dn):
+            writer = writer.option("path", _warehouse_path(spark, dn))
+        writer.saveAsTable(dn)
+    return n
+
+
+def deleted_count(spark: SparkSession, name: str) -> int:
+    dead = _tombstones(spark, name)
+    return dead.count() if dead is not None else 0
+
+
+def _drop_tombstones(spark: SparkSession, name: str) -> None:
+    """Remove the tombstone table AND its on-disk directory — called
+    only when the index itself is rebuilt/compacted, i.e. the new
+    membership supersedes the tombstones."""
+    spark.sql(f"DROP TABLE IF EXISTS {_deleted_name(name)}")
+    path = _warehouse_path(spark, _deleted_name(name))
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def compact_index(spark: SparkSession, name: str) -> int:
+    """Physically remove tombstoned rows: rewrite the surviving rows
+    under the same name/layout, clear the tombstone table, reset the
+    row counters. Run when deleted_count/base_rows crosses a policy
+    threshold — the rewrite costs one pass over the index (the same
+    cost class as refresh, minus the refit).
+
+    Returns the surviving row count. Trained state (codebooks/
+    centroids/planes config) is preserved verbatim — compaction never
+    refits."""
+    props = _props(spark, name)
+    if "pq.codebooks" in props:
+        kind, part_keys = "pq", []
+    elif "ivf.centroids" in props:
+        kind, part_keys = "ivf", ["cid"]
+    else:
+        kind, part_keys = "srp", ["band", "bv"]
+    live = _live_rows(spark, name).localCheckpoint()
+    n = live.count()
+    spark.sql(f"DROP TABLE {name}")
+    path = _fresh_table_path(spark, name)
+    writer = (
+        live.repartition(32, *part_keys) if part_keys else live.repartition(32)
+    ).write.mode("overwrite").format("parquet").option("path", path)
+    writer.saveAsTable(name)
+    keep = {k: v for k, v in props.items() if k.startswith(f"{kind}.")}
+    keep[f"{kind}.base_rows"] = str(n)
+    keep[f"{kind}.appended_rows"] = "0"
+    _set_props(spark, name, keep)
+    _drop_tombstones(spark, name)
+    return n
+
+
 def _fresh_table_path(spark: SparkSession, name: str) -> str:
     """A clean on-disk location for a (re)built index table, derived
     from the session's configured warehouse (NOT this module's file
@@ -102,6 +230,9 @@ def create_pq_index(
         if not overwrite:
             return name
         spark.sql(f"DROP TABLE {name}")
+    # a fresh build defines a fresh membership — stale tombstones from
+    # the previous build must not shadow re-ingested ids
+    _drop_tombstones(spark, name)
     path = _fresh_table_path(spark, name)
     cbs = pq_fit(df, vec_col=vec_col, id_col=id_col, m=m, k=k, iters=iters)
     enc = pq_encode(df, cbs, vec_col=vec_col, id_col=id_col)
@@ -217,9 +348,10 @@ def pq_index_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """ADC top-k over the persisted code table with the stored
-    codebooks — same kernel and semantics as similarity.pq_adc_topk."""
+    codebooks — same kernel and semantics as similarity.pq_adc_topk.
+    Tombstoned vec_ids (``delete_keys``) are filtered out."""
     return pq_adc_topk(
-        spark.table(name),
+        _live_rows(spark, name),
         pq_index_codebooks(spark, name),
         queries,
         topk=topk,
@@ -293,6 +425,9 @@ def create_ivf_index(
         if not overwrite:
             return name
         spark.sql(f"DROP TABLE {name}")
+    # a fresh build defines a fresh membership — stale tombstones from
+    # the previous build must not shadow re-ingested ids
+    _drop_tombstones(spark, name)
     path = _fresh_table_path(spark, name)
     cents = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
     prep = unit_prep(df, "vec_id", "emb", "nrm", vec_col=vec_col, id_col=id_col)
@@ -408,7 +543,7 @@ def ivf_index_topk(
         "query_id",
         n_probe,
     ).select("query_id", F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"), "cid")
-    cand = probes.join(spark.table(name), "cid").filter(
+    cand = probes.join(_live_rows(spark, name), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
@@ -511,6 +646,9 @@ def create_srp_index(
         if not overwrite:
             return name
         spark.sql(f"DROP TABLE {name}")
+    # a fresh build defines a fresh membership — stale tombstones from
+    # the previous build must not shadow re-ingested ids
+    _drop_tombstones(spark, name)
     path = _fresh_table_path(spark, name)
     rows = _srp_band_rows(df, planes, dim, bands, vec_col, id_col)
     (
@@ -589,7 +727,7 @@ def srp_index_topk(
         "bv",
     )
     cand = (
-        qb.join(spark.table(name), ["band", "bv"])
+        qb.join(_live_rows(spark, name), ["band", "bv"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "q_emb", "q_nrm", "vec_id", "emb", "nrm")
         .distinct()

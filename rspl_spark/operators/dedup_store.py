@@ -114,9 +114,14 @@ def create_signature_store(
     path = os.path.join(repo_root, "spark-warehouse", name.lower())
     # a complete layout from an earlier session (same deterministic
     # signatures, plus any appended increments — which a persistent store
-    # WANTS) re-registers metadata-only instead of recomputing
+    # WANTS) re-registers metadata-only instead of recomputing; its
+    # tombstones (if any) are preserved and re-registered lazily
     if not overwrite and register_external_bucketed(spark, name, path, "bucket", n_buckets):
         return name
+    # fresh build = fresh membership: stale tombstones (catalog OR a
+    # leftover sidecar dir from an earlier session) must not shadow
+    # re-ingested docs
+    _drop_tombstones(spark, name)
     if os.path.isdir(path):
         import shutil
 
@@ -159,6 +164,116 @@ def append_increment(
         .format("parquet")
         .saveAsTable(store)
     )
+
+
+def _deleted_name(store: str) -> str:
+    return f"{store}__deleted"
+
+
+def _warehouse_path(spark: SparkSession, table: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    return os.path.join(os.path.abspath(warehouse), table.lower())
+
+
+def _tombstones(spark: SparkSession, store: str) -> DataFrame | None:
+    """The persisted tombstone set, or None. Tombstones OUTLIVE the
+    session (a takedown must not resurrect on driver restart): the
+    sidecar is an EXTERNAL parquet table; a fresh catalog that finds
+    its directory on disk re-registers it here — the same
+    re-registration discipline as the store itself."""
+    dn = _deleted_name(store)
+    if spark.catalog.tableExists(dn):
+        return spark.table(dn)
+    path = _warehouse_path(spark, dn)
+    if os.path.isdir(path):
+        spark.sql(f"CREATE TABLE {dn} (doc_id BIGINT) USING PARQUET LOCATION '{path}'")
+        return spark.table(dn)
+    return None
+
+
+def delete_keys(spark: SparkSession, store: str, doc_ids) -> int:
+    """Retract documents from the signature store by tombstone
+    (takedown/opt-out compliance): append the ids to a key-only
+    sidecar table that every probe anti-joins out. The delete writes
+    ONLY the tombstone file — no store data file is touched (asserted
+    in tests/test_incremental_dedup.py), so a takedown against a
+    corpus-sized store costs a metadata write. Physical removal is
+    deferred to :func:`compact_store`.
+
+    ``doc_ids``: iterable of ids or a single-column DataFrame. Returns
+    tombstones appended (idempotent on repeats)."""
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        ids = spark.createDataFrame([(int(v),) for v in doc_ids], "doc_id long")
+    ids = ids.distinct()
+    dn = _deleted_name(store)
+    existing = _tombstones(spark, store)
+    if existing is not None:
+        ids = ids.join(F.broadcast(existing), "doc_id", "left_anti")
+    ids = ids.localCheckpoint()
+    n = ids.count()
+    if n:
+        writer = ids.coalesce(1).write.mode("append").format("parquet")
+        if not spark.catalog.tableExists(dn):
+            writer = writer.option("path", _warehouse_path(spark, dn))
+        writer.saveAsTable(dn)
+    return n
+
+
+def deleted_count(spark: SparkSession, store: str) -> int:
+    dead = _tombstones(spark, store)
+    return dead.count() if dead is not None else 0
+
+
+def _drop_tombstones(spark: SparkSession, store: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {_deleted_name(store)}")
+    path = _warehouse_path(spark, _deleted_name(store))
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _live_store(spark: SparkSession, store: str) -> DataFrame:
+    """Store band rows minus tombstoned doc_ids. The tombstone set is
+    key-only and broadcasts, and a broadcast anti join preserves the
+    probe side's outputPartitioning — the zero-store-side-Exchange
+    probe property survives delete support unchanged."""
+    tbl = spark.table(store)
+    dead = _tombstones(spark, store)
+    if dead is not None:
+        tbl = tbl.join(F.broadcast(dead), "doc_id", "left_anti")
+    return tbl
+
+
+def compact_store(spark: SparkSession, store: str, n_buckets: int = 8) -> int:
+    """Physically drop tombstoned band rows: rewrite the survivors
+    under the same bucketed layout and clear the tombstones. One pass
+    over the store — run when deleted_count crosses a policy
+    threshold, not per delete. Returns surviving band-row count."""
+    live = _live_store(spark, store).localCheckpoint()
+    n = live.count()
+    spark.sql(f"DROP TABLE {store}")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, "spark-warehouse", store.lower())
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    (
+        live.repartition(n_buckets, "bucket")
+        .write.bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(store)
+    )
+    _drop_tombstones(spark, store)
+    return n
 
 
 def _est(a_prefix: str, b_prefix: str):
@@ -218,7 +333,7 @@ def dedup_increment(
     new_bands = signature_band_rows(
         new_docs, text_col=text_col, id_col=id_col, n_bands=n_bands, sig=new_sig
     ).localCheckpoint(eager=False)
-    store_bands = spark.table(store)
+    store_bands = _live_store(spark, store)
     if prune != "off":
         keys_df = new_bands.select("bucket").distinct()
         mode = prune

@@ -825,7 +825,12 @@ def _srp_sketch_sql(emb: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-_SRP_ORACLE = f"""
+def _srp_oracle(store_pred: str = "TRUE") -> str:
+    """SRP band-then-rerank oracle; ``store_pred`` (over ``v.vec_id``)
+    restricts the CANDIDATE side only — the delete-gate variant drops
+    tombstoned vectors from the store while queries stay unrestricted,
+    exactly the tombstone filter's semantics."""
+    return f"""
 WITH sk AS (
   SELECT vec_id, embedding, {_srp_sketch_sql("embedding")} AS sketch
   FROM embeddings
@@ -837,7 +842,7 @@ bands AS (
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, v.vec_id
   FROM bands q JOIN bands v ON q.band = v.band AND q.bv = v.bv
-  WHERE q.vec_id < 10 AND q.vec_id <> v.vec_id
+  WHERE q.vec_id < 10 AND q.vec_id <> v.vec_id AND ({store_pred})
 )
 SELECT query_id, vec_id, score, rk FROM (
   SELECT c.query_id, c.vec_id,
@@ -851,6 +856,9 @@ SELECT query_id, vec_id, score, rk FROM (
 ) t WHERE rk <= 5
 ORDER BY query_id, rk
 """
+
+
+_SRP_ORACLE = _srp_oracle()
 
 
 @query("q_cosine_topk_srp", oracle=_SRP_ORACLE, tags=("llm", "similarity"))
@@ -1032,7 +1040,9 @@ def q_cosine_topk_srp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 _IVF_INCR_PRED = "vec_id % 3 <> 0"
 
 
-def _ivf_incr_oracle(k: int = 8, iters: int = _IVF_TRAINED_ITERS) -> str:
+def _ivf_incr_oracle(
+    k: int = 8, iters: int = _IVF_TRAINED_ITERS, store_pred: str = "TRUE"
+) -> str:
     cos = _SQL_COS.format(a="q.embedding", b="v.embedding")
     return (
         _kmeans_ctes(k, iters, train_pred=_IVF_INCR_PRED)
@@ -1070,7 +1080,7 @@ SELECT query_id, vec_id, score, rk FROM (
   JOIN assign a ON a.cid = p.cid
   JOIN embeddings v ON v.vec_id = a.vec_id
   JOIN embeddings q ON q.vec_id = p.query_id
-  WHERE a.vec_id <> p.query_id
+  WHERE a.vec_id <> p.query_id AND ({store_pred})
 ) t WHERE rk <= 5
 ORDER BY query_id, rk"""
     )
@@ -1106,6 +1116,83 @@ def q_cosine_topk_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.table(name).localCheckpoint()
 
     _memo_artifact(spark, ("ivf_index", sf_dir), build)
+    return ivf_index_topk(
+        spark, name, e.filter(F.col("vec_id") < 10), topk=5, n_probe=2
+    )
+
+
+# Delete/tombstone replay (ann_store.delete_keys — the takedown /
+# opt-out compliance path): the persisted index keeps its data files
+# untouched (the delete writes ONLY a key-sidecar table; file-level
+# no-rewrite asserted in tests/test_ann_store.py) and every probe
+# anti-joins the tombstones out. The gate replays build → delete →
+# probe; the oracle is the SAME one-shot oracle with the CANDIDATE
+# side restricted to survivors — i.e. the probe must hash-match a
+# from-scratch rebuild on the surviving rows. Queries stay
+# unrestricted: a deleted vector may still be used as a query, it just
+# can't be returned.
+
+_ANN_DEL_PRED = "vec_id % 5 = 0"
+
+
+@query(
+    "q_ann_srp_delete",
+    oracle=_srp_oracle(store_pred="v.vec_id % 5 <> 0"),
+    tags=("llm", "similarity", "scale", "delete"),
+)
+def q_ann_srp_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.ann_store import (
+        create_srp_index,
+        delete_keys,
+        srp_index_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"srpindex_{slug}_del"
+
+    def build():
+        create_srp_index(
+            spark, e, name, planes=_SRP_PLANES, bands=4, dim=_SRP_DIM,
+            overwrite=True, tag="full",
+        )
+        delete_keys(spark, name, e.filter(F.expr(_ANN_DEL_PRED)).select("vec_id"))
+        return spark.table(name).localCheckpoint()
+
+    _memo_artifact(spark, ("srp_index_del", sf_dir), build)
+    return srp_index_topk(spark, name, e.filter(F.col("vec_id") < 10), topk=5)
+
+
+@query(
+    "q_ann_ivf_delete",
+    oracle=_ivf_incr_oracle(store_pred="a.vec_id % 5 <> 0"),
+    tags=("llm", "similarity", "iterative", "scale", "delete"),
+)
+def q_cosine_topk_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-batch build as q_cosine_topk_ivf_incremental (centroids
+    trained on the base slice, stored, never refit by append OR
+    delete), then a takedown slice is tombstoned before probing."""
+    from rspl_spark.operators.ann_store import (
+        append_ivf_index,
+        create_ivf_index,
+        delete_keys,
+        ivf_index_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"ivfindex_{slug}_del"
+
+    def build():
+        create_ivf_index(
+            spark, e.filter(F.expr(_IVF_INCR_PRED)), name,
+            k=8, iters=_IVF_TRAINED_ITERS, overwrite=True, tag="base",
+        )
+        append_ivf_index(spark, e.filter(~F.expr(_IVF_INCR_PRED)), name, tag="base+inc")
+        delete_keys(spark, name, e.filter(F.expr(_ANN_DEL_PRED)).select("vec_id"))
+        return spark.table(name).localCheckpoint()
+
+    _memo_artifact(spark, ("ivf_index_del", sf_dir), build)
     return ivf_index_topk(
         spark, name, e.filter(F.col("vec_id") < 10), topk=5, n_probe=2
     )
@@ -2326,6 +2413,7 @@ def _pq_oracle(
     nq: int = _PQ_NQ,
     short: int = _PQ_SHORTLIST,
     train_pred: str | None = None,
+    store_pred: str = "TRUE",
 ) -> str:
     chains = ",".join(
         _pq_subspace_ctes(s, k, iters, nq, train_pred) for s in range(_PQ_M)
@@ -2353,7 +2441,7 @@ shortlist AS (
                               ORDER BY {adc} DESC, s0.vec_id) AS adc_rk
     FROM s0score s0
   {joins}
-    WHERE s0.vec_id <> s0.query_id
+    WHERE s0.vec_id <> s0.query_id AND ({store_pred})
   ) t WHERE adc_rk <= {short}
 ),
 rer AS (
@@ -2475,6 +2563,40 @@ def q_ann_pq_adc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).localCheckpoint()
 
     enc = _memo_artifact(spark, ("pq_index", sf_dir), build)
+    cbs = pq_index_codebooks(spark, name)
+    return _adc_rerank(spark, enc, cbs, _pq_queries(e), e)
+
+
+@query(
+    "q_ann_pq_delete",
+    oracle=_pq_oracle(store_pred="s0.vec_id % 5 <> 0"),
+    tags=("llm", "similarity", "iterative", "scale", "delete"),
+)
+def q_ann_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted PQ index one-shot on the full corpus,
+    tombstone the takedown slice (vec_id % 5 = 0), probe through the
+    live view — must hash-match the oracle's ADC chain restricted to
+    surviving vectors (codebooks unchanged: delete never refits)."""
+    from rspl_spark.operators.ann_store import (
+        _live_rows,
+        create_pq_index,
+        delete_keys,
+        pq_index_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"pqindex_{slug}_del"
+
+    def build():
+        create_pq_index(
+            spark, e, name, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS,
+            overwrite=True, tag="full",
+        )
+        delete_keys(spark, name, e.filter(F.expr(_ANN_DEL_PRED)).select("vec_id"))
+        return _live_rows(spark, name).localCheckpoint()
+
+    enc = _memo_artifact(spark, ("pq_index_del", sf_dir), build)
     cbs = pq_index_codebooks(spark, name)
     return _adc_rerank(spark, enc, cbs, _pq_queries(e), e)
 

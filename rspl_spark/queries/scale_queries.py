@@ -116,7 +116,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _incr_oracle() -> str:
+def _incr_oracle(extra_cand_pred: str = "TRUE") -> str:
     from rspl_spark.queries.llm_ops import _sql_minhash, _sql_sig_source
 
     est = " + ".join(
@@ -137,7 +137,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
-  WHERE a.doc_id % 3 = 0 OR b.doc_id % 3 = 0
+  WHERE (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0) AND ({extra_cand_pred})
 )
 SELECT c.doc_a, c.doc_b, ROUND(({est}) / 8.0, 6) AS est_jaccard
 FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
@@ -165,6 +165,59 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sigstore_{slug}_b8",
         sig=sig_all.filter(F.col("doc_id") % 3 != 0),
     )
+    return dedup_increment(
+        spark, None, store, new_sig=sig_all.filter(F.col("doc_id") % 3 == 0)
+    ).orderBy("doc_a", "doc_b")
+
+
+# Store-side takedown (dedup_store.delete_keys): tombstone a slice of
+# the STORE corpus (doc_id % 3 <> 0 AND % 5 = 0 — store docs only; the
+# increment side is what's being probed and is never tombstoned), then
+# probe. Pairs whose store doc was deleted must vanish; pairs among
+# increment docs are untouched. The oracle is the incremental oracle
+# with deleted store docs excluded from candidacy — est_jaccard for the
+# surviving pairs is unchanged because it reads the SIGNATURES of both
+# docs, not the store rows. The delete writes only the key sidecar
+# (no store data file rewritten — asserted in
+# tests/test_incremental_dedup.py).
+
+_DEDUP_DEL_SQL = (
+    "NOT (a.doc_id % 3 <> 0 AND a.doc_id % 5 = 0) "
+    "AND NOT (b.doc_id % 3 <> 0 AND b.doc_id % 5 = 0)"
+)
+
+
+@query(
+    "q_dedup_store_delete",
+    oracle=_incr_oracle(extra_cand_pred=_DEDUP_DEL_SQL),
+    tags=("scale", "llm", "dedup", "delete"),
+)
+def q_dedup_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.dedup import minhash_signatures
+    from rspl_spark.operators.dedup_store import delete_keys
+    from rspl_spark.queries.llm_ops import _memo_artifact
+
+    d = load(spark, sf_dir, "documents")
+    sig_all = _memo_artifact(
+        spark, ("minhash_sig", sf_dir), lambda: minhash_signatures(d)
+    )
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = f"sigstore_{slug}_del"
+
+    def build():
+        create_signature_store(
+            spark, None, store,
+            sig=sig_all.filter(F.col("doc_id") % 3 != 0), overwrite=True,
+        )
+        delete_keys(
+            spark, store,
+            sig_all.filter(
+                (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0)
+            ).select("doc_id"),
+        )
+        return spark.table(store).localCheckpoint()
+
+    _memo_artifact(spark, ("sigstore_del", sf_dir), build)
     return dedup_increment(
         spark, None, store, new_sig=sig_all.filter(F.col("doc_id") % 3 == 0)
     ).orderBy("doc_a", "doc_b")
@@ -228,6 +281,84 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_order",
             "last_order",
             F.round("avg_price", 6).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-store retraction (agg_store.retract_increment — takedown /
+# opt-out for the incremental-view-maintenance store): seed + merge the
+# full history, then RETRACT the takedown slice (o_orderkey % 5 = 0).
+# sum/count partials subtract exactly (the sum runs over integer cents
+# so subtraction is bit-exact — (a+b)-b = a holds for integers, not
+# doubles); min/max partials are not subtractable, so groups whose
+# stored extreme was touched recompute lazily from the SURVIVING
+# history narrowed to just those groups. Oracle = one-pass GROUP BY
+# over the surviving rows — retraction must be result-invisible.
+# ---------------------------------------------------------------------------
+
+_RETRACT_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       first_order, last_order
+FROM (
+  SELECT o_orderpriority, COUNT(o_orderkey) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+         MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+  FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_orderpriority
+) t
+ORDER BY o_orderpriority
+"""
+
+_RETRACT_MEASURES = {
+    "n_orders": ("o_orderkey", "count"),
+    "sum_cents": ("price_cents", "sum"),
+    "first_order": ("o_orderdate", "min"),
+    "last_order": ("o_orderdate", "max"),
+}
+
+
+@query(
+    "q_agg_store_retract",
+    oracle=_RETRACT_AGG_ORACLE,
+    tags=("scale", "agg", "incremental", "delete"),
+)
+def q_agg_store_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays seed → merge → retract: two thirds seed the store, the
+    last third merges in, then every fifth order is retracted with the
+    surviving history supplied for the lazy min/max recompute."""
+    from rspl_spark.operators import agg_store as A
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    keys = ["o_orderpriority"]
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"aggstore_{slug}_retract"
+    if not spark.catalog.tableExists(name):
+        A.create_agg_store(
+            spark, o.filter(F.col("o_orderkey") % 3 != 0), name, keys,
+            _RETRACT_MEASURES, overwrite=True,
+        )
+        A.merge_increment(
+            spark, o.filter(F.col("o_orderkey") % 3 == 0), name, keys,
+            _RETRACT_MEASURES,
+        )
+        A.retract_increment(
+            spark, o.filter(F.col("o_orderkey") % 5 == 0), name, keys,
+            _RETRACT_MEASURES,
+            history_df=o.filter(F.col("o_orderkey") % 5 != 0),
+        )
+    return (
+        A.read_final(spark, name)
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            "first_order",
+            "last_order",
         )
         .orderBy("o_orderpriority")
     )

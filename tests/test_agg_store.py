@@ -117,3 +117,83 @@ def test_merge_join_store_side_unshuffled(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS aggstore_tplan")
+
+
+def test_retract_sum_count_exact(spark):
+    """Retraction subtracts sum/count partials exactly and needs no
+    history when the retracted slice never touched a stored extreme."""
+    sc_only = {"n": ("v", "count"), "s": ("v", "sum")}
+    store = "aggstore_tret1"
+    full = _df(spark, [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)])
+    A.create_agg_store(spark, full, store, ["k"], sc_only, overwrite=True)
+    try:
+        A.retract_increment(
+            spark, _df(spark, [("a", 2.0)]), store, ["k"], sc_only
+        )
+        rows = {r["k"]: (r["n"], r["s"]) for r in A.read_final(spark, store).collect()}
+        assert rows == {"a": (2, 4.0), "b": (1, 10.0)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_tret1")
+
+
+def test_retract_minmax_dirty_recompute_with_history(spark):
+    """Retracting the row that holds a group's max marks it dirty; the
+    lazy recompute over the surviving history restores exactly the
+    from-scratch aggregate."""
+    store = "aggstore_tret2"
+    full = _df(spark, [("a", 1.0), ("a", 5.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)])
+    retracted = _df(spark, [("a", 5.0)])  # holds a's max
+    survivors = _df(spark, [("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)])
+    A.create_agg_store(spark, full, store, ["k"], MEASURES, overwrite=True)
+    try:
+        A.retract_increment(
+            spark, retracted, store, ["k"], MEASURES, history_df=survivors
+        )
+        got = _final(spark, store)
+        want = {
+            r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in A.partial_agg(survivors, ["k"], MEASURES).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_tret2")
+
+
+def test_retract_empty_groups_dropped(spark):
+    store = "aggstore_tret3"
+    full = _df(spark, [("a", 1.0), ("b", 2.0)])
+    A.create_agg_store(spark, full, store, ["k"], MEASURES, overwrite=True)
+    try:
+        A.retract_increment(
+            spark, _df(spark, [("a", 1.0)]), store, ["k"], MEASURES,
+            history_df=_df(spark, [("b", 2.0)]),
+        )
+        got = _final(spark, store)
+        assert got == {"b": (1, 2.0, 2.0, 2.0)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_tret3")
+
+
+def test_retract_error_paths(spark):
+    """Honest failure modes: touched extreme without history; stray
+    group; over-retraction; missing count measure."""
+    store = "aggstore_tret4"
+    full = _df(spark, [("a", 1.0), ("a", 5.0)])
+    A.create_agg_store(spark, full, store, ["k"], MEASURES, overwrite=True)
+    try:
+        with pytest.raises(ValueError, match="not subtractable"):
+            A.retract_increment(spark, _df(spark, [("a", 5.0)]), store, ["k"], MEASURES)
+        with pytest.raises(ValueError, match="absent from the store"):
+            A.retract_increment(spark, _df(spark, [("zzz", 1.0)]), store, ["k"], MEASURES)
+        with pytest.raises(ValueError, match="count"):
+            A.retracted_view(
+                spark, _df(spark, [("a", 1.0)]), store, ["k"], {"s": ("v", "sum")}
+            )
+        # over-retraction: 3 'a' rows retracted but only 2 ingested
+        over = _df(spark, [("a", 1.0), ("a", 1.0), ("a", 1.0)])
+        with pytest.raises(ValueError, match="negative"):
+            A.retract_increment(
+                spark, over, store, ["k"], MEASURES, history_df=_df(spark, [])
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_tret4")

@@ -340,3 +340,93 @@ def test_append_wrong_dim_raises_fast(spark, emb):
     finally:
         for n in names:
             _drop(spark, n)
+
+
+def _dir_snapshot(path):
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_delete_is_tombstone_only_then_compact(spark, emb):
+    """delete_keys must not touch a single index data file (the 100 TB
+    contract: a takedown is a metadata write); probes against the
+    tombstoned index must equal probes against an index built from
+    scratch on the survivors; compact_index physically removes the
+    rows and clears the tombstones without changing answers."""
+    from rspl_spark.operators.ann_store import (
+        _warehouse_path,
+        compact_index,
+        create_srp_index,
+        delete_keys,
+        deleted_count,
+        srp_index_topk,
+    )
+
+    name, ref = "srpidx_test_tomb", "srpidx_test_ref"
+    _drop(spark, name)
+    _drop(spark, ref)
+    spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")
+    try:
+        create_srp_index(spark, emb, name, overwrite=True)
+        before = _dir_snapshot(_warehouse_path(spark, name))
+        victims = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+        n = delete_keys(spark, name, victims)
+        assert n == victims.count()
+        # zero index data files rewritten, zero added
+        assert _dir_snapshot(_warehouse_path(spark, name)) == before
+        assert deleted_count(spark, name) == n
+        # idempotent repeat
+        assert delete_keys(spark, name, victims) == 0
+        q = emb.filter(F.col("vec_id") < 5)
+        got = [tuple(r) for r in srp_index_topk(spark, name, q).collect()]
+        create_srp_index(spark, emb.filter(F.col("vec_id") % 5 != 0), ref, overwrite=True)
+        want = [tuple(r) for r in srp_index_topk(spark, ref, q).collect()]
+        assert got == want and len(got) > 0
+        # compaction: physical removal, tombstones cleared, same answers
+        survivors = compact_index(spark, name)
+        assert survivors == spark.table(name).count()
+        assert deleted_count(spark, name) == 0
+        assert not spark.catalog.tableExists(f"{name}__deleted")
+        got2 = [tuple(r) for r in srp_index_topk(spark, name, q).collect()]
+        assert got2 == want
+    finally:
+        _drop(spark, name)
+        _drop(spark, ref)
+        spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")
+
+
+def test_tombstones_survive_catalog_loss(spark, emb):
+    """A takedown must not resurrect when the driver restarts: the
+    tombstone sidecar is an external table, and a fresh catalog that
+    only finds its directory on disk re-registers it on first use."""
+    from rspl_spark.operators.ann_store import (
+        create_srp_index,
+        delete_keys,
+        deleted_count,
+    )
+
+    name = "srpidx_test_catloss"
+    _drop(spark, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")
+    try:
+        create_srp_index(spark, emb, name, overwrite=True)
+        n = delete_keys(spark, name, [0, 5, 10])
+        assert n == 3
+        # simulate driver restart: external DROP TABLE removes the
+        # catalog entry but leaves the parquet directory
+        spark.sql(f"DROP TABLE {name}__deleted")
+        assert not spark.catalog.tableExists(f"{name}__deleted")
+        assert deleted_count(spark, name) == 3  # re-registered from disk
+        # appends keep working after re-registration
+        assert delete_keys(spark, name, [15]) == 1
+        assert deleted_count(spark, name) == 4
+    finally:
+        _drop(spark, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")

@@ -190,3 +190,88 @@ def test_prune_semi_keeps_store_alignment(spark, docs):
                 raise AssertionError(f"store-side Exchange appeared: {ln}")
     finally:
         spark.sql("DROP TABLE IF EXISTS sigstore_test_semi")
+
+
+def test_delete_is_tombstone_only_then_compact(spark, docs):
+    """Takedown contract: delete_keys writes ONLY the key sidecar (no
+    store data file touched); pairs involving a deleted store doc
+    vanish from the probe while everything else is unchanged;
+    compact_store physically removes the rows and clears the
+    tombstones without changing answers."""
+    import os
+
+    from rspl_spark.operators.dedup_store import (
+        _warehouse_path,
+        compact_store,
+        delete_keys,
+        deleted_count,
+    )
+
+    def snap(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    store = create_signature_store(
+        spark, store_docs, "sigstore_test_tomb", overwrite=True
+    )
+    try:
+        base_pairs = [
+            tuple(r)
+            for r in dedup_increment(spark, new_docs, store)
+            .orderBy("doc_a", "doc_b")
+            .collect()
+        ]
+        assert base_pairs, "fixture must produce at least one pair"
+        # delete every store doc divisible by 5
+        victims = store_docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        store_dir_before = snap(_warehouse_path(spark, store))
+        n = delete_keys(spark, store, victims)
+        assert n == victims.count()
+        assert snap(_warehouse_path(spark, store)) == store_dir_before
+        dead = {r["doc_id"] for r in victims.collect()}
+        want = [p for p in base_pairs if p[0] not in dead and p[1] not in dead]
+        got = [
+            tuple(r)
+            for r in dedup_increment(spark, new_docs, store)
+            .orderBy("doc_a", "doc_b")
+            .collect()
+        ]
+        assert got == want and len(got) < len(base_pairs)
+        # the tombstone anti-join must not break the bucket-aligned
+        # probe: still exactly ONE shuffle Exchange (the increment),
+        # the tombstones arriving via BroadcastExchange only
+        from rspl_spark.operators.dedup_store import _live_store
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = signature_band_rows(new_docs).alias("n")
+            j = probe.join(
+                _live_store(spark, store).alias("s"),
+                F.col("n.bucket") == F.col("s.bucket"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+            assert shuffles == 1 and "BroadcastExchange" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # compaction: physical removal, tombstones gone, same answer
+        compact_store(spark, store)
+        assert deleted_count(spark, store) == 0
+        got2 = [
+            tuple(r)
+            for r in dedup_increment(spark, new_docs, store)
+            .orderBy("doc_a", "doc_b")
+            .collect()
+        ]
+        assert got2 == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_tomb")
+        spark.sql("DROP TABLE IF EXISTS sigstore_test_tomb__deleted")
