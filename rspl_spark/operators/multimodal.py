@@ -13,12 +13,18 @@ Design (north star: multimodal support at 100 TB):
 Heavy codecs (PIL/librosa/ffmpeg) are NOT in this container — the decode
 kernel is injectable; ``fake_image_decode`` is the deterministic
 stand-in used by tests, ``decode_stub`` raises NotImplementedError with
-the integration contract. One REAL codec ships here regardless:
-:func:`decode_pgm`, a pure-numpy PGM (portable graymap) parser — binary
-P5 and ASCII P2, header comments, 8- and 16-bit rasters — exercised
-end-to-end by the hash-gated ``q_multimodal_decode_pgm`` query. The
-Spark-side plumbing (schemas, batching, partition behavior) is real and
-tested either way.
+the integration contract. FOUR real codecs ship here regardless, each
+exercised end-to-end by its own hash-gated query:
+- :func:`decode_pgm` — netpbm graymap (binary P5 / ASCII P2, header
+  comments, 8- and 16-bit rasters),
+- :func:`decode_wav` — RIFF/WAVE PCM chunk walker,
+- :func:`decode_bmp` — 24-bit BI_RGB with bottom-up/BGR normalization,
+- :func:`decode_png` / :func:`encode_png` — 8-bit gray/RGB PNG via the
+  stdlib zlib inflate, all five scanline filters, CRC-checked (the one
+  compressed image format that is NOT env-blocked: DEFLATE ships in
+  the stdlib, JPEG's DCT stack does not).
+The Spark-side plumbing (schemas, batching, partition behavior) is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -338,6 +344,204 @@ def bmp_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=BMP_FEATURE_SCHEMA)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray, row_filters: tuple[int, ...] = (0,)) -> bytes:
+    """Pure-numpy/zlib PNG encoder — the write half of REAL codec #4.
+
+    8-bit grayscale (ndim == 2) or RGB (h, w, 3), non-interlaced.
+    ``row_filters`` cycles per scanline over PNG filter types 0..4
+    (None/Sub/Up/Average/Paeth) — passing all five makes the companion
+    decoder's unfilter math load-bearing, which is exactly what the
+    ``q_multimodal_decode_png`` gate does. Filters are computed from
+    RAW (unfiltered) neighbor bytes per the spec, vectorized per row.
+    """
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        ctype, ch = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ctype, ch = 2, 3
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    zeros = np.zeros(ch, dtype=np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        f = row_filters[y % len(row_filters)]
+        cur = flat[y]
+        left = np.concatenate([zeros, cur[:-ch]]) if w * ch > ch else np.zeros_like(cur)
+        upleft = np.concatenate([zeros, prev[:-ch]]) if w * ch > ch else np.zeros_like(cur)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-numpy/zlib PNG decoder — REAL codec #4, zero deps beyond
+    the stdlib inflate (PNG was the reference's one non-env-blocked
+    image format: DEFLATE ships in ``zlib``, unlike JPEG's DCT stack).
+
+    Supports the mainline still-image subset: 8-bit depth, grayscale
+    (color type 0) and truecolor RGB (color type 2), non-interlaced,
+    all five scanline filters (None/Sub/Up/Average/Paeth), multiple
+    IDAT chunks, per-chunk CRC32 verification. Returns (h, w) uint8
+    for gray, (h, w, 3) uint8 for RGB.
+
+    Sub rows un-filter as a per-channel-lane prefix sum mod 256
+    (vectorized); Average/Paeth are inherently sequential in x and run
+    a per-byte loop — row-bounded, fine for the batch sizes the
+    mapInPandas kernel feeds."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if ctype not in (0, 2):
+        raise ValueError(f"only gray (0) / RGB (2) color types supported, got {ctype}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported compression/filter/interlace method")
+    ch = 1 if ctype == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = row & 0xFF
+        elif f == 1:
+            # per-lane prefix sum mod 256: out[x] = row[x] + out[x - ch]
+            lanes = row.reshape(w, ch)
+            cur = (np.cumsum(lanes.astype(np.uint64), axis=0) & 0xFF).reshape(stride)
+            cur = cur.astype(np.int32)
+        elif f == 2:
+            cur = (row + prev) & 0xFF
+        elif f == 3:
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
+
+
+PNG_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, channels int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, pixel_md5 string"
+)
+
+
+def png_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode each PNG payload (REAL inflate + unfilter) and emit
+    per-channel means plus md5 of the decoded pixel block (gray images
+    report their single mean in all three channels). mapInPandas,
+    narrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "channels", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "pixel_md5",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                gray = img.ndim == 2
+                out["media_id"].append(mid)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["channels"].append(1 if gray else 3)
+                out["n_pixels"].append(img.shape[0] * img.shape[1])
+                if gray:
+                    m = float(img.mean())
+                    out["mean_r"].append(m)
+                    out["mean_g"].append(m)
+                    out["mean_b"].append(m)
+                else:
+                    out["mean_r"].append(float(img[:, :, 0].mean()))
+                    out["mean_g"].append(float(img[:, :, 1].mean()))
+                    out["mean_b"].append(float(img[:, :, 2].mean()))
+                out["pixel_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
 
 
 def fake_image_decode(payload: bytes, kind: str) -> bytes:

@@ -1806,6 +1806,75 @@ def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_features(media).orderBy("media_id")
 
 
+# REAL codec #4 in the gate: genuine PNG files — zlib IS in this
+# container, so DEFLATE-based PNG is not env-blocked the way JPEG is.
+# Pixels are the ASCII bytes of repeated md5 hex (same deterministic
+# construction as the BMP gate), ENCODED to real PNGs in a pandas
+# kernel with the scanline filter CYCLING through all five types
+# (None/Sub/Up/Average/Paeth per row), then decoded back by the
+# pure-numpy inflate+unfilter path. The oracle recomputes the expected
+# stats from the construction directly — pixel_md5 = MD5(px) — so a
+# decoder that gets ANY filter's reconstruction wrong (or the encoder
+# that produced it) hash-fails on every image taller than its filter
+# period, not just on header parsing.
+
+_PNG_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 * (1 + doc_id % 3) AS BIGINT) AS w,
+         CAST(2 + doc_id % 4 AS BIGINT) AS h,
+         SUBSTR(REPEAT(MD5(text), 6), 1,
+                CAST(3 * 4 * (1 + doc_id % 3) * (2 + doc_id % 4) AS INTEGER)) AS px
+  FROM documents WHERE doc_id % 5 = 3
+)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, CAST(3 * w * h AS INTEGER) + 1, 3),
+                                     i -> ASCII(SUBSTR(px, i, 1))), 'avg') AS mean_r,
+       LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, CAST(3 * w * h AS INTEGER) + 1, 3),
+                                     i -> ASCII(SUBSTR(px, i + 1, 1))), 'avg') AS mean_g,
+       LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, CAST(3 * w * h AS INTEGER) + 1, 3),
+                                     i -> ASCII(SUBSTR(px, i + 2, 1))), 'avg') AS mean_b,
+       MD5(px) AS pixel_md5
+FROM m ORDER BY media_id
+"""
+
+
+@query("q_multimodal_decode_png", oracle=_PNG_ORACLE, tags=("llm", "multimodal"))
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as _np
+    import pandas as _pd
+
+    from rspl_spark.operators.multimodal import encode_png, png_features
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 3)
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) * (F.lit(1) + F.col("doc_id") % 3)).cast("int").alias("w"),
+        (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("h"),
+        F.expr(
+            "substring(repeat(md5(text), 6), 1, "
+            "cast(3 * 4 * (1 + doc_id % 3) * (2 + doc_id % 4) as int))"
+        ).alias("px"),
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for w, h, px in zip(pdf["w"], pdf["h"], pdf["px"]):
+                arr = _np.frombuffer(px.encode("ascii"), dtype=_np.uint8)
+                payloads.append(
+                    encode_png(arr.reshape(h, w, 3), row_filters=(0, 1, 2, 3, 4))
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = src.mapInPandas(build, schema="media_id long, payload binary")
+    return png_features(media).orderBy("media_id")
+
+
 # Metadata-driven multimodal ops: frame-sampling plan (explode frame
 # indices from meta.n_frames — payload never read) and the per-kind
 # metadata rollup. Meta varies per doc so the queries exercise real
