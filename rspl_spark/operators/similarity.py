@@ -38,8 +38,21 @@ def kmeans_fit(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 5,
+    sample_frac: float | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means with deterministic init (first k vectors by id).
+
+    ``sample_frac`` (0 < f < 1) fits on a DETERMINISTIC md5-hash sample
+    of the rows instead of the full corpus — the fit cost is O(rows *
+    k * d) per iteration, and past the adaptive-k cap the fit, not the
+    assignment, is the bottleneck, so bounding the row side is how the
+    fit stays fixed-cost while the corpus grows. The sample is a pure
+    function of the id (no RNG, no seed state): the same corpus always
+    fits the same centroids. Assignment of the FULL corpus with the
+    resulting centroids is unchanged — sampling biases the fit only by
+    centroid placement noise (parity-tested in tests/test_kmeans.py).
+    Falls back to the full fit if the sample would hold fewer than k
+    rows (init needs k vectors).
 
     The iterative-algorithm pattern (SURVEY §2.2: driver-side control
     flow around distributed passes): per iteration ONE narrow
@@ -64,11 +77,30 @@ def kmeans_fit(
     # session); the entry pins df so its id() cannot be reused by a
     # successor DataFrame after GC (which would alias the key).
     spark = df.sparkSession
+    fit_df = df
+    if sample_frac is not None and 0 < sample_frac < 1.0:
+        # deterministic hash-sample: md5(id) as a uniform draw in [0, 1M)
+        draw = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmfit:"), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+        sampled = df.filter(draw < int(sample_frac * 1000000))
+        # init needs k vectors; a too-small sample falls back to full
+        if sampled.limit(k).count() >= k:
+            fit_df = sampled
     cache: dict = getattr(spark, "_rspl_kmeans_cache", None)
     if cache is None:
         cache = {}
         spark._rspl_kmeans_cache = cache
-    key = (id(df), vec_col, id_col, k)
+    key = (id(df), vec_col, id_col, k, sample_frac)
     if key in cache:
         traj = cache[key][1]
     else:
@@ -77,7 +109,7 @@ def kmeans_fit(
         # pin inputs without limit in a long-lived session
         while len(cache) >= 8:
             cache.pop(next(iter(cache)))
-        init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+        init_rows = fit_df.orderBy(id_col).limit(k).select(vec_col).collect()
         traj = [[[float(x) for x in r[vec_col]] for r in init_rows]]
         cache[key] = (df, traj)
     if len(traj) > iters:
@@ -108,7 +140,7 @@ def kmeans_fit(
                 )
 
         parts = (
-            df.select(vec_col)
+            fit_df.select(vec_col)
             .mapInPandas(partials, "cid int, n long, s array<double>")
             .collect()
         )
@@ -689,13 +721,22 @@ def semantic_dedup(
     expected cell size, the grid bounds a pathological hot cell."""
     from rspl_spark.operators.dedup import connected_components_star
 
+    fit_frac = None
     if k is None:
-        # cap: the Lloyd fit is O(n * k * d) per iteration — past max_k
-        # the fit itself becomes the bottleneck (a k=4096 fit over 500k
-        # 64-d vectors is ~131 GFLOP per pass); fit on a sample instead
-        # of raising the cap.
-        k = max(8, min(max_k, e.count() // target_cell))
-    cents = kmeans_fit(e, vec_col, id_col, k, iters)
+        # cap: the Lloyd fit is O(rows * k * d) per iteration — past
+        # max_k the fit itself becomes the bottleneck (a k=4096 fit
+        # over 500k 64-d vectors is ~131 GFLOP per pass). Beyond the
+        # cap, fit on a deterministic hash-sample sized to the corpus
+        # where k first hit the cap (max_k * target_cell rows) — the
+        # fit cost stays CONSTANT as the corpus grows while assignment
+        # still covers every vector; sampling only adds centroid
+        # placement noise (parity-tested in tests/test_kmeans.py).
+        n = e.count()
+        desired = max(8, n // target_cell)
+        k = min(max_k, desired)
+        if desired > max_k:
+            fit_frac = max_k * target_cell / n
+    cents = kmeans_fit(e, vec_col, id_col, k, iters, sample_frac=fit_frac)
     assign = kmeans_assign(e, cents, vec_col, id_col).select(id_col, "cid")
     prepped = unit_prep(e, id_col, "emb", "nrm", vec_col, id_col).join(assign, id_col)
     if max_cell_rows is not None:

@@ -48,3 +48,41 @@ def test_kmeans_matches_numpy(spark):
     )
     got = np.array(kmeans_fit(e, k=k, iters=1))
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_kmeans_sampled_fit_parity(spark):
+    """Sampled fit (deterministic md5 hash-sample) vs full fit on the
+    gate corpus: same k, same iterations — the sampled centroids'
+    full-corpus inertia must be within a small factor of the full
+    fit's (sampling only adds centroid placement noise, never a
+    qualitatively worse clustering). Also: the sampled fit is
+    deterministic, and an undersized sample falls back to the full
+    fit."""
+    e = load(spark, "/root/testdata/sf0.01", "embeddings").localCheckpoint()
+    full = kmeans_fit(e, k=8, iters=2)
+    sampled = kmeans_fit(e, k=8, iters=2, sample_frac=0.5)
+    assert sampled != full  # the sample genuinely changed the fit input
+    i_full = _inertia(spark, e, full)
+    i_samp = _inertia(spark, e, sampled)
+    assert i_samp <= i_full * 1.15, (i_full, i_samp)
+    # deterministic: no RNG anywhere in the sample or the fit
+    assert kmeans_fit(e, k=8, iters=2, sample_frac=0.5) == sampled
+    # a sample too small to seed k centroids falls back to the full fit
+    tiny = kmeans_fit(e, k=400, iters=0, sample_frac=0.0004)
+    assert tiny == kmeans_fit(e, k=400, iters=0)
+
+
+def test_semantic_dedup_adaptive_uses_sampled_fit(spark):
+    """Above max_k the adaptive path keeps k at the cap and fits on a
+    hash-sample sized to max_k * target_cell rows — result still
+    covers every vector and stays a valid decision table."""
+    from rspl_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings").localCheckpoint()
+    # force the over-cap path on the 500-row corpus: target_cell=16
+    # wants ~31 cells, max_k=16 caps it -> fit_frac = 16*16/500 ≈ 0.512
+    out = semantic_dedup(e, threshold=0.4, target_cell=16, max_k=16, iters=1)
+    rows = out.collect()
+    assert len(rows) == e.count()  # one decision per input vector
+    keep = sum(r["keep"] for r in rows)
+    assert 0 < keep <= len(rows)
