@@ -519,3 +519,95 @@ def bloom_bit_sql(key_expr: str, i: int, m_bits: int) -> str:
     """DuckDB mirror of probe/build position i: (word, mask) pieces are
     derived from this bit position."""
     return cms_bucket_sql(key_expr, i, m_bits)
+
+
+# --- CMS-prefiltered EXACT top-k (heavy hitters without the shuffle) --------
+
+
+def cms_topk_exact(
+    occurrences: DataFrame,
+    key_col: str,
+    k: int,
+    w: int = 1 << 16,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT top-k heavy hitters without shuffling the full vocabulary.
+
+    The naive exact top-k (groupBy(key).count() then TakeOrdered) moves
+    every distinct key through one corpus-wide exchange — the documented
+    anti-pattern that made q_top_bigrams the slowest text query at sf10.
+    This keeps the result bit-identical while the shuffle only ever
+    carries HIGH-FREQUENCY keys:
+
+    1. one narrow pass builds a wide single-row count sketch (w cells,
+       map-side collapse — the exchange carries <= w rows per task);
+    2. every occurrence is annotated with its cell count via ONE
+       broadcast join (a cell count >= the key's true count — an upper
+       bound with probability 1, since all of a key's occurrences land
+       in the same cell); occurrences whose upper bound misses the
+       threshold are dropped BEFORE the aggregate, so the exact count
+       shuffle sees only plausible heavy hitters;
+    3. a driver-side refinement loop makes the filter provably lossless:
+       for any survivor set C, the k-th largest EXACT count within C
+       lower-bounds the universe's k-th count (C is a subset), so once
+       threshold <= kth(C), every dropped key had upper bound < kth(C)
+       <= kth(universe) and cannot belong to the top-k — including
+       tie-breaks, because any key tied at the k-th count survives the
+       filter (its upper bound >= its count >= threshold). If the seed
+       threshold (k-th largest cell, driver-side from the tiny sketch)
+       was too aggressive, the next round reruns with threshold =
+       kth(C), which is guaranteed valid — at most two productive
+       passes, plus halving retries when fewer than k keys survive.
+
+    Returns (key_col, n) for the exact top-k in (n desc, key asc)
+    order. Falls back to the naive exact aggregate after ``max_rounds``
+    (degenerate distributions where the sketch cannot discriminate).
+    NULL keys are ignored, matching the naive GROUP BY's semantics
+    under a non-null key domain.
+
+    Scale shape: 1 sketch pass + 1-2 filtered count passes, each a
+    scan + broadcast hash join + an aggregate over the (skew-tiny)
+    survivor set. No corpus-sized exchange anywhere; the sketch (w
+    longs) broadcasts. Cost moves from shuffle-bound to scan-bound —
+    exactly what a 1000-executor cluster scales out.
+    """
+    from rspl_spark.operators.dedup import portable_hash
+
+    spark = occurrences.sparkSession
+    occ = occurrences.filter(F.col(key_col).isNotNull())
+    sketch = (
+        cms_sketch(occ, key_col, w=w, d=1)
+        .select("bucket", "c")
+        .localCheckpoint()
+    )
+    cells = sorted((r["c"] for r in sketch.collect()), reverse=True)
+    if not cells:
+        return spark.createDataFrame([], f"{key_col} string, n long")
+    threshold = cells[k - 1] if len(cells) >= k else cells[-1]
+
+    bucket = _fields(portable_hash(F.col(key_col).cast("string")), 1, w)[0]
+    annotated = occ.select(F.col(key_col), bucket.alias("bucket")).join(
+        F.broadcast(sketch), "bucket"
+    )
+    for _ in range(max_rounds):
+        counts = (
+            annotated.filter(F.col("c") >= threshold)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        rows = counts.orderBy(F.desc("n"), F.asc(key_col)).limit(k).collect()
+        if len(rows) < k and threshold > 1:
+            threshold = max(1, threshold // 2)
+            continue
+        kth = rows[-1]["n"] if rows else 0
+        if threshold <= kth or threshold <= 1:
+            return spark.createDataFrame(
+                [(r[key_col], r["n"]) for r in rows], f"{key_col} string, n long"
+            )
+        threshold = kth  # valid: kth(C) <= kth(universe); next pass final
+    return (
+        occ.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc(key_col))
+        .limit(k)
+    )

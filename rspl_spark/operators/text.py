@@ -612,3 +612,50 @@ def bm25_search(
         per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def bigram_count_kernel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-partition bigram partial counts as ONE vectorized Arrow pass
+    (the repetition-signals kernel discipline, text.py::
+    repetition_signals): tokenize and count inside a mapInPandas
+    Counter, emit (bigram, n) partials — at most |vocab| rows per
+    partition — and let one tiny groupBy-sum merge them.
+
+    Why not explode: the JVM split+transform+explode form materializes
+    one row PER OCCURRENCE (27.5M at sf10) before the aggregate; the
+    kernel collapses each partition to its distinct bigrams before
+    anything is shuffled, and the Python Counter beats the codegen'd
+    array pipeline on this shape (measured 3.3x at sf1, bit-identical
+    results — see DEVNOTES round 8; the CMS-prefilter alternative is
+    the recorded negative result there).
+
+    Tokenization mirrors split(trim(text), '\\s+') exactly, including
+    the single-token edge case where the lone token stands in for a
+    bigram (the established q_top_bigrams semantics)."""
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            c: Counter = Counter()
+            for text in pdf[text_col]:
+                toks = _re.split(r"\s+", (text or "").strip(" "))
+                n = len(toks)
+                if n == 1:
+                    c[toks[0]] += 1
+                else:
+                    for i in range(n - 1):
+                        c[toks[i] + " " + toks[i + 1]] += 1
+            if c:
+                yield pd.DataFrame(
+                    {"bigram": list(c.keys()), "n": list(c.values())}
+                )
+
+    return (
+        df.select(text_col)
+        .mapInPandas(kernel, "bigram string, n long")
+        .groupBy("bigram")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

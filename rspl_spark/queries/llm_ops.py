@@ -3324,3 +3324,262 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_probe(sketch, probes, "probe", m_bits=_BLOOM_M, k=_BLOOM_K)
         .orderBy("probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END corpus -> training shards (the chain a real pipeline runs):
+#   PII scrub -> line dedup -> quality + language filter -> MinHash-LSH
+#   near-dup dedup (representative per cluster) -> benchmark
+#   decontamination -> deterministic content-hash split -> per-(split,
+#   source) token packing into fixed-budget shards.
+# Every stage is the SAME formulation its standalone gate verifies
+# (pii_scrub patterns, the 8-token line chunking, quality/lang
+# expressions, the 8-slot MinHash + 4-band LSH + star-CC clustering,
+# 3-shingle contamination, md5 split, running-sum packing) — the gate
+# proves the stages COMPOSE: each one consumes the previous stage's
+# TRANSFORMED text, so a wrong intermediate corrupts every downstream
+# number. The oracle replays the entire chain as one CTE pipeline.
+#
+# Scale shape (audited in tests/test_plan_properties.py): the raw text
+# payload is scanned ONCE into the fused scrub+chunk projection; the
+# only corpus-sized exchanges are the ones a stage inherently needs
+# (line-key agg + doc reassembly for line dedup, the band self-join for
+# LSH, the (split, source) window for packing). Quality/language/split
+# are pure projections; contamination and the cluster/tombstone-style
+# filters join BROADCAST-sized sides; the post-filter corpus is
+# materialized once (localCheckpoint) and fanned out to the dedup,
+# contamination, and packing consumers instead of re-deriving the
+# scrub+line-dedup chain three times.
+
+_C2S_CONT_MIN = 5  # drop docs sharing >= this many distinct shingles w/ benchmark
+
+
+def _corpus_to_shards_oracle() -> str:
+    from rspl_spark.operators.curation import PII_PATTERNS
+
+    scrub = "COALESCE(text, '')"
+    for _name, pat, tok in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
+    sh_expr, th_expr = _sql_hashed_shingles("text")
+    mh = ", ".join(_sql_minhash(j) for j in range(8))
+    est = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(8)
+    )
+    return f"""
+WITH RECURSIVE c2s_scrub AS (
+  SELECT doc_id, source, {scrub} AS t FROM documents
+),
+c2s_ldb AS (
+  SELECT doc_id, source, STRING_SPLIT_REGEX(TRIM(t), '\\s+') AS ts FROM c2s_scrub
+),
+c2s_ldl AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(chunks, 1) AS BIGINT) AS pos,
+         UNNEST(chunks) AS line
+  FROM (
+    SELECT doc_id,
+           LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(ts) / {float(_LD_CHUNK)!r}) AS BIGINT)),
+                          i -> ARRAY_TO_STRING(LIST_SLICE(ts, i * {_LD_CHUNK} + 1,
+                                                          i * {_LD_CHUNK} + {_LD_CHUNK}), ' ')) AS chunks
+    FROM c2s_ldb)
+),
+c2s_boil AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM c2s_ldl GROUP BY line
+  ) x WHERE nd >= 2
+),
+c2s_ldkept AS (
+  SELECT * FROM c2s_ldl WHERE line NOT IN (SELECT line FROM c2s_boil)
+),
+c2s_ldre AS (
+  SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY pos) AS t
+  FROM c2s_ldkept GROUP BY doc_id
+),
+c2s_t2 AS (
+  SELECT b.doc_id, b.source, COALESCE(r.t, '') AS text
+  FROM c2s_ldb b LEFT JOIN c2s_ldre r ON b.doc_id = r.doc_id
+),
+c2s_hits AS (
+  SELECT doc_id, source, text,
+         {_lang_hits_sql("en")} AS en_hits,
+         {_lang_hits_sql("de")} AS de_hits,
+         {_lang_hits_sql("fr")} AS fr_hits,
+         {_lang_hits_sql("es")} AS es_hits
+  FROM c2s_t2
+),
+c2s_filt AS (
+  SELECT doc_id, source, text FROM c2s_hits
+  WHERE {_QUALITY_SQL_EXPR} >= 0.5 AND {_LANG_CASE_SQL} = 'en'
+),
+c2s_shsrc AS (
+  SELECT doc_id, {sh_expr} AS sh
+  FROM (SELECT doc_id, {th_expr} AS th FROM c2s_filt) q
+),
+c2s_sig AS (SELECT doc_id, {mh} FROM c2s_shsrc t),
+c2s_bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM c2s_sig UNION ALL
+  SELECT doc_id, 1 AS band, mh2 AS h1, mh3 AS h2 FROM c2s_sig UNION ALL
+  SELECT doc_id, 2 AS band, mh4 AS h1, mh5 AS h2 FROM c2s_sig UNION ALL
+  SELECT doc_id, 3 AS band, mh6 AS h1, mh7 AS h2 FROM c2s_sig
+),
+c2s_pairs AS (
+  SELECT c.doc_a, c.doc_b FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM c2s_bands a JOIN c2s_bands b
+      ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+  ) c JOIN c2s_sig sa ON c.doc_a = sa.doc_id JOIN c2s_sig sb ON c.doc_b = sb.doc_id
+  WHERE ({est}) / 8.0 >= 0.25
+),
+c2s_und AS (
+  SELECT doc_a AS a, doc_b AS b FROM c2s_pairs
+  UNION SELECT doc_b, doc_a FROM c2s_pairs
+),
+c2s_reach AS (
+  SELECT a AS src, a AS dst FROM c2s_und
+  UNION SELECT a, b FROM c2s_und
+  UNION SELECT r.src, u.b FROM c2s_reach r JOIN c2s_und u ON r.dst = u.a
+),
+c2s_comp AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM c2s_reach GROUP BY src),
+c2s_ddk AS (
+  SELECT f.* FROM c2s_filt f LEFT JOIN c2s_comp c ON f.doc_id = c.doc_id
+  WHERE c.cluster IS NULL OR c.cluster = f.doc_id
+),
+c2s_bsh AS (
+  SELECT DISTINCT UNNEST(sh) AS s FROM (
+    SELECT doc_id, {sh_expr} AS sh
+    FROM (SELECT doc_id, {th_expr} AS th
+          FROM documents WHERE doc_id < 10) bq
+  ) bt
+),
+c2s_cont AS (
+  SELECT c.doc_id
+  FROM (SELECT doc_id, UNNEST(sh) AS s
+        FROM c2s_shsrc WHERE doc_id IN (SELECT doc_id FROM c2s_ddk)) c
+  JOIN c2s_bsh ON c.s = c2s_bsh.s
+  GROUP BY c.doc_id HAVING COUNT(DISTINCT c.s) >= {_C2S_CONT_MIN}
+),
+c2s_clean AS (
+  SELECT * FROM c2s_ddk
+  WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM c2s_cont)
+),
+c2s_staged AS (
+  SELECT doc_id, source,
+         CASE WHEN {_sql_hash("text")} % 100 < 90 THEN 'train'
+              WHEN {_sql_hash("text")} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS nt
+  FROM c2s_clean
+),
+c2s_packed AS (
+  SELECT split, source, nt,
+         CAST((SUM(nt) OVER (PARTITION BY split, source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt)
+              // {_PACK_BUDGET} AS BIGINT) AS bin
+  FROM c2s_staged
+)
+SELECT split, source, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS bin_tokens
+FROM c2s_packed GROUP BY split, source, bin
+ORDER BY split, source, bin"""
+
+
+def _c2s_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1+2 fused into the scan projection: PII scrub, then
+    re-chunk into 8-token "lines" (the synthetic corpus has no
+    newlines). ONE documents scan — asserted by the plan audit."""
+    from rspl_spark.operators.curation import PII_PATTERNS
+
+    d = load(spark, sf_dir, "documents")
+    cur = F.coalesce(F.col("text"), F.lit(""))
+    for _name, pat, _tok in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, _tok)
+    toks = F.split(F.trim(cur), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_LD_CHUNK))).cast("int")
+    chunked = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * _LD_CHUNK + 1, _LD_CHUNK)),
+        ),
+    )
+    return d.select("doc_id", "source", chunked.alias("text"))
+
+
+def _c2s_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-3 of the corpus->shards chain. The scrub+chunk
+    projection is MATERIALIZED before line dedup: line_dedup fans its
+    input out four ways (line counts, boilerplate set, reassembly,
+    per-doc totals) plus the source join-back, and without the barrier
+    each consumer would re-run the regex chain against a fresh parquet
+    scan — 4x the dominant per-byte cost (caught by the plan audit in
+    tests/test_plan_properties.py; at 100 TB one scan + one
+    spill-backed materialization beats four regex passes)."""
+    from rspl_spark.operators.text import lang_pred_expr, line_dedup, quality_expr
+
+    base = _c2s_base(spark, sf_dir).localCheckpoint(eager=False)
+    ld = line_dedup(base, min_docs=2)
+    t2 = ld.select("doc_id", F.col("clean_text").alias("text")).join(
+        base.select("doc_id", "source"), "doc_id"
+    )
+    # stage 3: quality + language filter (fused column expressions)
+    return t2.filter((quality_expr() >= 0.5) & (lang_pred_expr() == F.lit("en")))
+
+
+@query(
+    "q_corpus_to_shards",
+    oracle=_corpus_to_shards_oracle(),
+    tags=("llm", "text", "dedup", "scale"),
+)
+def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept = _c2s_kept(spark, sf_dir).localCheckpoint(eager=False)
+    # stage 4: MinHash-LSH near-dup dedup, keep the cluster representative
+    sig = D.minhash_signatures(kept)
+    cc = D.connected_components_star(D.lsh_candidate_pairs(sig, threshold=0.25))
+    survivors = (
+        kept.join(cc.withColumnRenamed("doc_id", "doc_id"), "doc_id", "left")
+        .filter(F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id")))
+        .drop("cluster")
+    )
+    # stage 5: decontamination against the RAW benchmark slice (doc_id < 10)
+    bench = (
+        D.with_hashed_shingles(d.filter(F.col("doc_id") < 10))
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        D.with_hashed_shingles(survivors)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("ns"))
+        .filter(F.col("ns") >= _C2S_CONT_MIN)
+        .select("doc_id")
+    )
+    clean = survivors.filter(F.col("doc_id") >= 10).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+    # stage 6: deterministic content-hash split; stage 7: token packing
+    bucket = portable_hash(F.col("text")) % 100
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    staged = clean.select(
+        "doc_id", "source", split.alias("split"), nt.alias("nt")
+    )
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = staged.withColumn(
+        "bin", ((F.sum("nt").over(w) - F.col("nt")) / _PACK_BUDGET).cast("long")
+    )
+    return (
+        binned.groupBy("split", "source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("split", "source", "bin")
+    )

@@ -429,19 +429,20 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_top_bigrams", oracle=_BIGRAM_ORACLE, tags=("llm", "text"))
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 bigrams via the vectorized Arrow counting kernel
+    (text.bigram_count_kernel): per-partition Counter partials replace
+    the per-occurrence JVM explode — the actual sf10 bottleneck was
+    the 27.5M-row explode materialization, NOT the aggregate shuffle
+    (map-side combine already collapses this corpus's ~2k-bigram
+    vocabulary; the CMS-prefilter alternative is the recorded negative
+    result — DEVNOTES round 8). Top-20 via TakeOrdered; the rank
+    window runs over <= 20 rows."""
+    from rspl_spark.operators.text import bigram_count_kernel
+
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    counts = (
-        d.select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    # top-20 via orderBy+limit (TakeOrderedAndProject — fully parallel),
-    # NOT a partition-less row_number window, which would single-task
-    # sort the whole vocabulary; the rank window then runs over <=20 rows
+    counts = bigram_count_kernel(d)
     top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return top.withColumn("rk", F.row_number().over(w)).orderBy("rk")
+    return top.withColumn(
+        "rk", F.row_number().over(w)
+    ).select("bigram", F.col("n").cast("long").alias("n"), "rk").orderBy("rk")

@@ -222,3 +222,34 @@ def test_repetition_signals_plan_is_map_only(spark, reg):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_corpus_to_shards_scans_text_once(spark, reg):
+    """The end-to-end corpus->shards chain must scan the raw text
+    payload ONCE up to the materialization barrier: the scrub + chunk
+    stages fuse into the ONE scan projection, line dedup re-reads the
+    derived frames, never the parquet. Post-barrier, the only documents
+    scan allowed is the benchmark slice (doc_id < 10), which must carry
+    its pushed-down filter so a 100 TB corpus reads ~10 rows for it."""
+    from rspl_spark.queries.llm_ops import _c2s_base, _c2s_kept
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # the fused scrub+chunk projection: ONE scan, regex chain on it
+    pre = fmt(_c2s_base(spark, SF))
+    assert pre.count("documents.parquet") == 1, "raw text scanned more than once"
+    assert "regexp_replace" in pre
+    # downstream of the materialization barrier, line_dedup's 4-way
+    # fan-out must NOT re-reach the parquet (each re-read would re-run
+    # the regex chain — the dominant per-byte cost)
+    kept = fmt(_c2s_kept(spark, SF))
+    assert kept.count("documents.parquet") == 0, "line dedup re-scans the corpus"
+    post = _plan(spark, reg, "q_corpus_to_shards", mode="formatted")
+    scans = post.count("documents.parquet")
+    assert scans <= 1, f"post-barrier corpus scans: {scans}"
+    assert "LessThan(doc_id,10)" in post, "benchmark filter not pushed to scan"

@@ -317,3 +317,36 @@ def test_bloom_no_false_negatives_and_merge(spark):
     n = 1400
     expected = (1 - math.exp(-k * n / m)) ** k
     assert fp / 2000 < max(4 * expected, 0.05), f"fp rate {fp/2000} vs analytic {expected}"
+
+
+def test_cms_topk_exact_matches_naive_on_skew(spark):
+    """cms_topk_exact must be EXACT (same keys, counts, and tie-order
+    as the naive aggregate) on a Zipf-ish skewed distribution — the
+    shape it exists for — including when the seed threshold needs the
+    driver-side refinement round."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.sketches import cms_topk_exact
+
+    # zipf-ish: key i appears ~ 3000/i times, 400 distinct keys
+    rows = [(f"k{i:03d}",) for i in range(1, 400) for _ in range(3000 // i)]
+    occ = spark.createDataFrame(rows, "term string").repartition(8)
+    naive = [
+        tuple(r)
+        for r in occ.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(10)
+        .collect()
+    ]
+    got = [tuple(r) for r in cms_topk_exact(occ, "term", k=10).collect()]
+    assert got == naive
+    # narrow sketch (w=32): heavy collisions force refinement, still exact
+    got_narrow = [
+        tuple(r) for r in cms_topk_exact(occ, "term", k=10, w=32).collect()
+    ]
+    assert got_narrow == naive
+    # k larger than the vocabulary: returns every key, exact
+    small = spark.createDataFrame([("a",), ("a",), ("b",)], "term string")
+    got_small = [tuple(r) for r in cms_topk_exact(small, "term", k=10).collect()]
+    assert got_small == [("a", 2), ("b", 1)]

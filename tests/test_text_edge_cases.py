@@ -204,3 +204,37 @@ def test_bm25_empty_docs_do_not_skew_avgdl(spark):
     for doc_id, tf, dl in ((1, 1.0, 3), (2, 2.0, 3)):
         expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
         assert abs(out[doc_id]["score"] - round(expect, 6)) < 1e-6
+
+
+def test_bigram_kernel_matches_jvm_explode(spark):
+    """The Arrow bigram-counting kernel must be bit-identical to the
+    JVM split+explode formulation — including the single-token doc
+    edge case (the lone token stands in for a bigram) and empty/
+    whitespace docs (the '' token)."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.catalog import load
+    from rspl_spark.operators.text import bigram_count_kernel
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").unionByName(
+        spark.createDataFrame(
+            [(90001, "solo", "syn"), (90002, "", "syn"), (90003, "  ", "syn"),
+             (90004, "a b a b a", "syn")],
+            "doc_id long, text string, source string",
+        ).select("doc_id", "text", "source"),
+        allowMissingColumns=True,
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    ref = {
+        r["bigram"]: r["n"]
+        for r in d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    got = {r["bigram"]: r["n"] for r in bigram_count_kernel(d).collect()}
+    assert got == ref
+    assert got.get("solo") is not None  # single-token doc contributed
