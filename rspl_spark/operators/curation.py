@@ -410,6 +410,35 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
 )
 
+# Credit-card pattern with CHECKSUM validation: a bare \d{13,19} regex
+# over-redacts (order ids, timestamps, EANs are digit runs too), so the
+# candidate window is Luhn-gated — only runs whose check digit
+# validates are redacted; everything else is left byte-intact. A
+# 4-tuple entry names its validator; pii_scrub applies it between
+# extraction and replacement.
+CC_PATTERN: tuple[str, str, str, str] = ("cc", r"\b\d{13,19}\b", "[CC]", "luhn")
+
+
+def luhn_valid(c: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) over a digit-run string column as a
+    pure integer codegen expression — no UDF, and the same arithmetic
+    is expressible in any SQL engine (the oracle replays it with
+    LIST_TRANSFORM/RANGE): position i counted from the RIGHT, even
+    positions double-and-fold (2d - 9 when 2d > 9), total % 10 == 0."""
+    L = F.length(c)
+    digit = lambda i: F.ascii(c.substr(L - i + 1, F.lit(1))) - 48  # noqa: E731
+    term = lambda i: F.when(  # noqa: E731
+        i % 2 == 0,
+        digit(i) * 2 - F.when(digit(i) > 4, F.lit(9)).otherwise(F.lit(0)),
+    ).otherwise(digit(i))
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(1), L), term), F.lit(0), lambda a, v: a + v
+    )
+    return F.pmod(total, F.lit(10)) == 0
+
+
+_PII_VALIDATORS = {"luhn": luhn_valid}
+
 
 def pii_scrub(
     df: DataFrame,
@@ -440,16 +469,39 @@ def pii_scrub(
     redaction log would record negative counts for null rows."""
     cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
-    for name, pat, token in patterns:
-        counts.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
-            .cast("long")
-            .alias(f"n_{name}")
-        )
-        cur = F.regexp_replace(cur, pat, token)
+    names = []
+    for entry in patterns:
+        name, pat, token = entry[0], entry[1], entry[2]
+        names.append(name)
+        validator = _PII_VALIDATORS[entry[3]] if len(entry) > 3 else None
+        if validator is None:
+            counts.append(
+                F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+                .cast("long")
+                .alias(f"n_{name}")
+            )
+            cur = F.regexp_replace(cur, pat, token)
+        else:
+            # validated pattern: extract candidates, keep only the ones
+            # the checksum accepts, fold a \b-anchored literal replace
+            # per accepted candidate (a plain regexp_replace would also
+            # hit the rejected false positives)
+            valid = F.filter(
+                F.regexp_extract_all(cur, F.lit(pat), F.lit(0)), validator
+            )
+            counts.append(F.size(valid).cast("long").alias(f"n_{name}"))
+            cur = F.aggregate(
+                valid,
+                cur,
+                lambda acc, cand: F.regexp_replace(
+                    acc,
+                    F.concat(F.lit(r"\b"), cand, F.lit(r"\b")),
+                    F.lit(token),
+                ),
+            )
     out = df.select(id_col, cur.alias("clean_text"), *counts)
     total = None
-    for name, _, _ in patterns:
+    for name in names:
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_redactions", total.cast("long"))

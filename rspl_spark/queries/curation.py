@@ -584,3 +584,81 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return C.pii_scrub(injected).orderBy("doc_id")
+
+
+# Luhn-gated credit-card redaction (operators/curation.py::CC_PATTERN +
+# luhn_valid): the gate INJECTS, per document, one number whose check
+# digit is computed by the Luhn formula (valid -> must be redacted),
+# the SAME number with the check digit shifted by 5 (always invalid ->
+# must survive byte-intact), and a 12-digit run (below the candidate
+# window -> untouched). Both engines derive the check digit from the
+# same integer arithmetic, so the oracle knows exactly which bytes get
+# replaced — a scrubber that redacts unvalidated digit runs, or whose
+# Luhn fold is wrong, hash-fails on every row.
+
+_CC_ORACLE = """
+WITH ccb AS (
+  SELECT doc_id, text, LPAD(CAST(doc_id AS VARCHAR), 15, '4') AS b
+  FROM documents
+),
+ccs AS (
+  SELECT doc_id, text, b,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, 16), k ->
+           CASE WHEN k % 2 = 1
+                THEN 2 * (ASCII(SUBSTR(b, 16 - k, 1)) - 48)
+                     - CASE WHEN ASCII(SUBSTR(b, 16 - k, 1)) - 48 > 4 THEN 9 ELSE 0 END
+                ELSE ASCII(SUBSTR(b, 16 - k, 1)) - 48 END)) AS s
+  FROM ccb
+),
+ccn AS (
+  SELECT doc_id, text,
+         b || CAST((10 - s % 10) % 10 AS VARCHAR) AS valid_cc,
+         b || CAST(((10 - s % 10) % 10 + 5) % 10 AS VARCHAR) AS bad_cc
+  FROM ccs
+),
+cci AS (
+  SELECT doc_id,
+         text || ' card ' || valid_cc || ' ref ' || bad_cc
+              || ' ord 123456789012 end' AS t,
+         valid_cc
+  FROM ccn
+)
+SELECT doc_id,
+       regexp_replace(t, '\\b' || valid_cc || '\\b', '[CC]', 'g') AS clean_text,
+       CAST(1 AS BIGINT) AS n_cc,
+       CAST(1 AS BIGINT) AS n_redactions
+FROM cci
+ORDER BY doc_id
+"""
+
+
+@query("q_pii_scrub_cc", oracle=_CC_ORACLE, tags=("llm", "curation", "text"))
+def q_pii_scrub_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    b = F.lpad(F.col("doc_id").cast("string"), 15, "4")
+
+    def digit(k):
+        return F.ascii(b.substr(F.lit(16) - k, F.lit(1))) - 48
+
+    term = lambda k: F.when(  # noqa: E731
+        F.pmod(k, F.lit(2)) == 1,
+        digit(k) * 2 - F.when(digit(k) > 4, F.lit(9)).otherwise(F.lit(0)),
+    ).otherwise(digit(k))
+    s = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(15)), term),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    check = F.pmod(F.lit(10) - F.pmod(s, F.lit(10)), F.lit(10))
+    valid_cc = F.concat(b, check.cast("string"))
+    bad_cc = F.concat(b, F.pmod(check + 5, F.lit(10)).cast("string"))
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" card "), valid_cc,
+            F.lit(" ref "), bad_cc,
+            F.lit(" ord 123456789012 end"),
+        ).alias("text"),
+    )
+    return C.pii_scrub(injected, patterns=(C.CC_PATTERN,)).orderBy("doc_id")

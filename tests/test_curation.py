@@ -229,3 +229,54 @@ def test_pii_scrub_null_text_contract(spark):
     assert out[1]["n_email"] == 0 and out[1]["n_ip"] == 0 and out[1]["n_phone"] == 0
     assert out[1]["n_redactions"] == 0
     assert out[2]["clean_text"] == "mail [EMAIL] now"
+
+
+def test_luhn_validated_cc_scrub(spark):
+    """The cc pattern redacts ONLY Luhn-valid digit runs: known-valid
+    test numbers go, a one-digit-off run and sub-window digit runs
+    survive byte-intact, repeated valid numbers count per occurrence."""
+    from rspl_spark.operators.curation import CC_PATTERN, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4532015112830366 now"),        # valid (Visa test)
+            (2, "ref 4532015112830367 now"),        # invalid check digit
+            (3, "short 123456789012 id"),           # 12 digits: no candidate
+            (4, "two 4532015112830366 and 5425233430109903 ok"),  # both valid
+            (5, "dup 4532015112830366 4532015112830366 dup"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df, patterns=(CC_PATTERN,)).collect()}
+    assert out[1]["clean_text"] == "pay [CC] now" and out[1]["n_cc"] == 1
+    assert out[2]["clean_text"] == "ref 4532015112830367 now" and out[2]["n_cc"] == 0
+    assert out[3]["clean_text"] == "short 123456789012 id"
+    assert out[4]["clean_text"] == "two [CC] and [CC] ok" and out[4]["n_cc"] == 2
+    assert out[5]["clean_text"] == "dup [CC] [CC] dup" and out[5]["n_cc"] == 2
+    assert out[6]["clean_text"] == "" and out[6]["n_redactions"] == 0
+
+
+def test_luhn_valid_expression(spark):
+    """luhn_valid agrees with a reference Python Luhn over a spread of
+    digit runs (both parities of length, leading zeros)."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.curation import luhn_valid
+
+    def ref(s):
+        total = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            total += (d * 2 - 9) if (i % 2 == 0 and d > 4) else (d * 2 if i % 2 == 0 else d)
+        return total % 10 == 0
+
+    runs = [
+        "4532015112830366", "5425233430109903", "79927398713",
+        "0000000000000", "0000000000001", "1234567812345670",
+        "123456781234567", "4532015112830367",
+    ]
+    df = spark.createDataFrame([(s,) for s in runs], "s string")
+    got = {r["s"]: r["ok"] for r in df.select("s", luhn_valid(F.col("s")).alias("ok")).collect()}
+    for s in runs:
+        assert got[s] == ref(s), s
