@@ -695,6 +695,7 @@ def semantic_dedup(
     target_cell: int = 512,
     max_cell_rows: int | None = None,
     max_k: int = 4096,
+    fit_sample_frac: float | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate dedup, end to end: trained-cell
     blocking (kmeans_fit/assign) → in-cell BLAS cosine pairs ≥ threshold
@@ -721,7 +722,13 @@ def semantic_dedup(
     expected cell size, the grid bounds a pathological hot cell."""
     from rspl_spark.operators.dedup import connected_components_star
 
-    fit_frac = None
+    # ``fit_sample_frac`` lets a caller trade centroid placement noise
+    # for fit cost even BELOW the cap (the fit is O(rows * k * d); at
+    # the sf10 operating point — adaptive k=390 over 200k vectors — a
+    # 1/8 sample cuts the fit 91.3s -> 29.9s at +0.64% inertia, see
+    # DEVNOTES round 8). Default None keeps the exact fit so gate
+    # hashes are byte-stable.
+    fit_frac = fit_sample_frac
     if k is None:
         # cap: the Lloyd fit is O(rows * k * d) per iteration — past
         # max_k the fit itself becomes the bottleneck (a k=4096 fit

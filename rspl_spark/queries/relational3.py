@@ -446,3 +446,72 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rk", F.row_number().over(w)
     ).select("bigram", F.col("n").cast("long").alias("n"), "rk").orderBy("rk")
+
+
+# BM25 keyword search (operators/text.py::bm25_search): Lucene's
+# Robertson/Sparck-Jones formulation with bag-of-terms query semantics
+# (the repeated 'join' term doubles its contribution) and dl = 0 for
+# empty docs. Ranking is on the ROUNDED score (6dp) so the (score,
+# doc_id) order is replayable across engines whose per-doc term-sum
+# float order differs; every other quantity (dl, avgdl, N, df, tf) is
+# integer-exact arithmetic promoted identically.
+
+_BM25_TERMS = ("join", "join", "vector", "customer")  # bag: 'join' x2
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 15
+
+
+def _bm25_oracle() -> str:
+    terms = sorted(set(_BM25_TERMS))
+    qtf = {t: _BM25_TERMS.count(t) for t in terms}
+    tlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    qtf_case = "CASE t.term " + " ".join(
+        f"WHEN '{t}' THEN {float(c)!r}" for t, c in qtf.items()
+    ) + " END"
+    return f"""
+WITH bm_base AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(TRIM(COALESCE(text, '')), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+bm_dl AS (SELECT doc_id, CAST(LEN(ts) AS BIGINT) AS dl FROM bm_base),
+bm_stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM bm_dl
+),
+bm_tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, UNNEST(ts) AS term FROM bm_base) x
+  WHERE term IN (SELECT UNNEST({tlist}))
+  GROUP BY doc_id, term
+),
+bm_df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM bm_tf GROUP BY term),
+bm_scored AS (
+  SELECT t.doc_id,
+         ROUND(SUM(({qtf_case})
+               * LN(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+               * t.tf * {_BM25_K1 + 1.0!r}
+               / (t.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r}
+                  * CAST(l.dl AS DOUBLE) / s.avgdl))), 6) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM bm_tf t
+  JOIN bm_df d ON t.term = d.term
+  JOIN bm_dl l ON t.doc_id = l.doc_id
+  CROSS JOIN bm_stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score, n_terms_hit, rk FROM (
+  SELECT doc_id, score, n_terms_hit,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+  FROM bm_scored
+) z WHERE rk <= {_BM25_K}
+ORDER BY rk"""
+
+
+@query("q_bm25_search", oracle=_bm25_oracle(), tags=("llm", "text"))
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.text import bm25_search
+
+    d = load(spark, sf_dir, "documents")
+    return bm25_search(
+        d, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, k=_BM25_K
+    ).orderBy("rk")
