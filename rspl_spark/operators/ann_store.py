@@ -91,8 +91,10 @@ def _tombstones(spark: SparkSession, name: str, key_col: str = "vec_id") -> Data
     return None
 
 
-def _live_rows(spark: SparkSession, name: str) -> DataFrame:
-    """The index table minus tombstoned vec_ids. The tombstone set is
+def live_rows(spark: SparkSession, name: str) -> DataFrame:
+    """The index table minus tombstoned vec_ids — the view every probe
+    (and any external consumer of the index table) should read so
+    takedowns are honored. The tombstone set is
     key-only (metadata-sized next to a corpus-sized index), so the
     anti join broadcasts and preserves the stored table's partitioning
     — the probe plans gain no Exchange from delete support."""
@@ -175,7 +177,7 @@ def compact_index(spark: SparkSession, name: str) -> int:
         kind, part_keys = "ivf", ["cid"]
     else:
         kind, part_keys = "srp", ["band", "bv"]
-    live = _live_rows(spark, name).localCheckpoint()
+    live = live_rows(spark, name).localCheckpoint()
     n = live.count()
     spark.sql(f"DROP TABLE {name}")
     path = _fresh_table_path(spark, name)
@@ -351,7 +353,7 @@ def pq_index_topk(
     codebooks — same kernel and semantics as similarity.pq_adc_topk.
     Tombstoned vec_ids (``delete_keys``) are filtered out."""
     return pq_adc_topk(
-        _live_rows(spark, name),
+        live_rows(spark, name),
         pq_index_codebooks(spark, name),
         queries,
         topk=topk,
@@ -543,7 +545,7 @@ def ivf_index_topk(
         "query_id",
         n_probe,
     ).select("query_id", F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"), "cid")
-    cand = probes.join(_live_rows(spark, name), "cid").filter(
+    cand = probes.join(live_rows(spark, name), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
@@ -727,7 +729,7 @@ def srp_index_topk(
         "bv",
     )
     cand = (
-        qb.join(_live_rows(spark, name), ["band", "bv"])
+        qb.join(live_rows(spark, name), ["band", "bv"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "q_emb", "q_nrm", "vec_id", "emb", "nrm")
         .distinct()
@@ -744,3 +746,7 @@ def srp_index_topk(
         .select("query_id", "vec_id", F.round("raw_score", 6).alias("score"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# internal name kept for existing callers/tests
+_live_rows = live_rows

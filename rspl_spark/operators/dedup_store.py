@@ -237,8 +237,11 @@ def _drop_tombstones(spark: SparkSession, store: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
-def _live_store(spark: SparkSession, store: str) -> DataFrame:
-    """Store band rows minus tombstoned doc_ids. The tombstone set is
+def live_store(spark: SparkSession, store: str) -> DataFrame:
+    """Store band rows minus tombstoned doc_ids — the view EVERY probe
+    (batch ``dedup_increment``, streaming
+    ``streaming_dedup_against_store``) should read so takedowns are
+    honored everywhere the store is consumed. The tombstone set is
     key-only and broadcasts, and a broadcast anti join preserves the
     probe side's outputPartitioning — the zero-store-side-Exchange
     probe property survives delete support unchanged."""
@@ -254,7 +257,7 @@ def compact_store(spark: SparkSession, store: str, n_buckets: int = 8) -> int:
     under the same bucketed layout and clear the tombstones. One pass
     over the store — run when deleted_count crosses a policy
     threshold, not per delete. Returns surviving band-row count."""
-    live = _live_store(spark, store).localCheckpoint()
+    live = live_store(spark, store).localCheckpoint()
     n = live.count()
     spark.sql(f"DROP TABLE {store}")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -333,7 +336,7 @@ def dedup_increment(
     new_bands = signature_band_rows(
         new_docs, text_col=text_col, id_col=id_col, n_bands=n_bands, sig=new_sig
     ).localCheckpoint(eager=False)
-    store_bands = _live_store(spark, store)
+    store_bands = live_store(spark, store)
     if prune != "off":
         keys_df = new_bands.select("bucket").distinct()
         mode = prune
@@ -385,3 +388,7 @@ def dedup_increment(
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
     return out
+
+
+# internal name kept for existing callers/tests
+_live_store = live_store

@@ -171,8 +171,10 @@ def streaming_dedup_against_store(
 ) -> DataFrame:
     """Live ingest probing a PERSISTED corpus: (doc_a, doc_b, est_jaccard)
     pairs where a new arrival near-duplicates either the signature STORE
-    (``operators/dedup_store.py`` — pass ``spark.table(store)``) or
-    another in-flight arrival.
+    (``operators/dedup_store.py`` — pass ``dedup_store.live_store(spark,
+    store)`` so takedown tombstones are honored; ``spark.table(store)``
+    reads the raw table including deleted docs) or another in-flight
+    arrival.
 
     Composition of the two incremental paths:
 
