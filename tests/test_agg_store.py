@@ -197,3 +197,65 @@ def test_retract_error_paths(spark):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS aggstore_tret4")
+
+
+def test_retract_null_group_key(spark):
+    """NULL is a group for retraction too: the null-safe path must
+    subtract the NULL-key partial, not orphan it or hit the stray-group
+    guard."""
+    store = "aggstore_tretnull"
+    sc_only = {"n": ("v", "count"), "s": ("v", "sum")}
+    full = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("x", 3.0)], "k string, v double"
+    )
+    A.create_agg_store(spark, full, store, ["k"], sc_only, overwrite=True)
+    try:
+        A.retract_increment(
+            spark,
+            spark.createDataFrame([(None, 1.0)], "k string, v double"),
+            store, ["k"], sc_only,
+        )
+        rows = {r["k"]: (r["n"], r["s"]) for r in A.read_final(spark, store).collect()}
+        assert rows == {None: (1, 2.0), "x": (1, 3.0)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_tretnull")
+
+
+def test_retract_random_subsets_match_direct_aggregate(spark):
+    """Property: for random seed/increment/retraction slices of a
+    random integer table, create -> merge -> retract(history) equals
+    the one-pass aggregate over the surviving rows — counts, integer
+    sums, and min/max (with the dirty-group lazy recompute engaged)."""
+    import random
+
+    rng = random.Random(8888)
+    for trial in range(3):
+        rows = [
+            (rng.choice("abcd"), float(rng.randint(-50, 50)))
+            for _ in range(200 + 50 * trial)
+        ]
+        df = spark.createDataFrame(rows, "k string, v double").localCheckpoint()
+        df = df.withColumn("rid", F.monotonically_increasing_id()).localCheckpoint()
+        seed_pred = F.pmod(F.col("rid"), F.lit(3)) != 0
+        retract_mod = rng.choice([4, 5, 7])
+        retract_pred = F.pmod(F.col("rid"), F.lit(retract_mod)) == 1
+        store = f"aggstore_tprop{trial}"
+        try:
+            A.create_agg_store(
+                spark, df.filter(seed_pred), store, ["k"], MEASURES, overwrite=True
+            )
+            A.merge_increment(spark, df.filter(~seed_pred), store, ["k"], MEASURES)
+            A.retract_increment(
+                spark, df.filter(retract_pred), store, ["k"], MEASURES,
+                history_df=df.filter(~retract_pred),
+            )
+            got = _final(spark, store)
+            want = {
+                r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+                for r in A.partial_agg(
+                    df.filter(~retract_pred), ["k"], MEASURES
+                ).collect()
+            }
+            assert got == want, f"trial {trial}"
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {store}")
