@@ -67,6 +67,40 @@ def _deleted_name(name: str) -> str:
     return f"{name}__deleted"
 
 
+def _check_increment_not_tombstoned(
+    spark: SparkSession, name: str, new_vecs: DataFrame, id_col: str, kind: str
+) -> None:
+    """Fail fast when an increment re-uses a currently-tombstoned id.
+
+    With id-keyed tombstones there is NO correct silent behavior for a
+    re-append: keeping the tombstone hides the new row (the probe
+    anti-join can't tell old from new), and clearing it resurrects the
+    stale physical row alongside the new one (duplicate id, possibly a
+    different vector). Both corrupt answers silently, so the collision
+    is the caller's to resolve: ``compact_index`` first (physically
+    removes the old row and clears the tombstone), then append.
+
+    Cost: one semi-join of the increment's keys against the broadcast
+    tombstone sidecar (metadata-sized) — never a pass over the index.
+    """
+    dead = _tombstones(spark, name)
+    if dead is None:
+        return
+    hit = (
+        new_vecs.select(F.col(id_col).cast("long").alias("vec_id"))
+        .join(F.broadcast(dead), "vec_id", "left_semi")
+        .take(3)
+    )
+    if hit:
+        ids = sorted(r["vec_id"] for r in hit)
+        raise ValueError(
+            f"{kind} append: increment contains tombstoned ids "
+            f"(e.g. {ids}); a tombstone would silently hide the "
+            f"re-appended rows. Run compact_index('{name}') first, "
+            f"then append."
+        )
+
+
 def _warehouse_path(spark: SparkSession, table: str) -> str:
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     if warehouse.startswith("file:"):
@@ -289,6 +323,7 @@ def append_pq_index(
     staleness numerator)."""
     cbs = pq_index_codebooks(spark, name)
     _check_increment_dim(new_vecs, vec_col, len(cbs) * len(cbs[0][0]), "pq")
+    _check_increment_not_tombstoned(spark, name, new_vecs, id_col, "pq")
     # count the INCREMENT, not the table: two corpus-sized table counts
     # per daily append would dwarf the append itself at a large index.
     # localCheckpoint materializes the (increment-sized) encoding once
@@ -478,6 +513,7 @@ def append_ivf_index(
 
     cents = ivf_index_centroids(spark, name)
     _check_increment_dim(new_vecs, vec_col, len(cents[0]), "ivf")
+    _check_increment_not_tombstoned(spark, name, new_vecs, id_col, "ivf")
     prep = unit_prep(new_vecs, "vec_id", "emb", "nrm", vec_col=vec_col, id_col=id_col)
     assigned = _rank_cells(prep, _centroid_frame(spark, cents), "vec_id", 1).localCheckpoint()
     n = assigned.count()
@@ -692,6 +728,7 @@ def append_srp_index(
     """Band the increment under the STORED config and append."""
     cfg = srp_index_config(spark, name)
     _check_increment_dim(new_vecs, vec_col, cfg["dim"], "srp")
+    _check_increment_not_tombstoned(spark, name, new_vecs, id_col, "srp")
     rows = _srp_band_rows(
         new_vecs, cfg["planes"], cfg["dim"], cfg["bands"], vec_col, id_col
     ).localCheckpoint()

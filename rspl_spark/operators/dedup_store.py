@@ -154,7 +154,28 @@ def append_increment(
     layout (and the no-shuffle probe property) survives. Run AFTER
     ``dedup_increment`` — an appended doc probing itself is a no-op
     (equal ids are excluded) but wastes a bucket row comparison.
+
+    Fails fast if the increment re-uses a currently-tombstoned doc_id:
+    with id-keyed tombstones there is no correct silent behavior for a
+    re-append (keeping the tombstone hides the new band rows; clearing
+    it resurrects the stale ones) — run ``compact_store`` first. The
+    check is one semi-join against the broadcast metadata-sized
+    tombstone sidecar, never a pass over the store.
     """
+    dead = _tombstones(spark, store)
+    if dead is not None:
+        hit = (
+            new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(F.broadcast(dead), "doc_id", "left_semi")
+            .take(3)
+        )
+        if hit:
+            ids = sorted(r["doc_id"] for r in hit)
+            raise ValueError(
+                f"append_increment: increment contains tombstoned doc_ids "
+                f"(e.g. {ids}); run compact_store('{store}') first, then "
+                f"append."
+            )
     (
         signature_band_rows(new_docs, text_col=text_col, id_col=id_col, n_bands=n_bands)
         .repartition(n_buckets, "bucket")
