@@ -1,4 +1,5 @@
-"""Distribution-drift detection: two-sample Kolmogorov-Smirnov statistic.
+"""Distribution-drift detection: two-sample Kolmogorov-Smirnov statistic
+and the Population Stability Index (PSI).
 
 A pipeline ingesting daily increments needs to notice when a source's
 distribution moves — shorter documents, shifted quality scores, a new
@@ -11,6 +12,15 @@ the window work, and for continuous values the optional ``bins``
 quantization caps V at a constant (histogram-KS, the standard practice
 for drift monitors at scale). Integer counts everywhere until the final
 two divisions, so an independent engine reproduces D exactly.
+
+PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i) is the complementary *magnitude*
+monitor (KS is a max, so a broad small shift can hide from it; PSI sums
+every bin's contribution — the credit-scoring industry's standard drift
+alarm, typically actioned at 0.1/0.25). Same scale shape as histogram-KS:
+one groupBy on the bin collapses n rows to B, Laplace smoothing keeps
+empty bins finite, and the only float steps are two correctly-rounded
+IEEE ops per bin (a division and one ln) plus a B-term sum — round(6)
+absorbs the ≤1-ulp-per-term engine drift.
 """
 
 from __future__ import annotations
@@ -75,4 +85,100 @@ def ks_statistic(
         .groupBy("n_a", "n_b")
         .agg(F.max("diff").alias("d_stat"))
         .select("d_stat", "n_a", "n_b")
+    )
+
+
+def psi_bins(
+    df: DataFrame,
+    value_col: str,
+    in_a: Column,
+    in_b: Column,
+    bins: int = 16,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-bin PSI decomposition: (bin, c_a, c_b, p_a, p_b, contrib),
+    one row per bin 0..bins-1 (the full spine, so empty bins carry
+    their smoothed contribution and both engines see the same B terms).
+
+    Equal-width bins over the pooled min/max (one scalar agg).
+    Laplace smoothing: p_i = (c_i + s) / (n + s·B) — keeps ln finite on
+    empty bins and preserves Σp = 1. contrib_i = (p_a−p_b)·ln(p_a/p_b)
+    is individually ≥ 0 (sign(p−q) = sign(ln(p/q))), so PSI ≥ 0.
+
+    Scale: ONE shuffle (groupBy bin → B rows); the spine join and the
+    totals are broadcasts of ≤B rows. n never crosses the wire.
+    """
+    if bins < 2:
+        raise ValueError("psi_bins: need at least 2 bins")
+    if smoothing <= 0:
+        raise ValueError("psi_bins: smoothing must be > 0 (keeps ln finite)")
+    v = F.col(value_col).cast("double")
+    stats = df.filter(in_a | in_b).agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
+    if stats["mn"] is None:
+        raise ValueError("psi_bins: no rows match either group")
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    span = (mx - mn) or 1.0
+    bin_col = F.least(
+        F.floor((v - F.lit(mn)) * bins / F.lit(span)), F.lit(bins - 1)
+    ).cast("long")
+    counts = (
+        df.filter(in_a | in_b)
+        .select(
+            bin_col.alias("bin"),
+            in_a.cast("long").alias("_a"),
+            in_b.cast("long").alias("_b"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("_a").alias("c_a"), F.sum("_b").alias("c_b"))
+    )
+    spine = df.sparkSession.range(bins).select(F.col("id").alias("bin"))
+    full = (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+        )
+    )
+    totals = full.agg(
+        F.sum("c_a").cast("long").alias("n_a"), F.sum("c_b").cast("long").alias("n_b")
+    )
+    s = float(smoothing)
+    out = full.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "c_a",
+        "c_b",
+        "n_a",
+        "n_b",
+        ((F.col("c_a") + F.lit(s)) / (F.col("n_a") + F.lit(s * bins))).alias("p_a"),
+        ((F.col("c_b") + F.lit(s)) / (F.col("n_b") + F.lit(s * bins))).alias("p_b"),
+    )
+    return out.select(
+        "bin",
+        "c_a",
+        "c_b",
+        "n_a",
+        "n_b",
+        "p_a",
+        "p_b",
+        ((F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))).alias(
+            "contrib"
+        ),
+    )
+
+
+def psi_statistic(
+    df: DataFrame,
+    value_col: str,
+    in_a: Column,
+    in_b: Column,
+    bins: int = 16,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """One-row DataFrame (psi, n_a, n_b) — the Population Stability Index
+    between ``value_col``'s distribution where ``in_a`` holds and where
+    ``in_b`` holds, over ``bins`` equal-width buckets. See ``psi_bins``."""
+    b = psi_bins(df, value_col, in_a, in_b, bins=bins, smoothing=smoothing)
+    return b.groupBy("n_a", "n_b").agg(F.sum("contrib").alias("psi")).select(
+        "psi", "n_a", "n_b"
     )

@@ -54,6 +54,7 @@ def load_registry() -> dict[str, QuerySpec]:
         dsl_queries,
         joins,
         llm_ops,
+        pipeline_ops,
         relational,
         relational2,
         relational3,

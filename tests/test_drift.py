@@ -62,3 +62,68 @@ def test_ks_no_rows_raises_with_bins(spark):
     df = spark.createDataFrame([(1.0, "x")], "v double, g string")
     with pytest.raises(ValueError, match="no rows"):
         ks_statistic(df, "v", F.col("g") == "a", F.col("g") == "b", bins=8)
+
+
+# ---------------------------------------------------------------------------
+# PSI (Population Stability Index)
+# ---------------------------------------------------------------------------
+
+from rspl_spark.operators.drift import psi_bins, psi_statistic  # noqa: E402
+
+
+def _psi_numpy(a: np.ndarray, b: np.ndarray, bins: int, s: float = 0.5) -> float:
+    mn = float(min(a.min(), b.min()))
+    mx = float(max(a.max(), b.max()))
+    span = (mx - mn) or 1.0
+    ba = np.minimum(np.floor((a - mn) * bins / span), bins - 1).astype(int)
+    bb = np.minimum(np.floor((b - mn) * bins / span), bins - 1).astype(int)
+    ca = np.bincount(ba, minlength=bins).astype(float)
+    cb = np.bincount(bb, minlength=bins).astype(float)
+    pa = (ca + s) / (len(a) + s * bins)
+    pb = (cb + s) / (len(b) + s * bins)
+    return float(((pa - pb) * np.log(pa / pb)).sum())
+
+
+def test_psi_identical_samples_is_zero(spark):
+    rows = [(float(v), g) for v in [1, 2, 3, 4, 8] for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = psi_statistic(df, "v", F.col("g") == "a", F.col("g") == "b", bins=8).first()
+    assert out["psi"] == 0.0  # p == q in every bin
+    assert (out["n_a"], out["n_b"]) == (5, 5)
+
+
+def test_psi_matches_numpy_and_is_nonnegative_and_symmetric(spark):
+    rng = np.random.default_rng(17)
+    a = rng.normal(0, 1, 400)
+    b = rng.normal(0.8, 1.4, 250)
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string").repartition(5)
+    ab = psi_statistic(df, "v", F.col("g") == "a", F.col("g") == "b", bins=16).first()
+    assert abs(ab["psi"] - _psi_numpy(a, b, 16)) < 1e-10
+    assert ab["psi"] >= 0.0
+    ba = psi_statistic(df, "v", F.col("g") == "b", F.col("g") == "a", bins=16).first()
+    assert abs(ab["psi"] - ba["psi"]) < 1e-12  # term-wise symmetric
+
+
+def test_psi_bins_full_spine_and_per_term_sign(spark):
+    # two disjoint point masses: every other bin is empty on both sides
+    rows = [(0.0, "a")] * 7 + [(15.0, "b")] * 3
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = psi_bins(df, "v", F.col("g") == "a", F.col("g") == "b", bins=16).collect()
+    assert len(out) == 16  # full spine, empty bins included
+    assert all(r["contrib"] >= 0.0 for r in out)  # (p-q) and ln(p/q) share sign
+    by_bin = {r["bin"]: r for r in out}
+    assert (by_bin[0]["c_a"], by_bin[0]["c_b"]) == (7, 0)
+    assert (by_bin[15]["c_a"], by_bin[15]["c_b"]) == (0, 3)
+    # empty-on-both bins still contribute when n_a != n_b (smoothed mass differs)
+    assert by_bin[7]["contrib"] > 0.0
+
+
+def test_psi_input_validation(spark):
+    df = spark.createDataFrame([(1.0, "a")], "v double, g string")
+    with pytest.raises(ValueError, match="at least 2 bins"):
+        psi_bins(df, "v", F.col("g") == "a", F.col("g") == "b", bins=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        psi_bins(df, "v", F.col("g") == "a", F.col("g") == "b", smoothing=0.0)
+    with pytest.raises(ValueError, match="no rows"):
+        psi_statistic(df, "v", F.col("g") == "x", F.col("g") == "y").collect()
