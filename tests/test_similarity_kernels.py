@@ -301,3 +301,72 @@ def test_cell_cosine_pairs_blocked_parity_and_bound(spark):
     assert got_forced == want
     assert got_loose == want
     assert len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + quantized top-k
+# ---------------------------------------------------------------------------
+
+
+def test_int8_encode_roundtrip_error_bound(spark):
+    from rspl_spark.operators.similarity import int8_encode
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    enc = int8_encode(e).join(
+        e.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    rows = enc.collect()
+    assert len(rows) > 50
+    for r in rows:
+        assert r["scale"] is not None
+        x = np.array([float(v) for v in r["embedding"]])
+        q = np.array(r["codes"], dtype=np.int64)
+        assert np.abs(q).max() <= 127  # tinyint-safe
+        # reconstruction error of round-to-nearest is <= scale/2 per coord
+        assert np.abs(x - q * r["scale"]).max() <= r["scale"] / 2 + 1e-12
+
+
+def test_int8_encode_zero_vector_is_null(spark):
+    from rspl_spark.operators.similarity import int8_encode
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["id"]: r for r in int8_encode(df).collect()}
+    assert out[1]["scale"] is None and out[1]["codes"] is None
+    assert out[2]["codes"] == [64, -127]  # 1/(2/127) = 63.5 -> floor(+0.5) = 64
+
+
+def test_int8_topk_recall_vs_bruteforce(spark):
+    from rspl_spark.operators.similarity import int8_topk, unit_prep, exact_scored_pairs
+    from pyspark.sql.window import Window
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    got = int8_topk(e, q, k=5, candidates=32)
+    mine = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+
+    cand = unit_prep(e, "vec_id", "a_emb", "a_nrm")
+    probes = unit_prep(q, "query_id", "b_emb", "b_nrm")
+    scored = (
+        exact_scored_pairs(cand, probes, "s", allow_quadratic=True)
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert len(exact) == 100
+    recall = len(mine & exact) / len(exact)
+    assert recall >= 0.9  # int8 selection keeps the true top-5 almost always
+
+
+def test_int8_topk_k_validation(spark):
+    from rspl_spark.operators.similarity import int8_topk
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="k must be <= candidates"):
+        int8_topk(e, e.limit(1), k=10, candidates=5)
