@@ -185,3 +185,127 @@ def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("raw_score", 6).alias("score"), "rk"
     ).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintenance over events: user_id's tracked
+# attribute is event_type, observation time is ts, intra-ts ties break
+# on event_id (none in the synthetic data, but the rule is part of the
+# operator contract). Three gates:
+#   q_scd2_build          full-history build
+#   q_scd2_merge_rebuild  build(<=cutoff) + merge(>cutoff batch) — the
+#                         oracle is the FULL-history build, so the gate
+#                         IS the merge≡rebuild contract
+#   q_scd2_snapshot_at    point-in-time view
+# ---------------------------------------------------------------------------
+
+_SCD2_CUT = "2024-01-16 00:00:00"
+_SCD2_AT = "2024-01-20 00:00:00"
+
+_SCD2_CTES = """
+WITH snaps AS (
+  SELECT user_id, event_type, ts FROM (
+    SELECT user_id, event_type, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events
+  ) d WHERE rn = 1
+),
+flagged AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t,
+         LAG(1) OVER (PARTITION BY user_id ORDER BY ts) AS seen
+  FROM snaps
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM flagged
+  WHERE seen IS NULL OR event_type IS DISTINCT FROM prev_t
+),
+dim AS (
+  SELECT user_id, event_type, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from) AS BIGINT)
+           AS version
+  FROM changes
+)
+"""
+
+_SCD2_SELECT = """
+SELECT user_id, event_type, valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       version
+FROM dim
+ORDER BY user_id, version
+"""
+
+_SCD2_BUILD_ORACLE = _SCD2_CTES + _SCD2_SELECT
+
+_SCD2_SNAPSHOT_ORACLE = (
+    _SCD2_CTES
+    + f"""
+SELECT user_id, event_type, valid_from, version
+FROM dim
+WHERE valid_from <= TIMESTAMP '{_SCD2_AT}'
+  AND (valid_to IS NULL OR TIMESTAMP '{_SCD2_AT}' < valid_to)
+ORDER BY user_id
+"""
+)
+
+
+def _scd2_out(dim: DataFrame) -> DataFrame:
+    return dim.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("long").alias("is_current"),
+        F.col("version").cast("long").alias("version"),
+    ).orderBy("user_id", "version")
+
+
+@query("q_scd2_build", oracle=_SCD2_BUILD_ORACLE, tags=("llm", "warehouse"))
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.scd import scd2_build
+
+    e = load(spark, sf_dir, "events")
+    dim = scd2_build(e, ["user_id"], ["event_type"], "ts", order_cols=["event_id"])
+    return _scd2_out(dim)
+
+
+@query("q_scd2_merge_rebuild", oracle=_SCD2_BUILD_ORACLE, tags=("llm", "warehouse"))
+def q_scd2_merge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.scd import scd2_build, scd2_merge
+
+    e = load(spark, sf_dir, "events")
+    cut = F.lit(_SCD2_CUT).cast("timestamp")
+    dim1 = scd2_build(
+        e.filter(F.col("ts") <= cut),
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        order_cols=["event_id"],
+    )
+    merged = scd2_merge(
+        dim1,
+        e.filter(F.col("ts") > cut),
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        order_cols=["event_id"],
+    )
+    return _scd2_out(merged)
+
+
+@query("q_scd2_snapshot_at", oracle=_SCD2_SNAPSHOT_ORACLE, tags=("llm", "warehouse"))
+def q_scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.scd import scd2_build, scd2_snapshot
+
+    e = load(spark, sf_dir, "events")
+    dim = scd2_build(e, ["user_id"], ["event_type"], "ts", order_cols=["event_id"])
+    snap = scd2_snapshot(dim, _SCD2_AT)
+    return snap.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.col("version").cast("long").alias("version"),
+    ).orderBy("user_id")
