@@ -1,0 +1,133 @@
+"""Fuzzy string join: all pairs whose character-trigram Jaccard
+similarity reaches a threshold, WITHOUT the O(n²) cross join.
+
+The scale path is prefix filtering (the AllPairs/PPJoin family): order
+every row's trigram set by global token rarity; a pair with
+Jaccard ≥ t = NUM/DEN must overlap in at least ⌈t·|x|⌉ tokens, so if
+two rows share NO token among their first |x| − ⌈t·|x|⌉ + 1 rarest
+tokens they cannot reach the threshold — candidate generation becomes
+an equi-join on those prefix tokens only. By construction the join key
+is a RARE token (the frequent ones sort to the suffix), so the shuffle
+is skew-resistant; the quadratic blow-up a frequent-token inverted
+index would cause never materializes.
+
+Threshold arithmetic is exact-integer end to end (NUM/DEN rational,
+ceil via (a+b−1) div b, intersection/union as BIGINT counts), so an
+independent engine reproduces the exact pair set; the only float is the
+final reported jaccard ratio.
+
+Cost: one corpus shuffle to build ranked token arrays, one prefix-token
+equi-join, and a verification join that fetches arrays only for
+surviving candidate pairs. The trigram vocabulary is charset-bounded
+(≤ |Σ|³ — a constant), so the rarity ranking is metadata-sized and
+broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def char_trigrams(s: Column) -> Column:
+    """Distinct character 3-grams of ``s``; strings shorter than 3 chars
+    contribute their whole text as the single gram (so '' → {''})."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1))),
+            lambda i: s.substr(i, F.lit(3)),
+        )
+    )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    threshold_num: int,
+    threshold_den: int = 100,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with trigram-Jaccard ≥ num/den.
+
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard) where inter is
+    the exact trigram-set intersection size and jaccard = inter/union.
+    NULL strings are dropped (no trigram set to compare).
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("fuzzy_self_join: need 0 < num <= den")
+    num, den = int(threshold_num), int(threshold_den)
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(str_col).alias("s")
+    ).filter(F.col("s").isNotNull())
+    tg = base.select("id", char_trigrams(F.col("s")).alias("toks"))
+    toks = tg.select("id", F.explode("toks").alias("tok"))
+
+    # Global rarity ranking. The single-partition window is safe: the
+    # vocabulary is charset-bounded (constant in corpus size).
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked_vocab = vocab.select(
+        "tok", F.row_number().over(Window.orderBy("cnt", "tok")).alias("rk")
+    )
+    rows = (
+        toks.join(F.broadcast(ranked_vocab), "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("ranks"))
+        .select("id", "ranks", F.size("ranks").alias("sz"))
+    )
+
+    # prefix length = sz - ceil(t*sz) + 1, exact-integer ceil via div
+    plen = F.col("sz") - F.expr(f"(sz * {num} + {den - 1}) div {den}") + F.lit(1)
+    pref = rows.select(
+        "id", "sz", F.explode(F.slice("ranks", F.lit(1), plen)).alias("r")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: Jaccard >= t forces min_size >= t * max_size
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * den
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * num
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    va = rows.select(
+        F.col("id").alias("id_a"), F.col("ranks").alias("ra"), F.col("sz").alias("size_a")
+    )
+    vb = rows.select(
+        F.col("id").alias("id_b"), F.col("ranks").alias("rb"), F.col("sz").alias("size_b")
+    )
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ra", "rb")).cast("long").alias("inter"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+        )
+        .filter(
+            F.col("inter") * den
+            >= num * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.round(
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -309,3 +309,54 @@ def q_scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.col("version").cast("long").alias("version"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join: trigram-Jaccard >= 0.75 over synthesized part
+# descriptions (name+type+brand — p_name alone is a 64-value vocab, all
+# pairs would be trivial dups). The Spark side is the prefix-filtered
+# AllPairs plan (equi-join on rare prefix tokens, never O(n^2)); the
+# oracle is the brute-force definition on a bounded key slice — prefix
+# filtering is exact, so the two must agree pair-for-pair. Integer
+# threshold arithmetic keeps the pair set engine-exact.
+# ---------------------------------------------------------------------------
+
+_FJ_NUM, _FJ_DEN = 75, 100
+_FJ_KEYCAP = 400
+
+_FUZZY_ORACLE = f"""
+WITH src AS (
+  SELECT p_partkey AS id, p_name || ' ' || p_type || ' ' || p_brand AS s
+  FROM part WHERE p_partkey <= {_FJ_KEYCAP}
+),
+tg AS (
+  SELECT id,
+         LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(s) - 2, 1)),
+                                      i -> SUBSTR(s, CAST(i AS INT), 3))) AS t
+  FROM src
+)
+SELECT id_a, id_b, inter, size_a, size_b,
+       ROUND(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 6) AS jaccard
+FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS BIGINT) AS inter,
+         CAST(LEN(a.t) AS BIGINT) AS size_a,
+         CAST(LEN(b.t) AS BIGINT) AS size_b
+  FROM tg a JOIN tg b ON a.id < b.id
+) p
+WHERE inter * {_FJ_DEN} >= {_FJ_NUM} * (size_a + size_b - inter)
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_fuzzy_join_trigram", oracle=_FUZZY_ORACLE, tags=("llm", "dedup", "join"))
+def q_fuzzy_join_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= _FJ_KEYCAP)
+    src = p.select(
+        "p_partkey",
+        F.concat_ws(" ", "p_name", "p_type", "p_brand").alias("s"),
+    )
+    out = fuzzy_self_join(src, "p_partkey", "s", _FJ_NUM, _FJ_DEN)
+    return out.orderBy("id_a", "id_b")
