@@ -360,3 +360,62 @@ def q_fuzzy_join_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = fuzzy_self_join(src, "p_partkey", "s", _FJ_NUM, _FJ_DEN)
     return out.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# ORC source/sink roundtrip: a lineitem slice written as ORC, read back
+# through the ORC reader, aggregated — the oracle computes the same
+# aggregate straight from the parquet, so the gate proves write+read
+# value fidelity (ORC stores doubles bit-exact; sums here are exact
+# integers/cents so group order cannot matter). Rounds out the batch
+# source matrix (parquet/csv/json gates live in the catalog tests).
+# ---------------------------------------------------------------------------
+
+_ORC_PRED_SQL = "l_orderkey % 7 = 0"
+
+_ORC_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents
+FROM lineitem
+WHERE {_ORC_PRED_SQL}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_orc_roundtrip", oracle=_ORC_ORACLE, tags=("source", "sink"))
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from rspl_spark.operators.ann_store import _warehouse_path
+    from rspl_spark.queries.llm_ops import _memo_artifact
+
+    l = load(spark, sf_dir, "lineitem")
+    slug = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _warehouse_path(spark, f"orc_lineitem_{slug}")
+
+    def build():
+        (
+            l.filter(F.expr(_ORC_PRED_SQL))
+            .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+            .write.mode("overwrite")
+            .orc(path)
+        )
+        return spark.range(1)  # marker: the memo caches the WRITE, reads stay ORC
+
+    _memo_artifact(spark, ("orc_roundtrip", sf_dir), build)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("sum_base_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

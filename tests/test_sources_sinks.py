@@ -221,3 +221,16 @@ def test_json_corrupt_records_permissive_and_dropmalformed(spark, tmp_path):
         .json(p)
     )
     assert dropm.count() == 2
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "orc_push")
+    spark.range(1000).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit("pad").alias("w")
+    ).write.orc(p)
+    df = spark.read.orc(p).filter(F.col("id") > 500).select("v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(id,500)" in plan  # predicate reaches the ORC scan
+    assert "w" not in plan.split("ReadSchema")[-1][:200]  # untouched col pruned
