@@ -253,3 +253,43 @@ def test_corpus_to_shards_scans_text_once(spark, reg):
     scans = post.count("documents.parquet")
     assert scans <= 1, f"post-barrier corpus scans: {scans}"
     assert "LessThan(doc_id,10)" in post, "benchmark filter not pushed to scan"
+
+
+def test_scd2_merge_probe_joins_broadcast(spark, reg):
+    """scd2_merge must touch only batch keys: the untouched pass-through
+    (anti join) and the affected-version fetch (semi join) both probe a
+    broadcast key set — no full-dimension shuffle join, no cartesian."""
+    plan = _plan(spark, reg, "q_scd2_merge_rebuild")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastHashJoin .*Left(Anti|Semi)", plan)) == 2
+
+
+def test_int8_topk_corpus_never_broadcast(spark, reg):
+    """Quantized search streams the corpus codes against a broadcast
+    query side (the non-equi self-pair join is the 10-row nested loop,
+    same shape as the brute-force anchor); the rerank fetch joins on the
+    candidate ids. The corpus must never be the broadcast side."""
+    plan = _plan(spark, reg, "q_cosine_topk_int8")
+    assert "CartesianProduct" not in plan
+    # candidate scoring: broadcast nested loop on the != predicate
+    assert "BroadcastNestedLoopJoin" in plan
+    # WindowGroupLimit pushes the per-query candidate cut below the sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_join_gate_no_quadratic_join(spark, reg):
+    """The fuzzy join's candidate generation is an equi-join on prefix
+    tokens; the charset-bounded vocab rank is a broadcast. Nothing in
+    the plan may fall back to a quadratic join."""
+    plan = _plan(spark, reg, "q_fuzzy_join_trigram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # vocab rank join
+
+
+def test_psi_all_joins_broadcast(spark, reg):
+    """PSI collapses n rows to B=16 bins in ONE shuffle; the spine and
+    totals attach as broadcasts — a SortMergeJoin anywhere means the
+    constant-sized sides got shuffled."""
+    plan = _plan(spark, reg, "q_psi_drift")
+    assert "SortMergeJoin" not in plan
