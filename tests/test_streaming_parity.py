@@ -598,3 +598,62 @@ def test_stream_cms_live_estimate_equals_batch(spark):
         got = {(r["token"], r["est"]) for r in spark.read.parquet(est_path).collect()}
     assert got == want
     assert len(got) == 5
+
+
+def test_streaming_scd2_maintenance_matches_batch_build(spark):
+    """Live SCD2 dimension maintenance: a chunked event stream folded in
+    with foreachBatch scd2_merge (dim re-persisted per micro-batch, the
+    production shape) ends bit-identical to the one-shot batch build on
+    the full history — merge ≡ rebuild holds under ANY micro-batch
+    slicing because every affected key's history is re-stitched."""
+    from rspl_spark.operators.scd import scd2_build, scd2_merge
+
+    cols = ["user_id", "event_type", "ts", "event_id"]
+    e = load(spark, SF, "events").select(*cols)
+    chunks = _ts_ordered_chunks(spark, e, 3, cols)
+    holder = {
+        "dim": scd2_build(
+            chunks[0], ["user_id"], ["event_type"], "ts", order_cols=["event_id"]
+        ).localCheckpoint()
+    }
+
+    def upsert(batch_df, _bid):
+        holder["dim"] = scd2_merge(
+            holder["dim"],
+            batch_df,
+            ["user_id"],
+            ["event_type"],
+            "ts",
+            order_cols=["event_id"],
+        ).localCheckpoint()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks[1:])
+        stream = file_stream(
+            spark, tmp, "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{tmp}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    def canon(dim):
+        return sorted(
+            (
+                r["user_id"],
+                r["event_type"],
+                str(r["valid_from"]),
+                str(r["valid_to"]),
+                r["version"],
+                r["is_current"],
+            )
+            for r in dim.collect()
+        )
+
+    want = canon(
+        scd2_build(e, ["user_id"], ["event_type"], "ts", order_cols=["event_id"])
+    )
+    assert canon(holder["dim"]) == want and len(want) > 50
