@@ -419,3 +419,54 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time fact enrichment against the SCD2 dimension — THE
+# no-leakage training-data join: each fact row sees exactly the
+# dimension version that was valid at its own timestamp, never a later
+# one. Equi key (user_id) + interval predicate; per-key version lists
+# are small, so the range residual rides the key join.
+# ---------------------------------------------------------------------------
+
+_SCD2_ENRICH_ORACLE = (
+    _SCD2_CTES
+    + """
+SELECT f.event_id, f.user_id, f.ts, d.event_type AS state_at_ts,
+       d.version
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 11 = 0) f
+JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+ORDER BY f.event_id
+"""
+)
+
+
+@query("q_scd2_fact_enrich", oracle=_SCD2_ENRICH_ORACLE, tags=("llm", "warehouse"))
+def q_scd2_fact_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.scd import scd2_build
+
+    e = load(spark, sf_dir, "events")
+    # dim and facts share lineage (both derive from e) — rename the dim
+    # side to disjoint columns so the self-join resolves unambiguously
+    dim = scd2_build(
+        e, ["user_id"], ["event_type"], "ts", order_cols=["event_id"]
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_at_ts"),
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("long").alias("version"),
+    )
+    facts = e.filter(F.col("event_id") % 11 == 0).select("event_id", "user_id", "ts")
+    joined = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "state_at_ts", "version"
+    ).orderBy("event_id")

@@ -862,3 +862,88 @@ def test_fuzz_scalar_subquery_queries(spark, duck):
         if not sdf.equals(ddf):
             failures.append((i, sql))
     assert not failures, f"scalar-subquery fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #15: SCD2 change capture on randomized snapshot histories.
+# The hand-written q_scd2_* gates run on events (no (key, ts) ties, no
+# NULL attributes); this grammar generates exactly those hazards —
+# duplicate (key, ts) observations with different attributes (decided
+# by the seq tie-break), NULL attribute runs (null-safe "no change"),
+# multi-attribute tracking — and replays the build in DuckDB SQL.
+# (k, ts, seq) stays unique by construction: a seq tie with different
+# attrs would be nondeterministic in BOTH engines, i.e. not a defined
+# input.
+# ---------------------------------------------------------------------------
+
+
+def _gen_scd2_history(rng: random.Random, n: int) -> pd.DataFrame:
+    rows = []
+    for seq in range(n):
+        rows.append(
+            (
+                f"k{rng.randrange(7)}",
+                rng.choice(["a", "b", "c", None]),
+                rng.choice(["x", "y", None]),
+                # coarse ts grid so (key, ts) collisions actually happen
+                rng.randrange(25),
+                seq,
+            )
+        )
+    return pd.DataFrame(rows, columns=["k", "attr1", "attr2", "ts", "seq"])
+
+
+_SCD2_FUZZ_SQL = """
+WITH snaps AS (
+  SELECT k, attr1, attr2, ts FROM (
+    SELECT k, attr1, attr2, ts,
+           ROW_NUMBER() OVER (PARTITION BY k, ts ORDER BY seq DESC) AS rn
+    FROM scd_hist
+  ) d WHERE rn = 1
+),
+flagged AS (
+  SELECT k, attr1, attr2, ts,
+         LAG(attr1) OVER w AS p1, LAG(attr2) OVER w AS p2,
+         LAG(1) OVER w AS seen
+  FROM snaps
+  WINDOW w AS (PARTITION BY k ORDER BY ts)
+),
+changes AS (
+  SELECT k, attr1, attr2, ts AS valid_from
+  FROM flagged
+  WHERE seen IS NULL
+     OR attr1 IS DISTINCT FROM p1
+     OR attr2 IS DISTINCT FROM p2
+)
+SELECT k, attr1, attr2, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY k ORDER BY valid_from) AS valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY valid_from) AS BIGINT) AS version
+FROM changes
+ORDER BY k, version
+"""
+
+
+def test_fuzz_scd2_change_capture(spark, duck):
+    from rspl_spark.operators.scd import scd2_build
+
+    failures = []
+    for seed in (7, 99, 2024, 31337, 54321, 987654):
+        rng = random.Random(seed)
+        hist = _gen_scd2_history(rng, rng.randrange(40, 160))
+        duck.register("scd_hist", hist)
+        sdf = scd2_build(
+            spark.createDataFrame(hist, "k string, attr1 string, attr2 string, ts long, seq long"),
+            ["k"],
+            ["attr1", "attr2"],
+            "ts",
+            order_cols=["seq"],
+        ).select(
+            "k", "attr1", "attr2", "valid_from", "valid_to",
+            F.col("version").cast("long").alias("version"),
+        )
+        got = _canon(sdf.toPandas())
+        want = _canon(duck.sql(_SCD2_FUZZ_SQL).df())
+        if not got.equals(want):
+            failures.append(seed)
+        duck.unregister("scd_hist")
+    assert not failures, f"scd2 fuzz mismatches at seeds: {failures}"
