@@ -505,3 +505,72 @@ def pii_scrub(
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_redactions", total.cast("long"))
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    alpha_num: int,
+    alpha_den: int = 100,
+    keep_bounds: bool = False,
+) -> DataFrame:
+    """Per-group winsorization at EXACT order statistics: values below
+    the rank-⌈α·n⌉ smallest (or above the symmetric upper rank) clip to
+    those bounds. Adds ``clipped`` plus ``clip_lo``/``clip_hi`` flags;
+    NULL values pass through unclipped (flags 0).
+
+    Rank-based, not interpolated: the bounds are actual data values
+    picked by integer rank (α as the exact rational num/den), so an
+    independent engine reproduces them bit-for-bit — interpolating
+    percentile definitions differ across engines, ranks don't.
+
+    Scale: one shuffle on the group key for the ranking window; the
+    per-group bound table is group-cardinality-sized and broadcasts
+    back. Outlier clipping before aggregation/training is the standard
+    heavy-tail guard for quality scores and latency-style metrics.
+    """
+    if not group_cols:
+        raise ValueError("winsorize: need at least one group column")
+    if not (0 < alpha_num * 2 < alpha_den):
+        raise ValueError("winsorize: need 0 < alpha < 0.5")
+    v = F.col(value_col)
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.filter(v.isNotNull()).select(
+        *group_cols,
+        v.alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    k_lo = F.expr(f"(_n * {alpha_num} + {alpha_den - 1}) div {alpha_den}")
+    bounds = (
+        ranked.select(
+            *group_cols,
+            "_v",
+            "_rn",
+            k_lo.alias("_klo"),
+            (F.col("_n") + 1 - k_lo).alias("_khi"),
+        )
+        .filter((F.col("_rn") == F.col("_klo")) | (F.col("_rn") == F.col("_khi")))
+        .groupBy(*group_cols)
+        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    )
+    out = df.join(F.broadcast(bounds), group_cols, "left")
+    clipped = F.when(v.isNull(), F.lit(None)).otherwise(
+        F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    )
+    out = (
+        out.withColumn("clipped", clipped)
+        .withColumn(
+            "clip_lo", (v.isNotNull() & (v < F.col("_lo"))).cast("long")
+        )
+        .withColumn(
+            "clip_hi", (v.isNotNull() & (v > F.col("_hi"))).cast("long")
+        )
+    )
+    if keep_bounds:
+        return out.withColumnRenamed("_lo", "bound_lo").withColumnRenamed(
+            "_hi", "bound_hi"
+        )
+    return out.drop("_lo", "_hi")

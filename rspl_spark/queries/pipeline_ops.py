@@ -470,3 +470,70 @@ def q_scd2_fact_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", "state_at_ts", "version"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: events.value clipped per event_type at the exact 5%
+# order statistics. Rank-based bounds (actual data values at integer
+# ranks) rather than interpolated percentiles — interpolation rules
+# differ across engines, ranks don't; with duplicate values the value
+# AT a rank is unique even though row_number among ties is not. The
+# clipped sum hashes as exact integer cents.
+# ---------------------------------------------------------------------------
+
+_WZ_NUM, _WZ_DEN = 5, 100
+
+_WINSORIZE_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+keyed AS (
+  SELECT event_type, v, rn,
+         (n * {_WZ_NUM} + {_WZ_DEN - 1}) // {_WZ_DEN} AS klo,
+         n + 1 - (n * {_WZ_NUM} + {_WZ_DEN - 1}) // {_WZ_DEN} AS khi
+  FROM ranked
+),
+bounds AS (
+  SELECT event_type, MIN(v) AS lo, MAX(v) AS hi
+  FROM keyed WHERE rn = klo OR rn = khi
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(b.lo), 6) AS lo,
+       ROUND(MIN(b.hi), 6) AS hi,
+       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.lo), b.hi) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_clipped_cents
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@query("q_winsorize", oracle=_WINSORIZE_ORACLE, tags=("llm", "curation"))
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.curation import winsorize
+
+    e = load(spark, sf_dir, "events")
+    out = winsorize(e, "value", ["event_type"], _WZ_NUM, _WZ_DEN, keep_bounds=True)
+    return (
+        out.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("bound_lo"), 6).alias("lo"),
+            F.round(F.min("bound_hi"), 6).alias("hi"),
+            F.sum("clip_lo").cast("long").alias("n_clip_lo"),
+            F.sum("clip_hi").cast("long").alias("n_clip_hi"),
+            F.sum(F.floor(F.col("clipped") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_clipped_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -280,3 +280,51 @@ def test_luhn_valid_expression(spark):
     got = {r["s"]: r["ok"] for r in df.select("s", luhn_valid(F.col("s")).alias("ok")).collect()}
     for s in runs:
         assert got[s] == ref(s), s
+
+
+# ---------------------------------------------------------------------------
+# winsorize (rank-based, per group)
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_matches_numpy_rank_definition(spark):
+    import numpy as np
+
+    from rspl_spark.operators.curation import winsorize
+
+    rng = np.random.default_rng(41)
+    vals = np.round(rng.lognormal(2, 1, 400), 3)
+    rows = [(("g1" if i % 2 else "g0"), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], 10, 100, keep_bounds=True).collect()
+    for g in ("g0", "g1"):
+        sample = np.sort(vals[1::2] if g == "g1" else vals[0::2])
+        n = len(sample)
+        klo = -(-n * 10 // 100)  # ceil
+        lo, hi = sample[klo - 1], sample[n - klo]
+        got = [r for r in out if r["g"] == g]
+        assert all(r["bound_lo"] == lo and r["bound_hi"] == hi for r in got)
+        for r in got:
+            assert r["clipped"] == min(max(r["v"], lo), hi)
+            assert r["clip_lo"] == int(r["v"] < lo)
+            assert r["clip_hi"] == int(r["v"] > hi)
+
+
+def test_winsorize_nulls_and_tiny_groups_and_validation(spark):
+    import pytest as _pytest
+
+    from rspl_spark.operators.curation import winsorize
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("b", 7.0)], "g string, v double"
+    )
+    out = {(r["g"], r["v"]): r for r in winsorize(df, "v", ["g"], 5).collect()}
+    # singleton group: both bounds are the single value — identity clip
+    assert out[("b", 7.0)]["clipped"] == 7.0
+    assert out[("a", 5.0)]["clipped"] == 5.0
+    nr = out[("a", None)]
+    assert nr["clipped"] is None and nr["clip_lo"] == 0 and nr["clip_hi"] == 0
+    with _pytest.raises(ValueError, match="alpha"):
+        winsorize(df, "v", ["g"], 50, 100)
+    with _pytest.raises(ValueError, match="group column"):
+        winsorize(df, "v", [], 5)
