@@ -537,3 +537,118 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit: declared expectations in ONE scan. Predicate
+# rules fold into a single aggregate and unpivot to a row per rule;
+# the uniqueness rule is one count-distinct. The synthetic lineitem
+# violates some on purpose-ish (discount range is generous, the
+# (orderkey, linenumber) pair is documented NON-unique) — the point is
+# exact violation counts, not zeros.
+# ---------------------------------------------------------------------------
+
+_AUDIT_ORACLE = """
+SELECT rule, n_violations, n_checked FROM (
+  SELECT 'qty_range' AS rule,
+         CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_violations,
+         CAST(COUNT(*) AS BIGINT) AS n_checked
+  FROM lineitem
+  UNION ALL
+  SELECT 'discount_range',
+         CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'flag_domain',
+         CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'shipdate_not_null',
+         CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'line_key_unique',
+         CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+) t
+ORDER BY rule
+"""
+
+
+@query("q_quality_audit", oracle=_AUDIT_ORACLE, tags=("llm", "curation", "quality"))
+def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.quality import audit
+
+    li = load(spark, sf_dir, "lineitem")
+    out = audit(
+        li,
+        predicate_rules={
+            "qty_range": F.col("l_quantity").between(1, 50),
+            "discount_range": F.col("l_discount").between(0.0, 0.08),
+            "flag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        },
+        unique_rules={"line_key_unique": ["l_orderkey", "l_linenumber"]},
+    )
+    return out.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency: the maximum number of simultaneously-open user
+# sessions (q_sessionize's 30-minute-gap sessions as the intervals).
+# The sweep collapses ±1 deltas per DISTINCT boundary timestamp (V
+# rows, not 2n, through the cumulative window — the KS discipline);
+# half-open [start, end) so a session ending exactly when another
+# starts never double-counts.
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH sessions AS (
+  SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end
+  FROM (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ) flagged
+  ) numbered
+  GROUP BY user_id, sess_id
+),
+deltas AS (
+  SELECT sess_start AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT sess_end AS t, -1 AS d FROM sessions
+),
+per_t AS (SELECT t, SUM(d) AS net FROM deltas GROUP BY t),
+running AS (
+  SELECT SUM(net) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open_after_t
+  FROM per_t
+)
+SELECT CAST(MAX(open_after_t) AS BIGINT) AS peak,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_intervals
+FROM running
+"""
+
+
+@query("q_peak_concurrency", oracle=_PEAK_ORACLE, tags=("window", "analytics"))
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.intervals import peak_concurrency
+    from rspl_spark.streaming import session_agg
+
+    e = load(spark, sf_dir, "events")
+    sessions = session_agg(
+        e, "ts", "30 minutes", {"n_events": F.count(F.lit(1))}, keys=["user_id"]
+    )
+    return peak_concurrency(sessions, "sess_start", "sess_end")

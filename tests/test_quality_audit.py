@@ -1,0 +1,91 @@
+"""Data-quality audit + interval peak-concurrency operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.operators.intervals import peak_concurrency
+from rspl_spark.operators.quality import audit
+
+
+def test_audit_predicate_rules_one_pass_and_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 99.0)], "id long, v double"
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["n_checked"])
+        for r in audit(
+            df,
+            predicate_rules={
+                "v_positive": F.col("v") > 0,          # -3 fails, NULL fails
+                "v_small": F.col("v") < 50,            # 99 fails, NULL fails
+                "v_not_null": F.col("v").isNotNull(),  # NULL fails
+            },
+        ).collect()
+    }
+    assert out == {
+        "v_positive": (2, 4),
+        "v_small": (2, 4),
+        "v_not_null": (1, 4),
+    }
+
+
+def test_audit_unique_rule_counts_surplus_rows_and_skips_null_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (None, "c"), (None, "c")],
+        "k1 long, k2 string",
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["n_checked"])
+        for r in audit(df, {}, unique_rules={"pk": ["k1", "k2"]}).collect()
+    }
+    # three (1,a) rows -> 2 surplus; NULL-key rows excluded entirely
+    assert out == {"pk": (2, 4)}
+
+
+def test_audit_mixed_rules_and_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    rows = audit(
+        df,
+        predicate_rules={"s_domain": F.col("s").isin("x", "y")},
+        unique_rules={"id_unique": ["id"]},
+    ).collect()
+    assert {r["rule"] for r in rows} == {"s_domain", "id_unique"}
+    assert all(r["n_violations"] == 0 for r in rows)
+    with pytest.raises(ValueError, match="no rules"):
+        audit(df, {})
+    with pytest.raises(ValueError, match="no key columns"):
+        audit(df, {}, unique_rules={"bad": []})
+
+
+def test_peak_concurrency_half_open_and_degenerate_intervals(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 10),
+            (5, 15),   # overlaps first -> 2
+            (10, 20),  # starts exactly when first ends -> still 2
+            (12, 13),  # nested -> 3 during [12,13)
+            (30, 30),  # empty: ignored
+            (None, 40),  # null: ignored
+        ],
+        "s long, e long",
+    )
+    row = peak_concurrency(df, "s", "e").first()
+    assert (row["peak"], row["n_intervals"]) == (3, 4)
+
+
+def test_peak_concurrency_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(77)
+    ivs = []
+    for _ in range(300):
+        s = rng.randrange(0, 500)
+        ivs.append((s, s + rng.randrange(1, 60)))
+    df = spark.createDataFrame(ivs, "s long, e long")
+    got = peak_concurrency(df, "s", "e").first()["peak"]
+    want = max(
+        sum(1 for s, e in ivs if s <= t < e) for t in {s for s, _ in ivs}
+    )
+    assert got == want
