@@ -131,3 +131,125 @@ def fuzzy_self_join(
             6,
         ).alias("jaccard"),
     )
+
+
+def positional_trigrams(s: Column) -> Column:
+    """Occurrence-tagged character 3-grams: each gram carries its
+    occurrence index within the row ('abc#0', 'abc#1', …), so a SET
+    intersection of these tokens equals the MULTISET gram intersection —
+    which is what the q-gram edit-distance lemma bounds."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1))),
+        lambda i: s.substr(i, F.lit(3)),
+    )
+    return F.transform(
+        grams,
+        lambda x, i: F.concat(
+            x,
+            F.lit("#"),
+            F.size(F.filter(F.slice(grams, F.lit(1), i), lambda y: y == x)),
+        ),
+    )
+
+
+def edit_distance_self_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    k: int,
+    max_short_rows: int = 10_000,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with Levenshtein distance ≤ k, without
+    the O(n²) cross join. Output: (id_a, id_b, dist).
+
+    Scale path — the q-gram lemma (Ukkonen): one edit destroys at most
+    q=3 positional grams, so dist ≤ k forces a multiset gram overlap of
+    ≥ max(|Ga|,|Gb|) − 3k; ranking each row's occurrence-tagged grams by
+    global rarity, a qualifying pair must then share one of each side's
+    3k+1 RAREST tokens — candidate generation is an equi-join on that
+    constant-size prefix, plus the |len_a − len_b| ≤ k residual.
+    Candidates verify with the exact levenshtein() (JVM-side, and
+    identical in DuckDB — unit-cost Levenshtein both).
+
+    Strings too short for the lemma (fewer than 3k+1 grams, i.e.
+    length < 3k+3) are handled exactly via a broadcast of the short
+    set against the length-compatible slice (their partners are at most
+    k longer, so both sides of that path are bounded-length);
+    ``max_short_rows`` guards the broadcast — exceeding it raises
+    rather than silently degrading to quadratic work.
+    """
+    if k < 1:
+        raise ValueError("edit_distance_self_join: k must be >= 1")
+    prefix_n = 3 * k + 1
+    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    tg = base.select(
+        "id", "s", F.length("s").alias("ln"), positional_trigrams(F.col("s")).alias("toks")
+    )
+    long_side = tg.filter(F.size("toks") >= prefix_n)
+    short_side = tg.filter(F.size("toks") < prefix_n)
+
+    toks = long_side.select("id", F.explode("toks").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked_vocab = vocab.select(
+        "tok", F.row_number().over(Window.orderBy("cnt", "tok")).alias("rk")
+    )
+    rows = (
+        toks.join(F.broadcast(ranked_vocab), "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("ranks"))
+        .join(long_side.select("id", "ln"), "id")
+        .select("id", "ln", F.explode(F.slice("ranks", 1, prefix_n)).alias("r"))
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= k),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact short-string path: shorts pair with anything within k length
+    n_short = short_side.count()
+    if n_short > max_short_rows:
+        raise ValueError(
+            f"edit_distance_self_join: {n_short} strings shorter than "
+            f"{prefix_n + 2} chars exceed max_short_rows={max_short_rows}; "
+            "dedupe or raise the cap explicitly."
+        )
+    if n_short:
+        sh = short_side.select(
+            F.col("id").alias("s_id"), F.col("ln").alias("s_ln")
+        )
+        partner = tg.select(F.col("id").alias("p_id"), F.col("ln").alias("p_ln"))
+        extra = (
+            partner.join(
+                F.broadcast(sh),
+                (F.abs(F.col("p_ln") - F.col("s_ln")) <= k)
+                & (F.col("p_id") != F.col("s_id")),
+            )
+            .select(
+                F.least("p_id", "s_id").alias("id_a"),
+                F.greatest("p_id", "s_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        cand = cand.unionByName(extra).distinct()
+
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("_sa"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_sa", "_sb").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
+    )

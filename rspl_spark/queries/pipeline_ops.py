@@ -652,3 +652,42 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "ts", "30 minutes", {"n_events": F.count(F.lit(1))}, keys=["user_id"]
     )
     return peak_concurrency(sessions, "sess_start", "sess_end")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance join: all pairs within Levenshtein distance 2 over the
+# same synthesized part descriptions. Spark side blocks by the q-gram
+# lemma (share one of the 3k+1 globally-rarest occurrence-tagged
+# trigrams + length filter) and verifies with the built-in
+# levenshtein(); the oracle is the brute-force definition (both engines
+# implement unit-cost Levenshtein). Complements the Jaccard fuzzy join:
+# thresholded set overlap vs bounded sequence edits.
+# ---------------------------------------------------------------------------
+
+_ED_K = 2
+
+_EDIT_JOIN_ORACLE = f"""
+WITH src AS (
+  SELECT p_partkey AS id, p_name || ' ' || p_type || ' ' || p_brand AS s
+  FROM part WHERE p_partkey <= {_FJ_KEYCAP}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(LEVENSHTEIN(a.s, b.s) AS BIGINT) AS dist
+FROM src a JOIN src b ON a.id < b.id
+WHERE ABS(LENGTH(a.s) - LENGTH(b.s)) <= {_ED_K}
+  AND LEVENSHTEIN(a.s, b.s) <= {_ED_K}
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_edit_distance_join", oracle=_EDIT_JOIN_ORACLE, tags=("llm", "dedup", "join"))
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.fuzzyjoin import edit_distance_self_join
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= _FJ_KEYCAP)
+    src = p.select(
+        "p_partkey",
+        F.concat_ws(" ", "p_name", "p_type", "p_brand").alias("s"),
+    )
+    out = edit_distance_self_join(src, "p_partkey", "s", _ED_K)
+    return out.orderBy("id_a", "id_b")

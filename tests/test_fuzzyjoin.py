@@ -82,3 +82,86 @@ def test_fuzzy_join_plan_has_no_cartesian(spark):
     plan = fuzzy_self_join(df, "id", "s", 60)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# edit-distance join
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_positional_trigrams_tag_occurrences(spark):
+    from rspl_spark.operators.fuzzyjoin import positional_trigrams
+
+    df = spark.createDataFrame([("ababa",)], "s string")
+    got = df.select(positional_trigrams(F.col("s")).alias("t")).first()["t"]
+    assert got == ["aba#0", "bab#0", "aba#1"]
+
+
+def test_edit_join_matches_bruteforce_random(spark):
+    from rspl_spark.operators.fuzzyjoin import edit_distance_self_join
+
+    rng = random.Random(47)
+    alphabet = "abcdef"
+    seeds = ["".join(rng.choice(alphabet) for _ in range(rng.randint(10, 16))) for _ in range(25)]
+    rows = []
+    for i in range(140):
+        s = list(rng.choice(seeds))
+        for _ in range(rng.randint(0, 3)):  # sprinkle edits around seeds
+            op = rng.choice("ins del sub".split())
+            p = rng.randrange(len(s))
+            if op == "ins":
+                s.insert(p, rng.choice(alphabet))
+            elif op == "del" and len(s) > 4:
+                del s[p]
+            else:
+                s[p] = rng.choice(alphabet)
+        rows.append((i, "".join(s)))
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_self_join(df, "id", "s", k).collect()
+        }
+        want = {
+            (ia, ib, _lev(sa, sb))
+            for idx, (ia, sa) in enumerate(rows)
+            for ib, sb in rows[idx + 1 :]
+            if _lev(sa, sb) <= k
+        }
+        assert got == want, f"k={k}"
+
+
+def test_edit_join_short_string_path_is_exact(spark):
+    from rspl_spark.operators.fuzzyjoin import edit_distance_self_join
+
+    # 'ab' vs 'cd': distance 2, ZERO shared grams — only the short path finds it
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "cd"), (3, "abcdefghijkl"), (4, "abodefghijkl")],
+        "id long, s string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_self_join(df, "id", "s", 2).collect()
+    }
+    assert got[(1, 2)] == 2      # short-vs-short, gramless
+    assert got[(3, 4)] == 1      # long path
+    assert (1, 3) not in got     # length gap > k
+    with pytest.raises(ValueError, match="max_short_rows"):
+        edit_distance_self_join(df, "id", "s", 2, max_short_rows=1)
+
+
+def test_edit_join_validation(spark):
+    from rspl_spark.operators.fuzzyjoin import edit_distance_self_join
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        edit_distance_self_join(df, "id", "s", 0)
