@@ -691,3 +691,68 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = edit_distance_self_join(src, "p_partkey", "s", _ED_K)
     return out.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Table diff between two derived order snapshots (old = keys % 9 != 0,
+# new = keys % 7 != 0 with price bumped on % 5 == 0 and status flipped
+# on % 11 == 0): every key classified inserted/deleted/changed/
+# unchanged with its exact changed-column list. One full-outer join on
+# the key; null-safe per-column compare in-row.
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 9 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NULL AS ins, n.o_orderkey IS NULL AS del,
+         o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS c_status,
+         o.o_totalprice IS DISTINCT FROM n.o_totalprice AS c_price
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN ins THEN 'inserted' WHEN del THEN 'deleted'
+            WHEN c_status OR c_price THEN 'changed' ELSE 'unchanged' END AS change_kind,
+       COALESCE(CASE WHEN ins OR del THEN ''
+            ELSE ARRAY_TO_STRING(LIST_SORT(
+                   LIST_FILTER(['o_orderstatus', 'o_totalprice'],
+                     x -> (x = 'o_orderstatus' AND c_status)
+                       OR (x = 'o_totalprice' AND c_price))), '|')
+       END, '') AS changed_cols
+FROM j
+ORDER BY o_orderkey
+"""
+
+
+@query("q_table_diff", oracle=_DIFF_ORACLE, tags=("warehouse", "quality"))
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.diff import table_diff
+
+    o = load(spark, sf_dir, "orders")
+    old_snap = o.filter(F.col("o_orderkey") % 9 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_snap = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = table_diff(old_snap, new_snap, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "change_kind",
+        F.concat_ws("|", "changed_cols").alias("changed_cols"),
+    ).orderBy("o_orderkey")

@@ -89,3 +89,46 @@ def test_peak_concurrency_matches_bruteforce_random(spark):
         sum(1 for s, e in ivs if s <= t < e) for t in {s for s, _ in ivs}
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# table diff
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_classifies_and_lists_changed_cols(spark):
+    from rspl_spark.operators.diff import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (3, "c", None), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    d = {r["k"]: r for r in table_diff(old, new, ["k"]).collect()}
+    assert d[1]["change_kind"] == "unchanged" and d[1]["changed_cols"] == []
+    assert d[2]["change_kind"] == "changed" and d[2]["changed_cols"] == ["s", "v"]
+    assert d[3]["change_kind"] == "unchanged"  # NULL == NULL is no change
+    assert d[4]["change_kind"] == "deleted"
+    assert d[5]["change_kind"] == "inserted"
+    summ = {r["change_kind"]: r["n"] for r in diff_summary(
+        table_diff(old, new, ["k"])
+    ).collect()}
+    assert summ == {"unchanged": 2, "changed": 1, "deleted": 1, "inserted": 1}
+
+
+def test_table_diff_null_to_value_is_change_and_validation(spark):
+    import pytest as _pytest
+
+    from rspl_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v double")
+    new = spark.createDataFrame([(1, 3.0)], "k long, v double")
+    r = table_diff(old, new, ["k"]).first()
+    assert r["change_kind"] == "changed" and r["changed_cols"] == ["v"]
+    with _pytest.raises(ValueError, match="keys"):
+        table_diff(old, new, [])
+    with _pytest.raises(ValueError, match="no columns"):
+        table_diff(old.select("k"), new.select("k"), ["k"])
