@@ -30,13 +30,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def char_trigrams(s: Column) -> Column:
-    """Distinct character 3-grams of ``s``; strings shorter than 3 chars
-    contribute their whole text as the single gram (so '' → {''})."""
+def char_trigrams(s: Column, q: int = 3) -> Column:
+    """Distinct character q-grams of ``s`` (default trigrams); strings
+    shorter than q chars contribute their whole text as the single gram
+    (so '' → {''}).
+
+    Pick q by corpus scale: the q-gram vocabulary is ≤ |Σ|^q, and
+    prefix filtering only prunes while tokens stay RARE relative to the
+    row count — at ~10⁵+ distinct strings a trigram universe saturates
+    and candidate generation degrades toward quadratic (measured,
+    DEVNOTES round 8 session 2); q=5..6 keeps the vocabulary growing
+    ahead of the corpus."""
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1))),
-            lambda i: s.substr(i, F.lit(3)),
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (q - 1), F.lit(1))),
+            lambda i: s.substr(i, F.lit(q)),
         )
     )
 
@@ -47,8 +55,9 @@ def fuzzy_self_join(
     str_col: str,
     threshold_num: int,
     threshold_den: int = 100,
+    q: int = 3,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with trigram-Jaccard ≥ num/den.
+    """All pairs (id_a < id_b) with q-gram-Jaccard ≥ num/den.
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) where inter is
     the exact trigram-set intersection size and jaccard = inter/union.
@@ -61,7 +70,7 @@ def fuzzy_self_join(
     base = df.select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
     ).filter(F.col("s").isNotNull())
-    tg = base.select("id", char_trigrams(F.col("s")).alias("toks"))
+    tg = base.select("id", char_trigrams(F.col("s"), q).alias("toks"))
     toks = tg.select("id", F.explode("toks").alias("tok"))
 
     # Global rarity ranking. The single-partition window is safe: the

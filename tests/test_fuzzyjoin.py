@@ -165,3 +165,29 @@ def test_edit_join_validation(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError, match="k must be >= 1"):
         edit_distance_self_join(df, "id", "s", 0)
+
+
+def test_fuzzy_join_q6_matches_bruteforce(spark):
+    # q-gram size is a scale knob (trigram vocab saturates on big
+    # corpora); exactness must hold for any q
+    def tg6(s):
+        return {s[i : i + 6] for i in range(max(len(s) - 5, 1))} if len(s) >= 6 else {s}
+
+    rng = random.Random(53)
+    rows = [
+        (i, "".join(rng.choice("abcdefgh") for _ in range(rng.randint(8, 20))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_self_join(df, "id", "s", 30, 100, q=6).collect()
+    }
+    want = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1 :]:
+            a, b = tg6(sa), tg6(sb)
+            inter = len(a & b)
+            if inter * 100 >= 30 * (len(a) + len(b) - inter):
+                want.add((ia, ib))
+    assert got == want
