@@ -18,16 +18,17 @@ final reported jaccard ratio.
 
 Cost: one corpus shuffle to build ranked token arrays, one prefix-token
 equi-join, and a verification join that fetches arrays only for
-surviving candidate pairs. The trigram vocabulary is charset-bounded
-(≤ |Σ|³ — a constant), so the rarity ranking is metadata-sized and
-broadcasts.
+surviving candidate pairs. Rarity ordering is the (count, token) struct
+itself — no global rank window and no vocabulary broadcast, so the
+q-gram universe is free to GROW with the corpus (q = 5–6 at 10⁵+
+distinct strings; a saturated trigram vocabulary degrades candidate
+generation toward quadratic — measured, DEVNOTES round 8 session 2).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def char_trigrams(s: Column, q: int = 3) -> Column:
@@ -73,16 +74,17 @@ def fuzzy_self_join(
     tg = base.select("id", char_trigrams(F.col("s"), q).alias("toks"))
     toks = tg.select("id", F.explode("toks").alias("tok"))
 
-    # Global rarity ranking. The single-partition window is safe: the
-    # vocabulary is charset-bounded (constant in corpus size).
+    # Global rarity ORDER without a global rank: the (cnt, tok) struct
+    # sorts identically to a dense rarity rank, so no single-partition
+    # row_number window and no vocab broadcast — the token↔count join
+    # is an ordinary shuffle join that scales with the vocabulary
+    # (which GROWS with the corpus for q >= 5; keeping tokens rarer
+    # than the row count is what keeps candidates near-linear).
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    ranked_vocab = vocab.select(
-        "tok", F.row_number().over(Window.orderBy("cnt", "tok")).alias("rk")
-    )
     rows = (
-        toks.join(F.broadcast(ranked_vocab), "tok")
+        toks.join(vocab, "tok")
         .groupBy("id")
-        .agg(F.sort_array(F.collect_list("rk")).alias("ranks"))
+        .agg(F.sort_array(F.collect_list(F.struct("cnt", "tok"))).alias("ranks"))
         .select("id", "ranks", F.size("ranks").alias("sz"))
     )
 
@@ -201,13 +203,12 @@ def edit_distance_self_join(
 
     toks = long_side.select("id", F.explode("toks").alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    ranked_vocab = vocab.select(
-        "tok", F.row_number().over(Window.orderBy("cnt", "tok")).alias("rk")
-    )
+    # (cnt, tok) struct IS the rarity order — no global rank window,
+    # no vocab broadcast (occurrence-tagged vocabs grow with the corpus)
     rows = (
-        toks.join(F.broadcast(ranked_vocab), "tok")
+        toks.join(vocab, "tok")
         .groupBy("id")
-        .agg(F.sort_array(F.collect_list("rk")).alias("ranks"))
+        .agg(F.sort_array(F.collect_list(F.struct("cnt", "tok"))).alias("ranks"))
         .join(long_side.select("id", "ln"), "id")
         .select("id", "ln", F.explode(F.slice("ranks", 1, prefix_n)).alias("r"))
     )
