@@ -191,3 +191,18 @@ def test_fuzzy_join_q6_matches_bruteforce(spark):
             if inter * 100 >= 30 * (len(a) + len(b) - inter):
                 want.add((ia, ib))
     assert got == want
+
+
+def test_gram_frequency_stats_guides_q_choice(spark):
+    from rspl_spark.operators.fuzzyjoin import gram_frequency_stats
+
+    # templated strings: tiny trigram vocab, much richer 8-gram vocab
+    rows = [(i, f"prefix-{i % 7}-suffix-{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    s3 = gram_frequency_stats(df, "s", 3).first()
+    s8 = gram_frequency_stats(df, "s", 8).first()
+    assert s3["n_rows"] == s8["n_rows"] == 200
+    assert s8["n_distinct_grams"] > s3["n_distinct_grams"]
+    assert s8["avg_gram_count"] < s3["avg_gram_count"]
+    # occurrences are per-row DISTINCT grams (matching the join's sets)
+    assert s3["n_gram_occurrences"] == sum(len(_tg(s)) for _, s in rows)
