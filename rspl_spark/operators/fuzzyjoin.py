@@ -291,3 +291,105 @@ def gram_frequency_stats(
         F.sum("cnt").cast("long").alias("n_gram_occurrences"),
         (F.sum("cnt") / F.count(F.lit(1))).alias("avg_gram_count"),
     )
+
+
+def _ranked_rows(base: DataFrame, vocab: DataFrame, q: int) -> DataFrame:
+    """(id, ranks, sz) with ranks = the row's q-gram set ordered by the
+    shared (cnt, tok) rarity structs — both join sides must rank
+    against the SAME vocabulary for prefix filtering to hold."""
+    toks = base.select("id", F.explode(char_trigrams(F.col("s"), q)).alias("tok"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("cnt", "tok"))).alias("ranks"))
+        .select("id", "ranks", F.size("ranks").alias("sz"))
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    str_col: str,
+    threshold_num: int,
+    threshold_den: int = 100,
+    q: int = 3,
+) -> DataFrame:
+    """Two-table record linkage: all (left, right) pairs with
+    q-gram-Jaccard ≥ num/den over ``str_col``. Same prefix-filtered
+    plan as :func:`fuzzy_self_join`, with the rarity vocabulary built
+    over the UNION of both sides (a shared total order is what makes
+    the prefix lemma hold across tables). Output: (id_l, id_r, inter,
+    size_l, size_r, jaccard); a key present in both tables may match
+    itself — cross-table self-pairs are real matches here.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("fuzzy_join: need 0 < num <= den")
+    num, den = int(threshold_num), int(threshold_den)
+    lb = left.select(F.col(left_id).alias("id"), F.col(str_col).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    rb = right.select(F.col(right_id).alias("id"), F.col(str_col).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    all_toks = lb.unionByName(rb).select(
+        F.explode(char_trigrams(F.col("s"), q)).alias("tok")
+    )
+    vocab = all_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def pref(rows: DataFrame) -> DataFrame:
+        plen = (
+            F.col("sz") - F.expr(f"(sz * {num} + {den - 1}) div {den}") + F.lit(1)
+        )
+        return rows.select(
+            "id", "sz", F.explode(F.slice("ranks", F.lit(1), plen)).alias("r")
+        )
+
+    lrows = _ranked_rows(lb, vocab, q)
+    rrows = _ranked_rows(rb, vocab, q)
+    a, b = pref(lrows).alias("a"), pref(rrows).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * den
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * num
+            ),
+        )
+        .select(F.col("a.id").alias("id_l"), F.col("b.id").alias("id_r"))
+        .distinct()
+    )
+    va = lrows.select(
+        F.col("id").alias("id_l"), F.col("ranks").alias("ra"), F.col("sz").alias("size_l")
+    )
+    vb = rrows.select(
+        F.col("id").alias("id_r"), F.col("ranks").alias("rb"), F.col("sz").alias("size_r")
+    )
+    return (
+        cand.join(va, "id_l")
+        .join(vb, "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            F.size(F.array_intersect("ra", "rb")).cast("long").alias("inter"),
+            F.col("size_l").cast("long").alias("size_l"),
+            F.col("size_r").cast("long").alias("size_r"),
+        )
+        .filter(
+            F.col("inter") * den
+            >= num * (F.col("size_l") + F.col("size_r") - F.col("inter"))
+        )
+        .select(
+            "id_l",
+            "id_r",
+            "inter",
+            "size_l",
+            "size_r",
+            F.round(
+                F.col("inter") / (F.col("size_l") + F.col("size_r") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -756,3 +756,58 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change_kind",
         F.concat_ws("|", "changed_cols").alias("changed_cols"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Two-table fuzzy join (record linkage): part catalog slice A
+# (keys 1..400) linked against slice B (keys 401..800) on the same
+# synthesized description strings, Jaccard >= 0.75. The rarity
+# vocabulary is built over BOTH sides — a shared total order is what
+# keeps the prefix lemma valid across tables.
+# ---------------------------------------------------------------------------
+
+_LINK_ORACLE = f"""
+WITH sa AS (
+  SELECT p_partkey AS id, p_name || ' ' || p_type || ' ' || p_brand AS s
+  FROM part WHERE p_partkey BETWEEN 1 AND {_FJ_KEYCAP}
+),
+sb AS (
+  SELECT p_partkey AS id, p_name || ' ' || p_type || ' ' || p_brand AS s
+  FROM part WHERE p_partkey BETWEEN {_FJ_KEYCAP + 1} AND {2 * _FJ_KEYCAP}
+),
+tga AS (
+  SELECT id, LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(s) - 2, 1)),
+                                          i -> SUBSTR(s, CAST(i AS INT), 3))) AS t
+  FROM sa
+),
+tgb AS (
+  SELECT id, LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(s) - 2, 1)),
+                                          i -> SUBSTR(s, CAST(i AS INT), 3))) AS t
+  FROM sb
+)
+SELECT id_l, id_r, inter, size_l, size_r,
+       ROUND(CAST(inter AS DOUBLE) / (size_l + size_r - inter), 6) AS jaccard
+FROM (
+  SELECT a.id AS id_l, b.id AS id_r,
+         CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS BIGINT) AS inter,
+         CAST(LEN(a.t) AS BIGINT) AS size_l,
+         CAST(LEN(b.t) AS BIGINT) AS size_r
+  FROM tga a CROSS JOIN tgb b
+) p
+WHERE inter * {_FJ_DEN} >= {_FJ_NUM} * (size_l + size_r - inter)
+ORDER BY id_l, id_r
+"""
+
+
+@query("q_fuzzy_link_two_tables", oracle=_LINK_ORACLE, tags=("llm", "dedup", "join"))
+def q_fuzzy_link_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.fuzzyjoin import fuzzy_join
+
+    p = load(spark, sf_dir, "part")
+    s = F.concat_ws(" ", "p_name", "p_type", "p_brand").alias("s")
+    left = p.filter(F.col("p_partkey").between(1, _FJ_KEYCAP)).select("p_partkey", s)
+    right = p.filter(
+        F.col("p_partkey").between(_FJ_KEYCAP + 1, 2 * _FJ_KEYCAP)
+    ).select("p_partkey", s)
+    out = fuzzy_join(left, right, "p_partkey", "p_partkey", "s", _FJ_NUM, _FJ_DEN)
+    return out.orderBy("id_l", "id_r")

@@ -206,3 +206,38 @@ def test_gram_frequency_stats_guides_q_choice(spark):
     assert s8["avg_gram_count"] < s3["avg_gram_count"]
     # occurrences are per-row DISTINCT grams (matching the join's sets)
     assert s3["n_gram_occurrences"] == sum(len(_tg(s)) for _, s in rows)
+
+
+def test_fuzzy_join_two_tables_matches_bruteforce(spark):
+    from rspl_spark.operators.fuzzyjoin import fuzzy_join
+
+    rng = random.Random(61)
+    words = ["north", "south", "river", "stone", "cloud", "ember"]
+    mk = lambda n, off: [
+        (off + i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 3))))
+        for i in range(n)
+    ]
+    lrows, rrows = mk(70, 0), mk(55, 1000)
+    left = spark.createDataFrame(lrows, "id long, s string")
+    right = spark.createDataFrame(rrows, "id long, s string")
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in fuzzy_join(left, right, "id", "id", "s", 60, 100).collect()
+    }
+    want = set()
+    for ia, sa in lrows:
+        for ib, sb in rrows:
+            a, b = _tg(sa), _tg(sb)
+            inter = len(a & b)
+            if inter * 100 >= 60 * (len(a) + len(b) - inter):
+                want.add((ia, ib))
+    assert got == want and len(want) > 0
+
+
+def test_fuzzy_join_two_tables_identical_string_cross_pair(spark):
+    from rspl_spark.operators.fuzzyjoin import fuzzy_join
+
+    left = spark.createDataFrame([(1, "same text")], "id long, s string")
+    right = spark.createDataFrame([(9, "same text"), (10, None)], "id long, s string")
+    got = fuzzy_join(left, right, "id", "id", "s", 100, 100).collect()
+    assert [(r["id_l"], r["id_r"], r["jaccard"]) for r in got] == [(1, 9, 1.0)]
