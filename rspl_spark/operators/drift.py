@@ -182,3 +182,57 @@ def psi_statistic(
     return b.groupBy("n_a", "n_b").agg(F.sum("contrib").alias("psi")).select(
         "psi", "n_a", "n_b"
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    bucket: str = "minute",
+    z: int = 3,
+) -> DataFrame:
+    """Per-key rate-spike detection: bucket events by time, flag buckets
+    whose count deviates from the key's mean by more than ``z`` standard
+    deviations. Output: key cols + bucket_ts, n (bucket count), flag
+    (0/1), n_buckets.
+
+    The decision is EXACT-INTEGER algebra: with S = Σc, SS = Σc² over a
+    key's n buckets, (c − S/n)² > z²·var ⟺ (n·c − S)² > z²·(n·SS − S²)
+    — every term a BIGINT, so an independent engine reproduces each
+    flag bit-for-bit (a float z-score comparison can flip a boundary
+    bucket on 1-ulp drift). Population variance; keys with a single
+    bucket flag nothing (variance undefined ⇒ 0 > 0 is false). Ceiling
+    to know: one lone outlier among n buckets scores at most
+    z = √(n−1) against population stats (exactly 3.0 at n=10) — size
+    the window so n ≫ z² or a single spike can never cross.
+
+    Scale: one groupBy to the (key, bucket) grain — the data never
+    crosses the wire at event grain twice — then per-key moments as a
+    second partial agg, broadcast back. Empty buckets are NOT invented;
+    for gap-sensitive monitors densify with a spine first.
+    """
+    if z < 1:
+        raise ValueError("rate_anomalies: z must be >= 1")
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    counts = (
+        df.select(*key_cols, b)
+        .groupBy(*key_cols, "bucket_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    moments = counts.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    j = counts.join(F.broadcast(moments), key_cols)
+    lhs = (F.col("n_buckets") * F.col("n") - F.col("s"))
+    cond = lhs * lhs > F.lit(z * z) * (
+        F.col("n_buckets") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return j.select(
+        *key_cols,
+        "bucket_ts",
+        "n",
+        cond.cast("long").alias("flag"),
+        "n_buckets",
+    )

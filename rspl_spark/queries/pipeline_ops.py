@@ -811,3 +811,44 @@ def q_fuzzy_link_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", s)
     out = fuzzy_join(left, right, "p_partkey", "p_partkey", "s", _FJ_NUM, _FJ_DEN)
     return out.orderBy("id_l", "id_r")
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly flags: hourly counts per event_type, a bucket is
+# anomalous when (n_buckets*c - S)^2 > 9*(n_buckets*SS - S^2) — the
+# z>3 test cleared of every float: both sides BIGINT, so each flag is
+# engine-exact (a float z-score would flip boundary buckets on 1-ulp
+# drift). The monitoring complement to KS/PSI: those watch value
+# distributions, this watches arrival rates.
+# ---------------------------------------------------------------------------
+
+_RATE_ORACLE = """
+WITH counts AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.bucket_ts, c.n,
+       CAST(CASE WHEN (m.n_buckets * c.n - m.s) * (m.n_buckets * c.n - m.s)
+                      > 9 * (m.n_buckets * m.ss - m.s * m.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS flag,
+       m.n_buckets
+FROM counts c JOIN moments m ON c.event_type = m.event_type
+ORDER BY c.event_type, c.bucket_ts
+"""
+
+
+@query("q_rate_anomalies", oracle=_RATE_ORACLE, tags=("llm", "curation", "drift"))
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.drift import rate_anomalies
+
+    e = load(spark, sf_dir, "events")
+    out = rate_anomalies(e, "ts", ["event_type"], bucket="hour", z=3)
+    return out.orderBy("event_type", "bucket_ts")

@@ -127,3 +127,51 @@ def test_psi_input_validation(spark):
         psi_bins(df, "v", F.col("g") == "a", F.col("g") == "b", smoothing=0.0)
     with pytest.raises(ValueError, match="no rows"):
         psi_statistic(df, "v", F.col("g") == "x", F.col("g") == "y").collect()
+
+
+# ---------------------------------------------------------------------------
+# rate anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_rate_anomalies_flags_spike_exactly(spark):
+    import pandas as pd
+
+    from rspl_spark.operators.drift import rate_anomalies
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # key 'a': 24 calm minutes of 2 events, one minute with 40. NOTE the
+    # population-stats ceiling: ONE outlier among n buckets caps at
+    # z = sqrt(n-1) exactly (with 10 buckets a lone spike IS 3.000...σ
+    # and strict > refuses it) — 25 buckets give headroom sqrt(24)≈4.9.
+    for m in range(24):
+        rows += [("a", t0 + pd.Timedelta(minutes=m, seconds=s)) for s in (1, 2)]
+    rows += [("a", t0 + pd.Timedelta(minutes=24, seconds=s)) for s in range(40)]
+    # key 'b': constant rate — zero variance, nothing may flag
+    for m in range(5):
+        rows += [("b", t0 + pd.Timedelta(minutes=m, seconds=s)) for s in (1, 2, 3)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts"]))
+    out = rate_anomalies(df, "ts", ["k"], bucket="minute", z=3).collect()
+    a_flags = {str(r["bucket_ts"]): r["flag"] for r in out if r["k"] == "a"}
+    assert sum(a_flags.values()) == 1
+    assert a_flags[str(t0 + pd.Timedelta(minutes=24))] == 1
+    assert all(r["flag"] == 0 for r in out if r["k"] == "b")
+    # numpy cross-check of the integer algebra on key 'a'
+    counts = sorted(r["n"] for r in out if r["k"] == "a")
+    assert counts == [2] * 24 + [40]
+
+
+def test_rate_anomalies_single_bucket_and_validation(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from rspl_spark.operators.drift import rate_anomalies
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "ts": [pd.Timestamp("2024-01-01")]})
+    )
+    out = rate_anomalies(df, "ts", ["k"], bucket="minute").collect()
+    assert len(out) == 1 and out[0]["flag"] == 0  # variance undefined -> no flag
+    with _pytest.raises(ValueError, match="z must be"):
+        rate_anomalies(df, "ts", ["k"], z=0)
