@@ -236,3 +236,61 @@ def rate_anomalies(
         cond.cast("long").alias("flag"),
         "n_buckets",
     )
+
+
+def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """One row (chi2, dof, n): Pearson's χ² independence statistic for
+    two categorical columns. The third drift lens: KS/PSI watch one
+    numeric distribution, rate_anomalies watches arrival counts, χ²
+    watches whether two DISCRETE dimensions decouple (did language mix
+    shift per source?).
+
+    Per-cell term computed as (n·O − R·C)² / (n·R·C): every FACTOR is
+    an exact integer carried in double (exact below 2^53 — BIGINT
+    products would overflow first, and Spark wraps where DuckDB
+    promotes), so each cell is a fixed chain of correctly-rounded IEEE
+    ops that both engines reproduce; Σ over r·c cells then round(6).
+    NULL categories are first-class levels (a missing language IS a
+    category shift).
+
+    Scale: one groupBy to the (a, b) contingency grain (r·c rows), the
+    margins derive FROM the cells (no second data pass), and the cell
+    count — not n — bounds all downstream work.
+    """
+    cells = (
+        df.select(
+            F.coalesce(F.col(col_a).cast("string"), F.lit("∅")).alias("_a"),
+            F.coalesce(F.col(col_b).cast("string"), F.lit("∅")).alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    ra = cells.groupBy("_a").agg(F.sum("o").cast("long").alias("r"))
+    cb = cells.groupBy("_b").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    # full r×c grid: absent combinations are observed-zero cells and
+    # still contribute E = R*C/n to the statistic
+    grid = ra.crossJoin(cb).join(cells, ["_a", "_b"], "left").select(
+        "_a", "_b", "r", "c", F.coalesce("o", F.lit(0)).cast("long").alias("o")
+    )
+    # every factor is an exact integer, but num² and n·R·C overflow
+    # BIGINT long before 100 TB row counts (and Spark wraps where
+    # DuckDB promotes) — so the products run in DOUBLE: inputs < 2^53
+    # are exact, and IEEE multiplication/division round identically in
+    # both engines.
+    nd, od = F.col("n").cast("double"), F.col("o").cast("double")
+    rd, cd = F.col("r").cast("double"), F.col("c").cast("double")
+    num = nd * od - rd * cd
+    termed = grid.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (num * num / (nd * rd * cd)).alias("term"),
+    )
+    dims = ra.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        cb.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    out = termed.groupBy("n").agg(F.round(F.sum("term"), 6).alias("chi2"))
+    return out.crossJoin(F.broadcast(dims)).select(
+        "chi2",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.col("n"),
+    )

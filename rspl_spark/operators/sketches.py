@@ -611,3 +611,40 @@ def cms_topk_exact(
         .orderBy(F.desc("n"), F.asc(key_col))
         .limit(k)
     )
+
+
+def hll_intersect_estimate(
+    df: DataFrame,
+    key_col: str,
+    in_a: Column,
+    in_b: Column,
+    p: int = HLL_P,
+) -> DataFrame:
+    """One row (est_a, est_b, est_union, est_intersect): HLL set-algebra
+    over ONE pass worth of sketches — |A∩B| ≈ |A| + |B| − |A∪B| by
+    inclusion-exclusion, with the union sketch obtained by MERGING the
+    two register tables (per-idx max), never by rescanning the data.
+    The "audience overlap" primitive: two register tables of m rows
+    each answer all four cardinalities; error compounds (three ±1.04/√m
+    estimates), so size p for the intersection's magnitude, not the
+    sets'. Register merge ≡ build-on-union is the mergeability law the
+    sketch tests pin."""
+    ra = hll_registers(df.filter(in_a), key_col, (), p)
+    rb = hll_registers(df.filter(in_b), key_col, (), p)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("idx")
+        .agg(F.max("mj").cast("long").alias("mj"))
+    )
+    ea = hll_estimate(ra, (), p).select(F.col("approx_distinct").alias("est_a"))
+    eb = hll_estimate(rb, (), p).select(F.col("approx_distinct").alias("est_b"))
+    eu = hll_estimate(ru, (), p).select(F.col("approx_distinct").alias("est_union"))
+    one = ea.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(eu))
+    return one.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 2).alias(
+            "est_intersect"
+        ),
+    )

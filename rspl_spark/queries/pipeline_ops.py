@@ -852,3 +852,85 @@ def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     out = rate_anomalies(e, "ts", ["event_type"], bucket="hour", z=3)
     return out.orderBy("event_type", "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: |A∩B| ≈ |A| + |B| − |A∪B| over part-key sets of the
+# 'A' vs 'R' return-flag slices. The Spark union estimate comes from
+# MERGING the two register tables (per-idx max — no data rescan); the
+# oracle builds its union sketch on the unioned rows, which is equal
+# BY THE MERGEABILITY LAW the sketch tests pin. The overlap primitive
+# for audience/dedup planning at 100 TB: two m-row sketches answer all
+# four cardinalities.
+# ---------------------------------------------------------------------------
+
+
+def _hll_sub(pred: str) -> str:
+    from rspl_spark.operators.sketches import hll_sql
+
+    ctes = hll_sql(f"(SELECT l_partkey FROM lineitem WHERE {pred}) t", "l_partkey")
+    return f"(WITH {ctes} SELECT approx_distinct FROM hest)"
+
+
+_HLL_INTERSECT_ORACLE = f"""
+SELECT a.est_a, b.est_b, u.est_union,
+       ROUND(a.est_a + b.est_b - u.est_union, 2) AS est_intersect
+FROM (SELECT approx_distinct AS est_a FROM {_hll_sub("l_returnflag = 'A'")} ta) a
+CROSS JOIN (SELECT approx_distinct AS est_b FROM {_hll_sub("l_returnflag = 'R'")} tb) b
+CROSS JOIN (SELECT approx_distinct AS est_union
+            FROM {_hll_sub("l_returnflag IN ('A', 'R')")} tu) u
+"""
+
+
+@query("q_hll_intersect", oracle=_HLL_INTERSECT_ORACLE, tags=("llm", "sketch"))
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.sketches import hll_intersect_estimate
+
+    li = load(spark, sf_dir, "lineitem")
+    return hll_intersect_estimate(
+        li, "l_partkey", F.col("l_returnflag") == "A", F.col("l_returnflag") == "R"
+    )
+
+
+# ---------------------------------------------------------------------------
+# χ² independence: documents lang × source contingency. Cell terms
+# (n·O − R·C)²/(n·R·C) with every factor an exact integer carried in
+# double (BIGINT products overflow first and the engines disagree on
+# overflow; doubles below 2^53 are exact and IEEE-identical).
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '∅') AS a,
+         COALESCE(CAST(source AS VARCHAR), '∅') AS b,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT ra.a, cb.b, ra.r, cb.c, CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
+  FROM ra CROSS JOIN cb LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+),
+termed AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) AS term
+  FROM grid CROSS JOIN tot
+)
+SELECT ROUND(SUM(term), 6) AS chi2,
+       (SELECT CAST((COUNT(DISTINCT a) - 1) AS BIGINT) FROM cells)
+         * (SELECT CAST((COUNT(DISTINCT b) - 1) AS BIGINT) FROM cells) AS dof,
+       n
+FROM termed GROUP BY n
+"""
+
+
+@query("q_chi_square", oracle=_CHI2_ORACLE, tags=("llm", "curation", "drift"))
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.drift import chi_square
+
+    d = load(spark, sf_dir, "documents")
+    return chi_square(d, "lang", "source")

@@ -175,3 +175,44 @@ def test_rate_anomalies_single_bucket_and_validation(spark):
     assert len(out) == 1 and out[0]["flag"] == 0  # variance undefined -> no flag
     with _pytest.raises(ValueError, match="z must be"):
         rate_anomalies(df, "ts", ["k"], z=0)
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_matches_scipy_formula_and_independent_is_zero(spark):
+    from rspl_spark.operators.drift import chi_square
+
+    # perfectly independent 2x2: chi2 == 0
+    rows = [("x", "p")] * 6 + [("x", "q")] * 2 + [("y", "p")] * 3 + [("y", "q")] * 1
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, "a", "b").first()
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 12
+
+    # skewed table: cross-check against the numpy expected-counts formula
+    rows2 = [("x", "p")] * 20 + [("x", "q")] * 5 + [("y", "p")] * 4 + [("y", "q")] * 11
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    got = chi_square(df2, "a", "b").first()
+    obs = np.array([[20, 5], [4, 11]], dtype=float)
+    n = obs.sum()
+    exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / n
+    want = ((obs - exp) ** 2 / exp).sum()
+    assert abs(got["chi2"] - want) < 1e-6
+    assert got["dof"] == 1
+
+
+def test_chi_square_null_level_and_zero_cells(spark):
+    from rspl_spark.operators.drift import chi_square
+
+    # NULL is a real category; ('y','q') never occurs -> observed-zero
+    # cell still contributes E
+    rows = [("x", "p"), ("x", None), ("y", "p"), ("x", "p")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, "a", "b").first()
+    assert r["n"] == 4 and r["dof"] == 1
+    obs = np.array([[2, 1], [1, 0]], dtype=float)  # rows x, y; cols p, NULL
+    exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / 4
+    want = ((obs - exp) ** 2 / exp).sum()
+    assert abs(r["chi2"] - want) < 1e-6  # operator rounds to 6dp

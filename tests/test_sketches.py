@@ -350,3 +350,23 @@ def test_cms_topk_exact_matches_naive_on_skew(spark):
     small = spark.createDataFrame([("a",), ("a",), ("b",)], "term string")
     got_small = [tuple(r) for r in cms_topk_exact(small, "term", k=10).collect()]
     assert got_small == [("a", 2), ("b", 1)]
+
+
+def test_hll_intersect_estimate_accuracy_and_merge_law(spark):
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.sketches import hll_intersect_estimate
+
+    # |A| = 3000 (0..2999), |B| = 3000 (2000..4999), |A∩B| = 1000
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") < 3000).alias("a"),
+        (F.col("id") >= 2000).alias("b"),
+    )
+    r = hll_intersect_estimate(df, "id", F.col("a"), F.col("b")).first()
+    assert abs(r["est_a"] - 3000) / 3000 < 0.08
+    assert abs(r["est_b"] - 3000) / 3000 < 0.08
+    assert abs(r["est_union"] - 5000) / 5000 < 0.08
+    # intersection inherits three estimates' error — generous bound
+    assert abs(r["est_intersect"] - 1000) / 1000 < 0.25
+    assert r["est_intersect"] == round(r["est_a"] + r["est_b"] - r["est_union"], 2)
