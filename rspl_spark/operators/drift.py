@@ -206,10 +206,12 @@ def rate_anomalies(
     z = √(n−1) against population stats (exactly 3.0 at n=10) — size
     the window so n ≫ z² or a single spike can never cross.
 
-    Scale: one groupBy to the (key, bucket) grain — the data never
-    crosses the wire at event grain twice — then per-key moments as a
-    second partial agg, broadcast back. Empty buckets are NOT invented;
-    for gap-sensitive monitors densify with a spine first.
+    Scale: ONE scan — events collapse to the (key, bucket) grain in one
+    groupBy and the per-key moments come from WINDOWS over those bucket
+    rows (branching into a separate moments frame would re-derive the
+    event scan: Spark re-executes shared subplans, it does not reuse
+    them — plan-pinned in test_plan_properties.py). Empty buckets are
+    NOT invented; for gap-sensitive monitors densify with a spine first.
     """
     if z < 1:
         raise ValueError("rate_anomalies: z must be >= 1")
@@ -219,12 +221,15 @@ def rate_anomalies(
         .groupBy(*key_cols, "bucket_ts")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    moments = counts.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n_buckets"),
-        F.sum("n").cast("long").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    wk = Window.partitionBy(*key_cols)
+    j = counts.select(
+        *key_cols,
+        "bucket_ts",
+        "n",
+        F.count(F.lit(1)).over(wk).cast("long").alias("n_buckets"),
+        F.sum("n").over(wk).cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(wk).cast("long").alias("ss"),
     )
-    j = counts.join(F.broadcast(moments), key_cols)
     lhs = (F.col("n_buckets") * F.col("n") - F.col("s"))
     cond = lhs * lhs > F.lit(z * z) * (
         F.col("n_buckets") * F.col("ss") - F.col("s") * F.col("s")
@@ -253,9 +258,13 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     NULL categories are first-class levels (a missing language IS a
     category shift).
 
-    Scale: one groupBy to the (a, b) contingency grain (r·c rows), the
-    margins derive FROM the cells (no second data pass), and the cell
-    count — not n — bounds all downstream work.
+    Scale: ONE scan, one groupBy to the (a, b) contingency grain —
+    margins come from WINDOWS over the cell rows (separate margin
+    frames would each re-derive the corpus scan; Spark re-executes
+    shared subplans). Observed-zero grid cells never materialize:
+    their contribution Σ_absent E telescopes to n − Σ_present E
+    because Σ_all R·C/n = n — so the full-grid statistic is computed
+    from present cells alone. Plan-pinned single-scan.
     """
     cells = (
         df.select(
@@ -265,13 +274,16 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
     )
-    ra = cells.groupBy("_a").agg(F.sum("o").cast("long").alias("r"))
-    cb = cells.groupBy("_b").agg(F.sum("o").cast("long").alias("c"))
-    tot = cells.agg(F.sum("o").cast("long").alias("n"))
-    # full r×c grid: absent combinations are observed-zero cells and
-    # still contribute E = R*C/n to the statistic
-    grid = ra.crossJoin(cb).join(cells, ["_a", "_b"], "left").select(
-        "_a", "_b", "r", "c", F.coalesce("o", F.lit(0)).cast("long").alias("o")
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    en = cells.select(
+        "_a",
+        "_b",
+        "o",
+        F.sum("o").over(wa).cast("long").alias("r"),
+        F.sum("o").over(wb).cast("long").alias("c"),
+        F.sum("o").over(wall).cast("long").alias("n"),
     )
     # every factor is an exact integer, but num² and n·R·C overflow
     # BIGINT long before 100 TB row counts (and Spark wraps where
@@ -281,16 +293,20 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     nd, od = F.col("n").cast("double"), F.col("o").cast("double")
     rd, cd = F.col("r").cast("double"), F.col("c").cast("double")
     num = nd * od - rd * cd
-    termed = grid.crossJoin(F.broadcast(tot)).select(
+    termed = en.select(
+        "_a",
+        "_b",
         "n",
         (num * num / (nd * rd * cd)).alias("term"),
+        (rd * cd / nd).alias("e"),
     )
-    dims = ra.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
-        cb.agg(F.count(F.lit(1)).alias("nc"))
-    )
-    out = termed.groupBy("n").agg(F.round(F.sum("term"), 6).alias("chi2"))
-    return out.crossJoin(F.broadcast(dims)).select(
-        "chi2",
-        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
-        F.col("n"),
+    return termed.agg(
+        # chi2 = Σ_present (O−E)²/E + Σ_absent E, and Σ_absent E = n − Σ_present E
+        F.round(
+            F.sum("term") + F.max("n").cast("double") - F.sum("e"), 6
+        ).alias("chi2"),
+        (
+            (F.count_distinct("_a") - 1) * (F.count_distinct("_b") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n"),
     )

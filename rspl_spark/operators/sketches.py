@@ -629,17 +629,60 @@ def hll_intersect_estimate(
     estimates), so size p for the intersection's magnitude, not the
     sets'. Register merge ≡ build-on-union is the mergeability law the
     sketch tests pin."""
-    ra = hll_registers(df.filter(in_a), key_col, (), p)
-    rb = hll_registers(df.filter(in_b), key_col, (), p)
-    ru = (
-        ra.unionByName(rb)
-        .groupBy("idx")
-        .agg(F.max("mj").cast("long").alias("mj"))
+    from rspl_spark.operators.dedup import portable_hash
+
+    m = 1 << p
+    wbits = 60 - p
+    numer = hll_alpha(m) * m * m * float(1 << (wbits + 1))
+    # ONE scan, ONE register groupBy: per idx keep BOTH sides' max rank
+    # (the union register is greatest(mja, mjb) — merge without a third
+    # derivation; branching into three register frames would re-run the
+    # corpus scan each time, Spark re-executes shared subplans).
+    pre = df.filter((in_a | in_b) & F.col(key_col).isNotNull()).select(
+        portable_hash(F.col(key_col).cast("string")).alias("_h"),
+        in_a.alias("_fa"),
+        in_b.alias("_fb"),
     )
-    ea = hll_estimate(ra, (), p).select(F.col("approx_distinct").alias("est_a"))
-    eb = hll_estimate(rb, (), p).select(F.col("approx_distinct").alias("est_b"))
-    eu = hll_estimate(ru, (), p).select(F.col("approx_distinct").alias("est_union"))
-    one = ea.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(eu))
+    w = F.shiftright(F.col("_h"), p)
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        pre.select(F.pmod(F.col("_h"), m).alias("idx"), rank.alias("_rk"), "_fa", "_fb")
+        .groupBy("idx")
+        .agg(
+            F.max(F.when(F.col("_fa"), F.col("_rk"))).cast("long").alias("mja"),
+            F.max(F.when(F.col("_fb"), F.col("_rk"))).cast("long").alias("mjb"),
+        )
+        .withColumn("mju", F.greatest("mja", "mjb"))
+    )
+
+    def _sv(mj: str):
+        term = F.expr(
+            f"shiftleft(cast(1 as bigint), cast({wbits + 1} - {mj} as int))"
+        )
+        touched = F.count(F.col(mj))
+        s = F.sum(term) + (F.lit(m) - touched) * F.lit(1 << (wbits + 1)).cast("long")
+        return s, (F.lit(m) - touched).cast("double")
+
+    def _est(s, v):
+        raw = F.lit(numer) / s.cast("double")
+        return F.round(
+            F.when(
+                (raw <= 2.5 * m) & (v > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+            ).otherwise(raw),
+            2,
+        )
+
+    sa, va = _sv("mja")
+    sb, vb = _sv("mjb")
+    su, vu = _sv("mju")
+    one = regs.agg(
+        _est(sa, va).alias("est_a"),
+        _est(sb, vb).alias("est_b"),
+        _est(su, vu).alias("est_union"),
+    )
     return one.select(
         "est_a",
         "est_b",

@@ -293,3 +293,30 @@ def test_psi_all_joins_broadcast(spark, reg):
     constant-sized sides got shuffled."""
     plan = _plan(spark, reg, "q_psi_drift")
     assert "SortMergeJoin" not in plan
+
+
+def test_rate_anomalies_single_event_grain_pass(spark, reg):
+    """Events collapse to the (key, bucket) grain in ONE groupBy; the
+    per-key moments join back as a broadcast — event-grain data crosses
+    the wire exactly once."""
+    plan = _plan(spark, reg, "q_rate_anomalies")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+
+
+def test_chi_square_margins_derive_from_cells(spark, reg):
+    """The contingency cells are the only aggregate over the data —
+    margins and totals re-aggregate the r*c cell rows, never rescanning
+    documents. Plan check: one parquet scan."""
+    plan = _plan(spark, reg, "q_chi_square")
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+
+
+def test_hll_intersect_union_is_register_merge(spark, reg):
+    """All three estimates (A, B, union) must come from ONE register
+    pass — per-idx (mja, mjb) with the union register greatest(·,·) —
+    never from re-deriving the corpus scan per sketch: exactly one
+    parquet scan in the whole plan."""
+    plan = _plan(spark, reg, "q_hll_intersect")
+    n = max(plan.count("Scan parquet"), plan.count("FileScan"))
+    assert n == 1
