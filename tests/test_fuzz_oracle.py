@@ -947,3 +947,123 @@ def test_fuzz_scd2_change_capture(spark, duck):
             failures.append(seed)
         duck.unregister("scd_hist")
     assert not failures, f"scd2 fuzz mismatches at seeds: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #16: table_diff on randomized snapshot pairs — random key
+# overlap, NULL attribute values on either side, multi-column change
+# sets; the DuckDB replay classifies via FULL OUTER + IS DISTINCT FROM.
+# ---------------------------------------------------------------------------
+
+_DIFF_FUZZ_SQL = """
+SELECT k,
+       CASE WHEN o.k IS NULL THEN 'inserted'
+            WHEN n.k IS NULL THEN 'deleted'
+            WHEN o.v1 IS DISTINCT FROM n.v1 OR o.v2 IS DISTINCT FROM n.v2
+              THEN 'changed' ELSE 'unchanged' END AS change_kind,
+       COALESCE(CASE WHEN o.k IS NULL OR n.k IS NULL THEN ''
+            ELSE ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(['v1', 'v2'],
+                   x -> (x = 'v1' AND o.v1 IS DISTINCT FROM n.v1)
+                     OR (x = 'v2' AND o.v2 IS DISTINCT FROM n.v2))), '|')
+       END, '') AS changed_cols
+FROM diff_old o FULL OUTER JOIN diff_new n USING (k)
+ORDER BY k
+"""
+
+
+def _gen_snapshot(rng: random.Random, keys) -> pd.DataFrame:
+    rows = [
+        (k, rng.choice(["a", "b", None]), rng.choice([1.5, 2.5, None]))
+        for k in keys
+    ]
+    return pd.DataFrame(rows, columns=["k", "v1", "v2"])
+
+
+def test_fuzz_table_diff(spark, duck):
+    from rspl_spark.operators.diff import table_diff
+
+    failures = []
+    for seed in (3, 41, 512, 7777):
+        rng = random.Random(seed)
+        universe = list(range(60))
+        old = _gen_snapshot(rng, sorted(rng.sample(universe, 40)))
+        new = _gen_snapshot(rng, sorted(rng.sample(universe, 40)))
+        duck.register("diff_old", old)
+        duck.register("diff_new", new)
+        schema = "k long, v1 string, v2 double"
+        got = _canon(
+            table_diff(
+                spark.createDataFrame(old, schema),
+                spark.createDataFrame(new, schema),
+                ["k"],
+            )
+            .select(
+                "k",
+                "change_kind",
+                F.concat_ws("|", "changed_cols").alias("changed_cols"),
+            )
+            .toPandas()
+        )
+        want = _canon(duck.sql(_DIFF_FUZZ_SQL).df())
+        if not got.equals(want):
+            failures.append(seed)
+        duck.unregister("diff_old")
+        duck.unregister("diff_new")
+    assert not failures, f"table_diff fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #17: winsorize at randomized rational alphas — rank-based
+# bounds must match the SQL replay on random (duplicate-heavy) values.
+# ---------------------------------------------------------------------------
+
+
+def _winsorize_fuzz_sql(num: int, den: int) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT g, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM wz
+),
+keyed AS (
+  SELECT g, v, rn,
+         (n * {num} + {den - 1}) // {den} AS klo,
+         n + 1 - (n * {num} + {den - 1}) // {den} AS khi
+  FROM ranked
+),
+bounds AS (
+  SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM keyed
+  WHERE rn = klo OR rn = khi GROUP BY g
+)
+SELECT w.g, w.v,
+       ROUND(LEAST(GREATEST(w.v, b.lo), b.hi), 6) AS clipped
+FROM wz w JOIN bounds b ON w.g = b.g
+ORDER BY w.g, w.v
+"""
+
+
+def test_fuzz_winsorize(spark, duck):
+    from rspl_spark.operators.curation import winsorize
+
+    failures = []
+    for seed, (num, den) in [(5, (5, 100)), (19, (1, 10)), (23, (25, 100)), (99, (3, 7))]:
+        rng = random.Random(seed)
+        rows = [
+            (rng.choice("pq"), float(rng.choice([1, 2, 2, 3, 5, 8, 13, 21])))
+            for _ in range(rng.randrange(30, 90))
+        ]
+        pdf = pd.DataFrame(rows, columns=["g", "v"])
+        duck.register("wz", pdf)
+        got = _canon(
+            winsorize(
+                spark.createDataFrame(pdf, "g string, v double"), "v", ["g"], num, den
+            )
+            .select("g", "v", F.round("clipped", 6).alias("clipped"))
+            .toPandas()
+        )
+        want = _canon(duck.sql(_winsorize_fuzz_sql(num, den)).df())
+        if not got.equals(want):
+            failures.append(seed)
+        duck.unregister("wz")
+    assert not failures, f"winsorize fuzz mismatches: {failures}"

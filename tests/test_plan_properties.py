@@ -320,3 +320,11 @@ def test_hll_intersect_union_is_register_merge(spark, reg):
     plan = _plan(spark, reg, "q_hll_intersect")
     n = max(plan.count("Scan parquet"), plan.count("FileScan"))
     assert n == 1
+
+
+def test_edit_join_gate_no_quadratic_join(spark, reg):
+    """Edit-distance candidates come from the 3k+1-rarest-token
+    equi-join (no short strings in the gate data, so no broadcast
+    side path); the verify step joins back by id."""
+    plan = _plan(spark, reg, "q_edit_distance_join")
+    assert "CartesianProduct" not in plan
