@@ -123,3 +123,32 @@ def test_build_validation(spark):
         scd2_build(df, [], ["attr"], "ts")
     with pytest.raises(ValueError, match="non-empty"):
         scd2_build(df, ["k"], [], "ts")
+
+
+def test_scd2_interval_invariants_on_events(spark):
+    """Structural laws any SCD2 dimension must satisfy, checked on the
+    real events build: per key, versions are 1..n dense, intervals are
+    CONTIGUOUS (valid_to == next valid_from — no gaps, no overlaps),
+    exactly one current row, and consecutive versions differ in the
+    tracked attribute (no no-op versions survive change capture)."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.catalog import load
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    dim = scd2_build(e, ["user_id"], ["event_type"], "ts", order_cols=["event_id"])
+    rows = sorted(
+        ((r["user_id"], r["version"], r["event_type"], r["valid_from"], r["valid_to"],
+          r["is_current"]) for r in dim.collect())
+    )
+    assert rows
+    by_key = {}
+    for k, ver, attr, vf, vt, cur in rows:
+        by_key.setdefault(k, []).append((ver, attr, vf, vt, cur))
+    for k, vs in by_key.items():
+        assert [v[0] for v in vs] == list(range(1, len(vs) + 1)), k
+        assert sum(1 for v in vs if v[4]) == 1 and vs[-1][4], k
+        for (v1, a1, f1, t1, _), (v2, a2, f2, t2, _) in zip(vs, vs[1:]):
+            assert t1 == f2, (k, v1)      # contiguous, no gap/overlap
+            assert a1 != a2, (k, v1)      # change capture collapsed no-ops
+        assert vs[-1][3] is None
