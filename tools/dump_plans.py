@@ -58,6 +58,20 @@ FLAGSHIPS = [
     "q9_product_type_profit",
     "q11_important_stock",
     "q16_parts_supplier",
+    "q_scd2_merge_rebuild",
+    "q_scd2_fact_enrich",
+    "q_fuzzy_join_trigram",
+    "q_edit_distance_join",
+    "q_cosine_topk_int8",
+    "q_psi_drift",
+    "q_rate_anomalies",
+    "q_chi_square",
+    "q_hll_intersect",
+    "q_peak_concurrency",
+    "q_winsorize",
+    "q_quality_audit",
+    "q_table_diff",
+    "q_orc_roundtrip",
     "q20_potential_promotion",
     "q_cosine_topk_ivf_incremental",
     "q_cosine_topk_srp_incremental",
