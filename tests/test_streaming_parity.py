@@ -657,3 +657,44 @@ def test_streaming_scd2_maintenance_matches_batch_build(spark):
         scd2_build(e, ["user_id"], ["event_type"], "ts", order_cols=["event_id"])
     )
     assert canon(holder["dim"]) == want and len(want) > 50
+
+
+def test_streaming_quality_audit_counters_match_batch(spark):
+    """Live expectations: foreachBatch audit() on each micro-batch,
+    counters summed across batches, equals the one-shot batch audit —
+    valid for PREDICATE rules because they are row-local (violations
+    add); uniqueness rules are deliberately NOT streamed this way
+    (cross-batch duplicates need the persisted-store path)."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.quality import audit
+
+    rules = lambda: {
+        "value_positive": F.col("value") > 0,
+        "value_small": F.col("value") < 100.0,
+    }
+    cols = ["event_id", "ts", "value"]
+    e = load(spark, SF, "events").select(*cols)
+    want = {
+        r["rule"]: (r["n_violations"], r["n_checked"])
+        for r in audit(e, rules()).collect()
+    }
+    chunks = _ts_ordered_chunks(spark, e, 3, cols)
+    acc = {}
+
+    def fold(batch_df, _bid):
+        for r in audit(batch_df, rules()).collect():
+            v, n = acc.get(r["rule"], (0, 0))
+            acc[r["rule"]] = (v + r["n_violations"], n + r["n_checked"])
+
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "event_id long, ts timestamp, value double")
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    assert acc == want and want["value_small"][1] > 100
