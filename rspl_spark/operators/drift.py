@@ -196,11 +196,14 @@ def rate_anomalies(
     deviations. Output: key cols + bucket_ts, n (bucket count), flag
     (0/1), n_buckets.
 
-    The decision is EXACT-INTEGER algebra: with S = Σc, SS = Σc² over a
-    key's n buckets, (c − S/n)² > z²·var ⟺ (n·c − S)² > z²·(n·SS − S²)
-    — every term a BIGINT, so an independent engine reproduces each
-    flag bit-for-bit (a float z-score comparison can flip a boundary
-    bucket on 1-ulp drift). Population variance; keys with a single
+    The decision is EXACT-INTEGER algebra carried in double: with
+    S = Σc, SS = Σc² over a key's n buckets, (c − S/n)² > z²·var ⟺
+    (n·c − S)² > z²·(n·SS − S²) — every FACTOR an exact integer
+    (exact in double below 2^53; BIGINT products would overflow first,
+    and Spark wraps where DuckDB promotes), so both sides are the same
+    fixed chain of correctly-rounded IEEE ops in any engine and each
+    flag reproduces bit-for-bit — unlike a σ-normalized z-score, whose
+    sqrt/divide can flip a boundary bucket on 1-ulp drift. Population variance; keys with a single
     bucket flag nothing (variance undefined ⇒ 0 > 0 is false). Ceiling
     to know: one lone outlier among n buckets scores at most
     z = √(n−1) against population stats (exactly 3.0 at n=10) — size
@@ -230,10 +233,15 @@ def rate_anomalies(
         F.sum("n").over(wk).cast("long").alias("s"),
         F.sum(F.col("n") * F.col("n")).over(wk).cast("long").alias("ss"),
     )
-    lhs = (F.col("n_buckets") * F.col("n") - F.col("s"))
-    cond = lhs * lhs > F.lit(z * z) * (
-        F.col("n_buckets") * F.col("ss") - F.col("s") * F.col("s")
-    )
+    # the comparison runs in DOUBLE: every factor is an exact integer
+    # (exact in double below 2^53), while BIGINT products (s², lhs²)
+    # overflow long before 100 TB per-key event totals — and Spark
+    # wraps where DuckDB promotes, so staying integral would diverge
+    # cross-engine exactly when it matters (same fix as chi_square)
+    nb, nd = F.col("n_buckets").cast("double"), F.col("n").cast("double")
+    sd, ssd = F.col("s").cast("double"), F.col("ss").cast("double")
+    lhs = nb * nd - sd
+    cond = lhs * lhs > F.lit(float(z * z)) * (nb * ssd - sd * sd)
     return j.select(
         *key_cols,
         "bucket_ts",

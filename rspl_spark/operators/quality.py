@@ -37,6 +37,9 @@ def audit(
     """
     if not predicate_rules and not unique_rules:
         raise ValueError("audit: no rules given")
+    for name in list(predicate_rules) + list(unique_rules or {}):
+        if "'" in name or "\n" in name:
+            raise ValueError(f"audit: rule name {name!r} must not contain quotes")
     parts = []
     if predicate_rules:
         aggs = [F.count(F.lit(1)).alias("_n")]

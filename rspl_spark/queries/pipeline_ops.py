@@ -836,8 +836,10 @@ moments AS (
   FROM counts GROUP BY event_type
 )
 SELECT c.event_type, c.bucket_ts, c.n,
-       CAST(CASE WHEN (m.n_buckets * c.n - m.s) * (m.n_buckets * c.n - m.s)
-                      > 9 * (m.n_buckets * m.ss - m.s * m.s)
+       CAST(CASE WHEN (CAST(m.n_buckets AS DOUBLE) * c.n - m.s)
+                      * (CAST(m.n_buckets AS DOUBLE) * c.n - m.s)
+                      > 9 * (CAST(m.n_buckets AS DOUBLE) * m.ss
+                             - CAST(m.s AS DOUBLE) * m.s)
                  THEN 1 ELSE 0 END AS BIGINT) AS flag,
        m.n_buckets
 FROM counts c JOIN moments m ON c.event_type = m.event_type
