@@ -38,8 +38,10 @@ def audit(
     if not predicate_rules and not unique_rules:
         raise ValueError("audit: no rules given")
     for name in list(predicate_rules) + list(unique_rules or {}):
-        if "'" in name or "\n" in name:
-            raise ValueError(f"audit: rule name {name!r} must not contain quotes")
+        if "'" in name or "`" in name or "\n" in name:
+            raise ValueError(
+                f"audit: rule name {name!r} must not contain quotes/backticks"
+            )
     parts = []
     if predicate_rules:
         aggs = [F.count(F.lit(1)).alias("_n")]
@@ -50,8 +52,10 @@ def audit(
                 ).alias(f"_v_{name}")
             )
         one = df.agg(*aggs)
+        # backtick-quote the staged columns: rule names are free text
+        # (spaces, dashes) and reach the stack() expr as identifiers
         stack_args = ", ".join(
-            f"'{name}', _v_{name}" for name in predicate_rules
+            f"'{name}', `_v_{name}`" for name in predicate_rules
         )
         parts.append(
             one.select(

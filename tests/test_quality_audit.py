@@ -132,3 +132,11 @@ def test_table_diff_null_to_value_is_change_and_validation(spark):
         table_diff(old, new, [])
     with _pytest.raises(ValueError, match="no columns"):
         table_diff(old.select("k"), new.select("k"), ["k"])
+
+
+def test_audit_rule_names_with_spaces_and_guards(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    out = audit(df, {"id is positive-ish": F.col("id") > 0}).collect()
+    assert out[0]["rule"] == "id is positive-ish" and out[0]["n_violations"] == 0
+    with pytest.raises(ValueError, match="quotes"):
+        audit(df, {"bad'name": F.col("id") > 0})
