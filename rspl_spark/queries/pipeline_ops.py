@@ -936,3 +936,81 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return chi_square(d, "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster representatives: instead of keep-first, keep the
+# BEST-QUALITY document of every MinHash-LSH cluster (tie: min doc_id)
+# and every unclustered doc. The curation upgrade over naive dedup —
+# when near-dups differ in quality you want to drop the worse copy,
+# not whichever arrived first. Reuses q_dedup_clusters' recursive-CTE
+# closure and q_text_quality's scoring, so the oracle is assembled
+# from both proven parts.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_reps_oracle() -> str:
+    from rspl_spark.queries.llm_ops import _QUALITY_SQL_EXPR, _clusters_oracle
+
+    base = _clusters_oracle()
+    head, tail = base.split("SELECT src AS doc_id", 1)
+    assert head.rstrip().endswith(")"), "clusters oracle shape changed"
+    return (
+        head.rstrip()
+        + """,
+c AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+q AS (SELECT doc_id, """
+        + _QUALITY_SQL_EXPR
+        + """ AS quality FROM documents),
+ranked AS (
+  SELECT c.doc_id, c.cluster,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster
+                            ORDER BY q.quality DESC, c.doc_id) AS rk
+  FROM c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT q.doc_id,
+       CAST(COALESCE(r.cluster, -1) AS BIGINT) AS cluster,
+       q.quality,
+       CAST(CASE WHEN r.doc_id IS NULL OR r.rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM q LEFT JOIN ranked r ON q.doc_id = r.doc_id
+ORDER BY q.doc_id
+"""
+    )
+
+
+@query(
+    "q_cluster_representatives",
+    oracle=_cluster_reps_oracle(),
+    tags=("llm", "dedup", "iterative"),
+)
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from rspl_spark.operators.text import quality_score
+    from rspl_spark.queries.llm_ops import _memo_artifact
+
+    d = load(spark, sf_dir, "documents")
+    sig = _memo_artifact(
+        spark, ("minhash_sig", sf_dir), lambda: minhash_signatures(d)
+    )
+    pairs = lsh_candidate_pairs(sig, threshold=0.25)
+    clusters = connected_components_star(pairs)  # (doc_id, cluster), clustered only
+    q = quality_score(d).select("doc_id", "quality")
+    # rank ONLY clustered docs (cluster tables are small); ranking the
+    # unclustered majority would funnel them into one NULL partition
+    wc = Window.partitionBy("cluster").orderBy(F.desc("quality"), F.asc("doc_id"))
+    reps = (
+        clusters.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(wc))
+        .select("doc_id", "cluster", "rk")
+    )
+    out = q.join(F.broadcast(reps), "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("cluster", F.lit(-1)).cast("long").alias("cluster"),
+        "quality",
+        (F.col("rk").isNull() | (F.col("rk") == 1)).cast("long").alias("keep"),
+    ).orderBy("doc_id")
