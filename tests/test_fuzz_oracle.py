@@ -1067,3 +1067,118 @@ def test_fuzz_winsorize(spark, duck):
             failures.append(seed)
         duck.unregister("wz")
     assert not failures, f"winsorize fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #18: rate-anomaly flags on random event streams — the
+# double-carried integer z-test must reproduce every flag bit-for-bit
+# against the DuckDB replay for random bucket shapes and z values.
+# ---------------------------------------------------------------------------
+
+
+def _rate_fuzz_sql(z: int) -> str:
+    return f"""
+WITH counts AS (
+  SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM ra_events GROUP BY k, b
+),
+m AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM counts GROUP BY k
+)
+SELECT c.k, c.b, c.n,
+       CAST(CASE WHEN (CAST(m.nb AS DOUBLE) * c.n - m.s)
+                      * (CAST(m.nb AS DOUBLE) * c.n - m.s)
+                      > {z * z} * (CAST(m.nb AS DOUBLE) * m.ss
+                                   - CAST(m.s AS DOUBLE) * m.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS flag
+FROM counts c JOIN m ON c.k = m.k
+ORDER BY c.k, c.b
+"""
+
+
+def test_fuzz_rate_anomalies(spark, duck):
+    import pandas as pd
+
+    from rspl_spark.operators.drift import rate_anomalies
+
+    failures = []
+    for seed, z in [(11, 2), (37, 3), (71, 1), (113, 4)]:
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(rng.randrange(200, 600)):
+            k = f"k{rng.randrange(4)}"
+            minute = rng.randrange(40)
+            # heavy-tail: occasional bursts within a minute
+            for _ in range(1 if rng.random() > 0.08 else rng.randrange(5, 30)):
+                rows.append((k, pd.Timestamp("2024-02-01") + pd.Timedelta(
+                    minutes=minute, seconds=rng.randrange(60))))
+        pdf = pd.DataFrame(rows, columns=["k", "ts"])
+        duck.register(
+            "ra_events",
+            pdf.assign(b=pdf["ts"].dt.floor("min"))[["k", "b"]],
+        )
+        got = _canon(
+            rate_anomalies(
+                spark.createDataFrame(pdf), "ts", ["k"], bucket="minute", z=z
+            )
+            .select("k", F.col("bucket_ts").alias("b"), "n", "flag")
+            .toPandas()
+        )
+        want = _canon(duck.sql(_rate_fuzz_sql(z)).df())
+        if not got.equals(want):
+            failures.append(seed)
+        duck.unregister("ra_events")
+    assert not failures, f"rate-anomaly fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #19: peak concurrency on random interval sets — the parallel
+# max-prefix-sum reduction must equal the serial SQL sweep for random
+# overlaps, duplicate boundaries, and degenerate/NULL intervals.
+# ---------------------------------------------------------------------------
+
+_PEAK_FUZZ_SQL = """
+WITH ok AS (SELECT s, e FROM iv WHERE s IS NOT NULL AND e IS NOT NULL AND e > s),
+d AS (SELECT s AS t, 1 AS dd FROM ok UNION ALL SELECT e, -1 FROM ok),
+p AS (SELECT t, SUM(dd) AS net FROM d GROUP BY t),
+r AS (SELECT SUM(net) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o
+      FROM p)
+SELECT CAST(MAX(o) AS BIGINT) AS peak,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ok) AS n_intervals
+FROM r
+"""
+
+
+def test_fuzz_peak_concurrency(spark, duck):
+    from rspl_spark.operators.intervals import peak_concurrency
+
+    failures = []
+    for seed in (2, 29, 307, 1009):
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(rng.randrange(80, 250)):
+            s = rng.randrange(100)
+            kind = rng.random()
+            if kind < 0.05:
+                rows.append((None, s))
+            elif kind < 0.1:
+                rows.append((s, s))  # empty
+            else:
+                rows.append((s, s + rng.randrange(1, 40)))
+        pdf = pd.DataFrame(rows, columns=["s", "e"]).astype("Int64")
+        duck.register("iv", pdf)
+        got = _canon(
+            peak_concurrency(
+                spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                                      "s long, e long"),
+                "s",
+                "e",
+            ).toPandas()
+        )
+        want = _canon(duck.sql(_PEAK_FUZZ_SQL).df())
+        if not got.equals(want):
+            failures.append(seed)
+        duck.unregister("iv")
+    assert not failures, f"peak-concurrency fuzz mismatches: {failures}"
