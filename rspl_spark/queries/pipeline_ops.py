@@ -1014,3 +1014,58 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.col("rk").isNull() | (F.col("rk") == 1)).cast("long").alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Composite: what changed between two dimension instants? table_diff
+# over scd2_snapshot(T1) vs scd2_snapshot(T2) — the "week-over-week
+# dimension delta" report, built from two already-gated operators
+# composing. Users created between the instants classify as inserted;
+# state flips as changed with the exact column list.
+# ---------------------------------------------------------------------------
+
+_SCD2_T1 = "2024-01-10 00:00:00"
+_SCD2_T2 = _SCD2_AT  # 2024-01-20
+
+_SNAP_DIFF_ORACLE = (
+    _SCD2_CTES
+    + f""",
+s1 AS (
+  SELECT user_id, event_type FROM dim
+  WHERE valid_from <= TIMESTAMP '{_SCD2_T1}'
+    AND (valid_to IS NULL OR TIMESTAMP '{_SCD2_T1}' < valid_to)
+),
+s2 AS (
+  SELECT user_id, event_type FROM dim
+  WHERE valid_from <= TIMESTAMP '{_SCD2_T2}'
+    AND (valid_to IS NULL OR TIMESTAMP '{_SCD2_T2}' < valid_to)
+)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'inserted'
+            WHEN s2.user_id IS NULL THEN 'deleted'
+            WHEN s1.event_type IS DISTINCT FROM s2.event_type THEN 'changed'
+            ELSE 'unchanged' END AS change_kind,
+       COALESCE(CASE WHEN s1.user_id IS NULL OR s2.user_id IS NULL THEN ''
+            WHEN s1.event_type IS DISTINCT FROM s2.event_type THEN 'event_type'
+            ELSE '' END, '') AS changed_cols
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+ORDER BY user_id
+"""
+)
+
+
+@query("q_scd2_snapshot_diff", oracle=_SNAP_DIFF_ORACLE, tags=("warehouse", "quality"))
+def q_scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rspl_spark.operators.diff import table_diff
+    from rspl_spark.operators.scd import scd2_build, scd2_snapshot
+
+    e = load(spark, sf_dir, "events")
+    dim = scd2_build(e, ["user_id"], ["event_type"], "ts", order_cols=["event_id"])
+    s1 = scd2_snapshot(dim, _SCD2_T1).select("user_id", "event_type")
+    s2 = scd2_snapshot(dim, _SCD2_T2).select("user_id", "event_type")
+    d = table_diff(s1, s2, ["user_id"])
+    return d.select(
+        "user_id",
+        "change_kind",
+        F.concat_ws("|", "changed_cols").alias("changed_cols"),
+    ).orderBy("user_id")
