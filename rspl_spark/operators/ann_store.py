@@ -204,6 +204,17 @@ def compact_index(spark: SparkSession, name: str) -> int:
     Returns the surviving row count. Trained state (codebooks/
     centroids/planes config) is preserved verbatim — compaction never
     refits."""
+    # Crash-safe: survivors go to a VERSIONED tmp table while the index
+    # (and its files) are still intact, then the catalog entry swaps and
+    # the superseded directory is reaped — the agg_store._rewrite_swap
+    # discipline. A write failure mid-compaction leaves the original
+    # index and tombstones untouched; only the DROP→RENAME window needs
+    # the re-register fallback, and both data dirs still exist then.
+    import shutil
+    import uuid
+
+    from rspl_spark.operators.agg_store import _table_location
+
     props = _props(spark, name)
     if "pq.codebooks" in props:
         kind, part_keys = "pq", []
@@ -211,18 +222,42 @@ def compact_index(spark: SparkSession, name: str) -> int:
         kind, part_keys = "ivf", ["cid"]
     else:
         kind, part_keys = "srp", ["band", "bv"]
-    live = live_rows(spark, name).localCheckpoint()
-    n = live.count()
-    spark.sql(f"DROP TABLE {name}")
-    path = _fresh_table_path(spark, name)
+    old_path = _table_location(spark, name)
+    live = live_rows(spark, name)
+    ver = uuid.uuid4().hex[:8]
+    tmp_name = f"{name}__compact_{ver}"
+    tmp_path = f"{_warehouse_path(spark, name)}.__v_{ver}"
     writer = (
         live.repartition(32, *part_keys) if part_keys else live.repartition(32)
-    ).write.mode("overwrite").format("parquet").option("path", path)
-    writer.saveAsTable(name)
+    ).write.mode("overwrite").format("parquet").option("path", tmp_path)
+    writer.saveAsTable(tmp_name)
+    n = spark.table(tmp_name).count()
+    spark.sql(f"DROP TABLE {name}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {name}")
+    except Exception:
+        # re-register the ORIGINAL data under the index name so the
+        # table never vanishes; the compacted tmp stays for inspection
+        if old_path:
+            schema = spark.read.parquet(old_path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET LOCATION '{old_path}'"
+            )
+            _set_props(spark, name, props)
+        raise
     keep = {k: v for k, v in props.items() if k.startswith(f"{kind}.")}
     keep[f"{kind}.base_rows"] = str(n)
     keep[f"{kind}.appended_rows"] = "0"
     _set_props(spark, name, keep)
+    if (
+        old_path
+        and os.path.realpath(old_path) != os.path.realpath(tmp_path)
+        and os.path.isdir(old_path)
+    ):
+        shutil.rmtree(old_path, ignore_errors=True)
     _drop_tombstones(spark, name)
     return n
 

@@ -277,25 +277,53 @@ def compact_store(spark: SparkSession, store: str, n_buckets: int = 8) -> int:
     """Physically drop tombstoned band rows: rewrite the survivors
     under the same bucketed layout and clear the tombstones. One pass
     over the store — run when deleted_count crosses a policy
-    threshold, not per delete. Returns surviving band-row count."""
-    live = live_store(spark, store).localCheckpoint()
-    n = live.count()
-    spark.sql(f"DROP TABLE {store}")
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(repo_root, "spark-warehouse", store.lower())
-    import shutil
+    threshold, not per delete. Returns surviving band-row count.
 
-    if os.path.isdir(path):
-        shutil.rmtree(path, ignore_errors=True)
+    Crash-safe: survivors are materialized to a VERSIONED tmp table
+    while the store (and its files) are still intact, then the catalog
+    entry is swapped and the superseded directory reaped — the same
+    write-then-swap discipline as ``agg_store._rewrite_swap``. A write
+    failure or crash mid-compaction leaves the original store (and its
+    tombstones) untouched; only a crash inside the DROP→RENAME window
+    needs the re-register fallback below, and even then both data
+    directories still exist on disk."""
+    import shutil
+    import uuid
+
+    from rspl_spark.operators.agg_store import (
+        _register_bucketed_at,
+        _table_buckets,
+        _table_location,
+    )
+
+    n_buckets = _table_buckets(spark, store) or n_buckets
+    old_path = _table_location(spark, store)
+    ver = uuid.uuid4().hex[:8]
+    tmp_name = f"{store}__compact_{ver}"
+    tmp_path = f"{_warehouse_path(spark, store)}.__v_{ver}"
     (
-        live.repartition(n_buckets, "bucket")
+        live_store(spark, store)
+        .repartition(n_buckets, "bucket")
         .write.bucketBy(n_buckets, "bucket")
         .sortBy("bucket")
         .mode("overwrite")
         .format("parquet")
-        .option("path", path)
-        .saveAsTable(store)
+        .option("path", tmp_path)
+        .saveAsTable(tmp_name)
     )
+    n = spark.table(tmp_name).count()
+    spark.sql(f"DROP TABLE {store}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {store}")
+    except Exception:
+        # close the DROP→RENAME window: re-register the ORIGINAL data
+        # under the store name so the table never vanishes; the
+        # compacted tmp table stays behind for inspection
+        if old_path:
+            _register_bucketed_at(spark, store, old_path, ["bucket"], n_buckets)
+        raise
+    if old_path and os.path.realpath(old_path) != os.path.realpath(tmp_path) and os.path.isdir(old_path):
+        shutil.rmtree(old_path, ignore_errors=True)
     _drop_tombstones(spark, store)
     return n
 

@@ -26,7 +26,10 @@ def table_diff(
     """One row per key present in either snapshot: keys +
     ``change_kind`` + ``changed_cols`` (sorted array, empty unless
     changed). ``compare_cols`` defaults to all shared non-key columns.
-    Comparison is null-safe per column (NULL ≡ NULL is unchanged).
+    Comparison is null-safe per column (NULL ≡ NULL is unchanged), and
+    the key join itself is null-safe too: a key containing NULL that
+    appears in both snapshots is compared, not misreported as a
+    deleted+inserted pair.
 
     Keys are assumed unique within each snapshot (this is a set diff,
     not a bag diff); run the `audit` uniqueness rule first when that
@@ -42,12 +45,25 @@ def table_diff(
 
     def prep(df: DataFrame, side: str) -> DataFrame:
         return df.select(
-            *keys,
+            *[F.col(k).alias(f"_{side}_k_{k}") for k in keys],
             F.lit(1).alias(f"_present_{side}"),
             *[F.col(c).alias(f"_{side}_{c}") for c in compare_cols],
         )
 
-    j = prep(old, "o").join(prep(new, "n"), keys, "full_outer")
+    # null-safe key equality: a row whose key contains NULL and exists
+    # in both snapshots must COMPARE, not split into a spurious
+    # deleted+inserted pair. <=> is still an equi-join condition to
+    # Catalyst (EqualNullSafe join keys plan as sort-merge/shuffled-hash
+    # — no nested-loop regression), and the output key coalesces the
+    # two sides (identical under <=>, including the NULL case).
+    cond = None
+    for k in keys:
+        c = F.col(f"_o_k_{k}").eqNullSafe(F.col(f"_n_k_{k}"))
+        cond = c if cond is None else cond & c
+    j = prep(old, "o").join(prep(new, "n"), cond, "full_outer")
+    key_out = [
+        F.coalesce(F.col(f"_o_k_{k}"), F.col(f"_n_k_{k}")).alias(k) for k in keys
+    ]
     changed_cols = F.array_sort(
         F.filter(
             F.array(
@@ -68,7 +84,7 @@ def table_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(
-        *keys,
+        *key_out,
         kind.alias("change_kind"),
         F.when(kind == "changed", changed_cols)
         .otherwise(F.array().cast("array<string>"))

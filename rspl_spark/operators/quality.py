@@ -38,9 +38,15 @@ def audit(
     if not predicate_rules and not unique_rules:
         raise ValueError("audit: no rules given")
     for name in list(predicate_rules) + list(unique_rules or {}):
-        if "'" in name or "`" in name or "\n" in name:
+        # the name reaches a generated stack() expr both as a
+        # single-quoted SQL string literal and as a backticked
+        # identifier — quotes/backticks break quoting directly, a
+        # backslash escapes the literal's closing quote, and CR/LF
+        # reshape the expr text
+        if any(c in name for c in ("'", "`", "\\", "\n", "\r")):
             raise ValueError(
-                f"audit: rule name {name!r} must not contain quotes/backticks"
+                f"audit: rule name {name!r} must not contain quotes, "
+                "backticks, backslashes, or newlines"
             )
     parts = []
     if predicate_rules:

@@ -573,7 +573,18 @@ def cms_topk_exact(
     """
     from rspl_spark.operators.dedup import portable_hash
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
     spark = occurrences.sparkSession
+    # the result carries the key at its NATIVE type on every return
+    # path (collected rounds, empty input, post-max_rounds fallback) —
+    # a hardcoded 'string' would fail or silently cast non-string keys
+    out_schema = StructType(
+        [
+            StructField(key_col, occurrences.schema[key_col].dataType, True),
+            StructField("n", LongType(), True),
+        ]
+    )
     occ = occurrences.filter(F.col(key_col).isNotNull())
     sketch = (
         cms_sketch(occ, key_col, w=w, d=1)
@@ -582,7 +593,7 @@ def cms_topk_exact(
     )
     cells = sorted((r["c"] for r in sketch.collect()), reverse=True)
     if not cells:
-        return spark.createDataFrame([], f"{key_col} string, n long")
+        return spark.createDataFrame([], out_schema)
     threshold = cells[k - 1] if len(cells) >= k else cells[-1]
 
     bucket = _fields(portable_hash(F.col(key_col).cast("string")), 1, w)[0]
@@ -602,7 +613,7 @@ def cms_topk_exact(
         kth = rows[-1]["n"] if rows else 0
         if threshold <= kth or threshold <= 1:
             return spark.createDataFrame(
-                [(r[key_col], r["n"]) for r in rows], f"{key_col} string, n long"
+                [(r[key_col], r["n"]) for r in rows], out_schema
             )
         threshold = kth  # valid: kth(C) <= kth(universe); next pass final
     return (

@@ -631,17 +631,26 @@ def bigram_count_kernel(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Tokenization mirrors split(trim(text), '\\s+') exactly, including
     the single-token edge case where the lone token stands in for a
-    bigram (the established q_top_bigrams semantics)."""
+    bigram (the established q_top_bigrams semantics). Exactly means:
+    the split class is Java's \\s = [ \\t\\n\\x0b\\f\\r] — NOT Python's
+    Unicode \\s, which also matches NBSP/EM-SPACE and would fragment
+    non-ASCII text differently than the JVM/DuckDB forms — and NULL
+    text is skipped entirely, matching split(NULL)+explode dropping
+    the row."""
     import re as _re
     from collections import Counter
 
     import pandas as pd
 
+    _java_ws = _re.compile("[ \t\n\x0b\f\r]+")
+
     def kernel(batches):
         for pdf in batches:
             c: Counter = Counter()
             for text in pdf[text_col]:
-                toks = _re.split(r"\s+", (text or "").strip(" "))
+                if not isinstance(text, str):  # None / NaN null forms
+                    continue
+                toks = _java_ws.split(text.strip(" "))
                 n = len(toks)
                 if n == 1:
                     c[toks[0]] += 1

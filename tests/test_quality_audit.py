@@ -140,3 +140,49 @@ def test_audit_rule_names_with_spaces_and_guards(spark):
     assert out[0]["rule"] == "id is positive-ish" and out[0]["n_violations"] == 0
     with pytest.raises(ValueError, match="quotes"):
         audit(df, {"bad'name": F.col("id") > 0})
+
+
+def test_audit_rejects_backslash_and_cr_rule_names(spark):
+    # a trailing backslash would escape the generated stack() literal's
+    # closing quote; CR reshapes the expr text just like LF
+    df = spark.createDataFrame([(1,)], "id long")
+    for bad in ("trailing\\", "cr\rname", "nl\nname"):
+        with pytest.raises(ValueError, match="must not contain"):
+            audit(df, {bad: F.col("id") > 0})
+        with pytest.raises(ValueError, match="must not contain"):
+            audit(df, {"ok": F.col("id") > 0}, unique_rules={bad: ["id"]})
+
+
+def test_table_diff_null_keys_compare_instead_of_splitting(spark):
+    from rspl_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "a", 2.0)], "k int, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, "x", 9.0), (1, "a", 2.0)], "k int, s string, v double"
+    )
+    rows = table_diff(old, new, ["k"]).collect()
+    assert len(rows) == 2  # NOT 3: the NULL key pairs up, no phantom ins+del
+    by_k = {r["k"]: r for r in rows}
+    assert by_k[None]["change_kind"] == "changed"
+    assert by_k[None]["changed_cols"] == ["v"]
+    assert by_k[1]["change_kind"] == "unchanged"
+
+
+def test_table_diff_composite_null_key_and_one_sided_null(spark):
+    from rspl_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "a"), (2, "y", "b")], "k1 int, k2 string, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (3, None, "c")], "k1 int, k2 string, v string"
+    )
+    rows = table_diff(old, new, ["k1", "k2"]).collect()
+    by = {(r["k1"], r["k2"]): r["change_kind"] for r in rows}
+    assert by == {
+        (1, None): "unchanged",  # composite key with NULL component pairs up
+        (2, "y"): "deleted",
+        (3, None): "inserted",  # one-sided NULL key still surfaces w/ key intact
+    }

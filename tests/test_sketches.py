@@ -370,3 +370,33 @@ def test_hll_intersect_estimate_accuracy_and_merge_law(spark):
     # intersection inherits three estimates' error — generous bound
     assert abs(r["est_intersect"] - 1000) / 1000 < 0.25
     assert r["est_intersect"] == round(r["est_a"] + r["est_b"] - r["est_union"], 2)
+
+
+def test_cms_topk_exact_preserves_native_key_type(spark):
+    """Non-string keys must come back at their NATIVE type on every
+    return path (sketch rounds, empty input, fallback) — the schema is
+    derived from the occurrences frame, not hardcoded string."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.sketches import cms_topk_exact
+
+    occ = spark.range(0, 2000).select(
+        (F.col("id") % 7).cast("long").alias("item")
+    )
+    out = cms_topk_exact(occ, "item", k=3)
+    assert dict(out.dtypes) == {"item": "bigint", "n": "bigint"}
+    rows = [tuple(r) for r in out.collect()]
+    naive = [
+        tuple(r)
+        for r in occ.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .limit(3)
+        .collect()
+    ]
+    assert rows == naive
+    assert all(isinstance(r[0], int) for r in rows)
+
+    empty = cms_topk_exact(occ.filter("item IS NULL"), "item", k=3)
+    assert dict(empty.dtypes) == {"item": "bigint", "n": "bigint"}
+    assert empty.count() == 0

@@ -238,3 +238,42 @@ def test_bigram_kernel_matches_jvm_explode(spark):
     got = {r["bigram"]: r["n"] for r in bigram_count_kernel(d).collect()}
     assert got == ref
     assert got.get("solo") is not None  # single-token doc contributed
+
+
+def test_bigram_kernel_java_whitespace_and_null_text_parity(spark):
+    """Python \\s matches Unicode whitespace (NBSP, EM SPACE) that Java
+    \\s does not — the kernel must split on Java's class only, and NULL
+    text must vanish exactly like split(NULL)+explode drops the row."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.text import bigram_count_kernel
+
+    d = spark.createDataFrame(
+        [
+            (1, "x y z"),          # NBSP binds x-y into ONE token
+            (2, "p q"),             # EM SPACE: single token doc
+            (3, None),                    # dropped, not counted as ''
+            (4, "a\tb\nc"),              # Java \s members still split
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    ref = {
+        r["bigram"]: r["n"]
+        for r in d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    got = {r["bigram"]: r["n"] for r in bigram_count_kernel(d).collect()}
+    # the transform/slice JVM form above fabricates '' for the NULL-text
+    # row (concat_ws over a NULL slice); the ORACLE's UNNEST over a NULL
+    # list drops the row entirely -- the kernel matches the oracle
+    assert ref.pop("") == 1
+    assert got == ref
+    assert "x y z" in got      # NBSP token survived intact
+    assert got.get("p q") == 1  # single-token doc edge case
+    assert "" not in got             # NULL text did not fabricate a '' token
