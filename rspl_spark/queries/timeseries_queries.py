@@ -1,0 +1,235 @@
+"""Regular-grid time-series gates (operators/timeseries.py): gap-fill
+(LOCF + linear interpolation), exact-replay EWMA, rolling median, and
+MAD outlier fences — the dense-grid reconstruction the reference's
+paced stream combinators presume (src/combinators.rs ticks every
+bucket; telemetry doesn't).
+
+All five gates run at the BUCKET grain: events is aggregated to
+(user_id | event_type, 6-hour bucket) first — MIN(value) per bucket is
+order-independent and exact, so every downstream float enters the
+gap-fill/EWMA arithmetic bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+from rspl_spark.queries import query
+
+_EWMA_W = 16
+# exact powers of two as literals: repr() is shortest-round-trip, so
+# both engines parse back the SAME double — no runtime pow anywhere
+_PW = [2.0 ** -k for k in range(_EWMA_W + 1)]
+_PW_SQL = "[" + ", ".join(repr(x) for x in _PW) + "]"
+
+
+def _bucketed(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col(key), F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.min("value").alias("v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(key, F.col("w.start").alias("bts"), "v", "n")
+    )
+
+
+_OBS_CTE = """
+WITH obs AS (
+  SELECT {key} AS k, TIME_BUCKET(INTERVAL 6 HOUR, ts) AS bts,
+         MIN(value) AS v, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+"""
+
+_GAPFILL_CTES = (
+    _OBS_CTE
+    + """,
+bounds AS (SELECT k, MIN(bts) AS t0, MAX(bts) AS t1 FROM obs GROUP BY k),
+spine AS (
+  SELECT k, UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS bts FROM bounds
+),
+grid AS (
+  SELECT s.k, s.bts, o.v, o.n, (o.k IS NOT NULL) AS observed
+  FROM spine s LEFT JOIN obs o ON s.k = o.k AND s.bts = o.bts
+)
+"""
+)
+
+_LOCF_ORACLE = (
+    _GAPFILL_CTES.format(key="user_id")
+    + """
+SELECT k AS user_id, CAST(bts AS TIMESTAMP) AS bts,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bts ROWS UNBOUNDED PRECEDING) AS v,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       CAST(NOT observed AS BIGINT) AS is_gap
+FROM grid
+ORDER BY user_id, bts
+"""
+)
+
+
+@query("q_gapfill_locf", oracle=_LOCF_ORACLE, tags=("timeseries", "window"))
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 6-hour grid per user; gaps carry the last observation
+    forward (v) / zero-fill the event count (n)."""
+    from rspl_spark.operators.timeseries import gapfill
+
+    obs = _bucketed(spark, sf_dir, "user_id")
+    filled = gapfill(
+        obs, ["user_id"], "bts", "6 HOURS", {"v": "locf", "n": "zero"}
+    )
+    return filled.select(
+        "user_id",
+        "bts",
+        "v",
+        F.col("n").cast("long").alias("n"),
+        F.col("is_gap").cast("long").alias("is_gap"),
+    ).orderBy("user_id", "bts")
+
+
+_INTERP_ORACLE = (
+    _GAPFILL_CTES.format(key="user_id")
+    + """,
+br AS (
+  SELECT k, bts, v, observed,
+    LAST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY bts ROWS UNBOUNDED PRECEDING) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN bts END IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY bts ROWS UNBOUNDED PRECEDING) AS pt,
+    FIRST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY bts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bts END IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY bts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM grid
+)
+SELECT k AS user_id, CAST(bts AS TIMESTAMP) AS bts,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN nv IS NULL THEN pv
+            WHEN pv IS NULL THEN nv
+            ELSE ROUND(pv + (nv - pv) *
+                 (CAST(EPOCH_US(bts) - EPOCH_US(pt) AS DOUBLE)
+                  / CAST(EPOCH_US(nt) - EPOCH_US(pt) AS DOUBLE)), 6)
+       END AS v,
+       CAST(NOT observed AS BIGINT) AS is_gap
+FROM br
+ORDER BY user_id, bts
+"""
+)
+
+
+@query("q_gapfill_interp", oracle=_INTERP_ORACLE, tags=("timeseries", "window"))
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 6-hour grid per user; interior gaps linearly interpolated
+    between the bracketing observations (microsecond-weighted).
+    Identical arithmetic both sides: pv/nv are exact MIN doubles, the
+    lerp is one sub/mul/add chain, rounded only on filled rows."""
+    from rspl_spark.operators.timeseries import gapfill
+
+    obs = _bucketed(spark, sf_dir, "user_id").drop("n")
+    filled = gapfill(obs, ["user_id"], "bts", "6 HOURS", {"v": "linear"})
+    return filled.select(
+        "user_id", "bts", "v", F.col("is_gap").cast("long").alias("is_gap")
+    ).orderBy("user_id", "bts")
+
+
+_EWMA_ORACLE = (
+    _OBS_CTE.format(key="user_id")
+    + f""",
+lw AS (
+  SELECT k, bts, v,
+         LIST(v) OVER (PARTITION BY k ORDER BY bts
+                       ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW) AS l
+  FROM obs
+)
+SELECT k AS user_id, CAST(bts AS TIMESTAMP) AS bts, v,
+       ROUND(
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(l) + 1),
+                  i -> l[i] * ({_PW_SQL})[LEN(l) - i + 1]))
+         / (2.0 - 2.0 * ({_PW_SQL})[LEN(l) + 1]), 6) AS ewma
+FROM lw
+ORDER BY user_id, bts
+"""
+)
+
+
+@query("q_ewma", oracle=_EWMA_ORACLE, tags=("timeseries", "window"))
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-one EWMA over the trailing 16 observed buckets per
+    user. Exact-replay arithmetic: literal power-of-two weights,
+    sequential fold, one final division (operators/timeseries.ewma)."""
+    from rspl_spark.operators.timeseries import ewma
+
+    obs = _bucketed(spark, sf_dir, "user_id").drop("n")
+    return (
+        ewma(obs, ["user_id"], "bts", "v", window=_EWMA_W)
+        .select("user_id", "bts", "v", "ewma")
+        .orderBy("user_id", "bts")
+    )
+
+
+_RMED_ORACLE = (
+    _OBS_CTE.format(key="user_id")
+    + """
+SELECT k AS user_id, CAST(bts AS TIMESTAMP) AS bts, v,
+       ROUND(QUANTILE_CONT(v, 0.5) OVER (
+         PARTITION BY k ORDER BY bts
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rmedian
+FROM obs
+ORDER BY user_id, bts
+"""
+)
+
+
+@query("q_rolling_median", oracle=_RMED_ORACLE, tags=("timeseries", "window"))
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 7-bucket median per user (Spark percentile ≡
+    DuckDB QUANTILE_CONT, both linear-interpolating)."""
+    from rspl_spark.operators.timeseries import rolling_median
+
+    obs = _bucketed(spark, sf_dir, "user_id").drop("n")
+    return (
+        rolling_median(obs, ["user_id"], "bts", "v", n_buckets=7)
+        .select("user_id", "bts", "v", "rmedian")
+        .orderBy("user_id", "bts")
+    )
+
+
+_MAD_ORACLE = (
+    _OBS_CTE.format(key="event_type")
+    + """,
+med AS (SELECT k, QUANTILE_CONT(v, 0.5) AS med FROM obs GROUP BY k),
+wm AS (SELECT o.k, o.bts, o.v, m.med FROM obs o JOIN med m ON o.k = m.k),
+mad AS (SELECT k, QUANTILE_CONT(ABS(v - med), 0.5) AS mad FROM wm GROUP BY k)
+SELECT w.k AS event_type, CAST(w.bts AS TIMESTAMP) AS bts, w.v,
+       ROUND(w.med, 6) AS med, ROUND(d.mad, 6) AS mad,
+       CAST(ABS(w.v - w.med) > 3.0 * d.mad AS BIGINT) AS is_outlier
+FROM wm w JOIN mad d ON w.k = d.k
+ORDER BY event_type, bts
+"""
+)
+
+
+@query("q_mad_outliers", oracle=_MAD_ORACLE, tags=("timeseries", "curation"))
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD fences per event_type over the bucket grain — the
+    robust outlier flag a lone wild value cannot hide from (it drags a
+    mean/stddev fence, not a median one)."""
+    from rspl_spark.operators.timeseries import mad_outliers
+
+    obs = _bucketed(spark, sf_dir, "event_type").drop("n")
+    out = mad_outliers(obs, ["event_type"], "v", k=3.0)
+    return out.select(
+        "event_type",
+        "bts",
+        "v",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.col("is_outlier").cast("long").alias("is_outlier"),
+    ).orderBy("event_type", "bts")
