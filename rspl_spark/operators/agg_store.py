@@ -412,6 +412,33 @@ def retract_increment(
     _rewrite_swap(spark, ret, store, keys, n_buckets)
 
 
+def _reap_stale_compactions(
+    spark: SparkSession, name: str, base_path: str
+) -> None:
+    """Reap leftovers of previous FAILED compactions of ``name``: tmp
+    tables ``{name}__compact_*`` (a successful compaction renames its
+    tmp away; only a failed one leaves it) and orphaned versioned data
+    dirs ``{base_path}.__v_*`` that are not the live table's current
+    location (a successful swap leaves the LIVE data under a ``.__v_``
+    path, so the sweep must skip it). Called at the START of the next
+    compaction so repeated failures cannot accumulate unreaped
+    warehouse directories."""
+    import glob
+
+    live = _table_location(spark, name) if spark.catalog.tableExists(name) else None
+    live_real = os.path.realpath(live) if live else None
+    prefix = f"{name.lower()}__compact_"
+    for t in spark.catalog.listTables():
+        if t.name.lower().startswith(prefix):
+            loc = _table_location(spark, t.name)
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            if loc and os.path.realpath(loc) != live_real and os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+    for d in glob.glob(f"{base_path}.__v_*"):
+        if os.path.isdir(d) and os.path.realpath(d) != live_real:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _table_buckets(spark: SparkSession, name: str) -> int | None:
     for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
         if r["col_name"].strip() == "Num Buckets":

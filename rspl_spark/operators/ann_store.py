@@ -213,8 +213,15 @@ def compact_index(spark: SparkSession, name: str) -> int:
     import shutil
     import uuid
 
-    from rspl_spark.operators.agg_store import _table_location
+    from rspl_spark.operators.agg_store import (
+        _reap_stale_compactions,
+        _table_location,
+    )
 
+    # a PREVIOUS failed compaction leaves its tmp table/dir behind (for
+    # post-mortem inspection); reap those now so repeated failures can't
+    # accumulate unreaped warehouse directories
+    _reap_stale_compactions(spark, name, _warehouse_path(spark, name))
     props = _props(spark, name)
     if "pq.codebooks" in props:
         kind, part_keys = "pq", []

@@ -291,11 +291,16 @@ def compact_store(spark: SparkSession, store: str, n_buckets: int = 8) -> int:
     import uuid
 
     from rspl_spark.operators.agg_store import (
+        _reap_stale_compactions,
         _register_bucketed_at,
         _table_buckets,
         _table_location,
     )
 
+    # a PREVIOUS failed compaction leaves its tmp table/dir behind (for
+    # post-mortem inspection); reap those now so repeated failures can't
+    # accumulate unreaped warehouse directories
+    _reap_stale_compactions(spark, store, _warehouse_path(spark, store))
     n_buckets = _table_buckets(spark, store) or n_buckets
     old_path = _table_location(spark, store)
     ver = uuid.uuid4().hex[:8]

@@ -43,11 +43,15 @@ def table_diff(
     if not compare_cols:
         raise ValueError("table_diff: no columns to compare")
 
+    # internal aliases: `_o_k__<key>` / `_o_v__<col>` — the `k__`/`v__`
+    # discriminator means a key and a compare column can never collide
+    # (a column literally named "k_<key>" used to alias into the key
+    # namespace under the old `_{side}_k_{key}` scheme)
     def prep(df: DataFrame, side: str) -> DataFrame:
         return df.select(
-            *[F.col(k).alias(f"_{side}_k_{k}") for k in keys],
+            *[F.col(k).alias(f"_{side}_k__{k}") for k in keys],
             F.lit(1).alias(f"_present_{side}"),
-            *[F.col(c).alias(f"_{side}_{c}") for c in compare_cols],
+            *[F.col(c).alias(f"_{side}_v__{c}") for c in compare_cols],
         )
 
     # null-safe key equality: a row whose key contains NULL and exists
@@ -58,18 +62,18 @@ def table_diff(
     # two sides (identical under <=>, including the NULL case).
     cond = None
     for k in keys:
-        c = F.col(f"_o_k_{k}").eqNullSafe(F.col(f"_n_k_{k}"))
+        c = F.col(f"_o_k__{k}").eqNullSafe(F.col(f"_n_k__{k}"))
         cond = c if cond is None else cond & c
     j = prep(old, "o").join(prep(new, "n"), cond, "full_outer")
     key_out = [
-        F.coalesce(F.col(f"_o_k_{k}"), F.col(f"_n_k_{k}")).alias(k) for k in keys
+        F.coalesce(F.col(f"_o_k__{k}"), F.col(f"_n_k__{k}")).alias(k) for k in keys
     ]
     changed_cols = F.array_sort(
         F.filter(
             F.array(
                 *[
                     F.when(
-                        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                        ~F.col(f"_o_v__{c}").eqNullSafe(F.col(f"_n_v__{c}")), F.lit(c)
                     )
                     for c in compare_cols
                 ]

@@ -27,10 +27,11 @@ consumer (streaming or batch) sees one row per (key, bucket):
   in any engine that folds lists sequentially (DuckDB LIST_SUM).
 - ``rolling_median``: exact windowed median (Spark ``percentile`` over
   a ROWS frame ≡ DuckDB ``QUANTILE_CONT`` — both linear-interpolating).
-- ``mad_outliers``: median / median-absolute-deviation fences computed
-  once per group (exact percentiles, one aggregate pass broadcast back)
-  — the robust alternative to z-scores whose mean/stddev a single
-  100 TB-scale outlier drags.
+- ``mad_outliers``: median / median-absolute-deviation fences as two
+  chained unbounded window percentiles over one group partitioning
+  (ONE FileScan, ONE exchange — never agg+join branches, which Spark
+  re-executes per branch) — the robust alternative to z-scores whose
+  mean/stddev a single 100 TB-scale outlier drags.
 
 Scale shape: the expensive input (raw events) is aggregated to the
 bucket grain FIRST — every window/join here runs on the bucket-grain
@@ -48,6 +49,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for use inside ``F.expr`` — column
+    names with spaces/dots/backticks must not be pasted raw into SQL
+    text (both a breakage and an injection vector)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def gapfill(
     df: DataFrame,
     keys: list[str],
@@ -55,6 +63,7 @@ def gapfill(
     step: str,
     fills: dict[str, str],
     mark_gaps: bool = True,
+    max_gap_buckets: int | None = 100_000,
 ) -> DataFrame:
     """Fill missing buckets of an already-bucketed frame.
 
@@ -70,6 +79,23 @@ def gapfill(
     observations, weighting by microsecond distance, rounded to 6dp on
     FILLED rows only (observed values pass through untouched).
     ``mark_gaps`` adds a BOOLEAN ``is_gap`` column.
+
+    NULL contract: a row with a NULL value in a fill column is still an
+    OBSERVATION — LOCF carries the NULL across its segment and linear
+    treats it as an endpoint (yielding NULL fills), exactly as stored.
+    This is carry-as-is semantics, NOT IGNORE-NULLS LOCF; pre-filter
+    NULL-valued rows (``df.where(col.isNotNull())``) when the last
+    NON-NULL observation should carry instead. Deliberate: silently
+    skipping NULLs inside the operator would conflate "sensor sent
+    nothing" with "sensor sent an explicit null".
+
+    ``max_gap_buckets`` bounds ONE gap's width (buckets between two
+    consecutive observations of a key). Each segment materializes its
+    grid as one in-task array, so a pathological key — e.g. observed
+    twice a year on a millisecond grid — would otherwise build a
+    multi-billion-element array and blow the task. Exceeding the bound
+    raises at execution time (explicit failure beats a mystery OOM);
+    pass ``None`` to disable.
     """
     if not fills:
         raise ValueError("gapfill: no fill columns given")
@@ -85,13 +111,31 @@ def gapfill(
     # each observation owns the buckets [its own, next observation):
     # the last observation per key owns only itself — a gap after the
     # final observation does not exist (the grid ends at max(bts))
+    grid_end = F.coalesce(F.col("_nxt_t") - interval, F.col(time_col))
+    if max_gap_buckets is not None:
+        # gap width in buckets, computed ARITHMETICALLY (before any
+        # array exists): step length in micros via epoch + interval
+        step_us = F.unix_micros(F.timestamp_seconds(F.lit(0)) + interval)
+        n_gap = (
+            F.unix_micros(F.col("_nxt_t")) - F.unix_micros(F.col(time_col))
+        ) / step_us
+        # the guard lives INSIDE the sequence's end expression so column
+        # pruning cannot drop it
+        grid_end = F.when(
+            n_gap > F.lit(max_gap_buckets),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"gapfill: gap wider than max_gap_buckets="
+                        f"{max_gap_buckets} buckets at {time_col}="
+                    ),
+                    F.col(time_col).cast("string"),
+                )
+            ).cast("timestamp"),
+        ).otherwise(grid_end)
     seg = seg.withColumn(
         "_grid",
-        F.sequence(
-            F.col(time_col),
-            F.coalesce(F.col("_nxt_t") - interval, F.col(time_col)),
-            interval,
-        ),
+        F.sequence(F.col(time_col), grid_end, interval),
     ).withColumn("_t", F.explode("_grid"))
     observed = F.col("_t") == F.col(time_col)
     out_cols = list(keys)
@@ -127,6 +171,42 @@ def gapfill(
     return seg.select(*sel)
 
 
+def resample(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    step: str,
+    aggs: dict[str, "F.Column"],
+    fills: dict[str, str],
+    mark_gaps: bool = True,
+    max_gap_buckets: int | None = 100_000,
+) -> DataFrame:
+    """Bucket → aggregate → gap-fill as ONE call — the single most
+    common telemetry operation (downsample a raw event stream to a
+    dense regular grid).
+
+    ``aggs`` maps output column → aggregate Column (evaluated per
+    (keys, step)-bucket); ``fills`` maps those output columns → gapfill
+    method (``"locf"`` | ``"linear"`` | ``"zero"`` | ``"null"``). The
+    raw corpus is touched exactly ONCE (the bucket aggregate, with
+    map-side partial aggregation); everything after runs at the
+    keys × buckets grain — gapfill's plan contract unchanged.
+    """
+    unknown = [c for c in fills if c not in aggs]
+    if unknown:
+        raise ValueError(f"resample: fill columns without an agg: {unknown}")
+    # an agg column with no fill method appears NULL on gap rows
+    fills = {**{c: "null" for c in aggs}, **fills}
+    bucketed = (
+        df.groupBy(*keys, F.window(time_col, step).alias("_w"))
+        .agg(*[a.alias(c) for c, a in aggs.items()])
+        .select(*keys, F.col("_w.start").alias(time_col), *aggs.keys())
+    )
+    return gapfill(
+        bucketed, keys, time_col, step, fills, mark_gaps, max_gap_buckets
+    )
+
+
 def ewma(
     df: DataFrame,
     keys: list[str],
@@ -151,6 +231,13 @@ def ewma(
     exact integer 2^n − 1 happens last. Replays bit-identically against
     DuckDB's LIST_SUM(LIST_TRANSFORM(...)) — no rounding slack needed
     before the final presentation rounding.
+
+    NULL contract: ``collect_list`` drops NULL values, so a NULL bucket
+    SHRINKS the window (the remaining values' weights renormalize over
+    a shorter list) rather than contributing zero. An oracle replaying
+    this must filter NULLs symmetrically (DuckDB ``LIST()`` keeps
+    them); run :func:`gapfill` first — its contract guarantees a dense,
+    LOCF-carried grid — or pre-filter NULL rows.
     """
     if not 1 <= window <= 52:
         raise ValueError("ewma: window must be in [1, 52] (exact-float weights)")
@@ -198,7 +285,7 @@ def rolling_median(
         .orderBy(time_col)
         .rowsBetween(-(n_buckets - 1), 0)
     )
-    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    med = F.expr(f"percentile({_bt(value_col)}, 0.5)").over(w)
     return df.withColumn(out_col, F.round(med, 6))
 
 
@@ -213,23 +300,21 @@ def mad_outliers(
 
     Robust where z-scores break: one 100 TB-scale wild value moves the
     mean and inflates the stddev enough to hide itself (the population
-    z ceiling is √(n−1)); the median and MAD barely move. Two exact
-    percentile aggregates per group, broadcast back. The plan reads the
-    input three times (med agg, mad agg, output rows — Spark re-executes
-    shared subplans), so feed it the BUCKET-GRAIN frame, not the raw
-    corpus. MAD == 0 (over half the group identical) flags any
-    deviation, matching the strict > fence."""
-    med_per = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
-    )
-    with_med = df.join(F.broadcast(med_per), group_cols)
-    mad_per = (
-        with_med.withColumn("_ad", F.abs(F.col(value_col) - F.col("med")))
-        .groupBy(*group_cols)
-        .agg(F.expr("percentile(_ad, 0.5)").alias("mad"))
-    )
+    z ceiling is √(n−1)); the median and MAD barely move.
+
+    Plan shape: two chained UNBOUNDED window percentiles over the SAME
+    ``partitionBy(group_cols)`` — ONE FileScan, ONE hash exchange, no
+    aggregate+join branches. (The earlier agg/broadcast-join draft made
+    Spark re-execute the shared input subplan once per branch — 4 scans
+    of the corpus; the window form keeps every group's rows in one
+    partition and computes both percentiles in place. Same trap the
+    chi_square draft hit; see DEVNOTES.) MAD == 0 (over half the group
+    identical) flags any deviation, matching the strict > fence."""
+    wg = Window.partitionBy(*group_cols)
+    vq = _bt(value_col)
     return (
-        with_med.join(F.broadcast(mad_per), group_cols)
+        df.withColumn("med", F.expr(f"percentile({vq}, 0.5)").over(wg))
+        .withColumn("mad", F.expr(f"percentile(abs({vq} - med), 0.5)").over(wg))
         .withColumn(
             "is_outlier",
             F.abs(F.col(value_col) - F.col("med")) > F.lit(k) * F.col("mad"),

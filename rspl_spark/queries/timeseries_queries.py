@@ -233,3 +233,176 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         F.col("is_outlier").cast("long").alias("is_outlier"),
     ).orderBy("event_type", "bts")
+
+
+# ------------------------------------------------------ streaming parity
+# The streaming twins (streaming/timeseries.py) observed to a finite
+# in-order prefix (availableNow over mtime-ordered chunks) must equal
+# the batch grid — so they get FULL oracles, not rows-only checks: the
+# same reference discipline (streams/mod.rs:62-77 finite-prefix
+# observation) the other streaming parity tests use, lifted into the
+# correctness gate itself.
+
+
+def _stream_obs(spark: SparkSession, sf_dir: str, n_chunks: int = 3):
+    """The q_gapfill obs frame chunked into in-order micro-batches on a
+    temp dir; returns (dir, streaming DataFrame). The caller's sink run
+    completes before the gate returns, so the dir only needs to outlive
+    this call (reaped by the OS tmp cleaner; a few KB at gate scale)."""
+    import tempfile
+
+    from rspl_spark.streaming.sources import file_stream, write_stream_chunks
+
+    obs = _bucketed(spark, sf_dir, "user_id").drop("n")
+    pdf = obs.orderBy("bts", "user_id").toPandas()
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    chunks = [
+        spark.createDataFrame(pdf.iloc[i : i + size], obs.schema)
+        for i in range(0, len(pdf), size)
+    ]
+    tmp = tempfile.mkdtemp(prefix="rspl_ts_stream_")
+    write_stream_chunks(spark, tmp, chunks)
+    return file_stream(spark, tmp, "user_id long, bts timestamp, v double")
+
+
+def _drain(out: DataFrame, name: str) -> DataFrame:
+    import uuid
+
+    from rspl_spark.streaming.sources import run_to_memory_sink
+
+    table = f"{name}_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(out, table, timeout_s=300)
+    return out.sparkSession.table(table)
+
+
+_STREAM_LOCF_ORACLE = (
+    _GAPFILL_CTES.format(key="user_id")
+    + """
+SELECT CAST(k AS VARCHAR) AS user_id, CAST(bts AS TIMESTAMP) AS bts,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bts ROWS UNBOUNDED PRECEDING) AS v,
+       CAST(NOT observed AS BIGINT) AS is_gap
+FROM grid
+ORDER BY user_id, bts
+"""
+)
+
+
+@query(
+    "q_gapfill_stream_locf",
+    oracle=_STREAM_LOCF_ORACLE,
+    tags=("timeseries", "streaming"),
+)
+def q_gapfill_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gapfill_stream (keyed applyInPandasWithState; O(1) state: last
+    bucket + one double per fill column) over an in-order 3-chunk file
+    stream — the appended rows across all micro-batches ARE the batch
+    LOCF grid."""
+    from rspl_spark.streaming.timeseries import gapfill_stream
+
+    stream = _stream_obs(spark, sf_dir)
+    out = gapfill_stream(stream, "user_id", "bts", "6 hours", {"v": "locf"})
+    got = _drain(out, "t_q_gapfill_stream")
+    return got.select(
+        "user_id", "bts", "v", F.col("is_gap").cast("long").alias("is_gap")
+    ).orderBy("user_id", "bts")
+
+
+_STREAM_EWMA_ORACLE = (
+    _OBS_CTE.format(key="user_id")
+    + f""",
+lw AS (
+  SELECT k, bts, v,
+         LIST(v) OVER (PARTITION BY k ORDER BY bts
+                       ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW) AS l
+  FROM obs
+)
+SELECT CAST(k AS VARCHAR) AS user_id, CAST(bts AS TIMESTAMP) AS bts, v,
+       ROUND(
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(l) + 1),
+                  i -> l[i] * ({_PW_SQL})[LEN(l) - i + 1]))
+         / (2.0 - 2.0 * ({_PW_SQL})[LEN(l) + 1]), 6) AS ewma
+FROM lw
+ORDER BY user_id, bts
+"""
+)
+
+
+@query(
+    "q_ewma_stream",
+    oracle=_STREAM_EWMA_ORACLE,
+    tags=("timeseries", "streaming"),
+)
+def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewma_stream (keyed state = trailing ≤16 doubles) over the same
+    chunked stream — bit-exact against the batch fold: the Python
+    accumulation replays the identical IEEE-double sequence, so the
+    oracle needs no extra slack."""
+    from rspl_spark.streaming.timeseries import ewma_stream
+
+    stream = _stream_obs(spark, sf_dir)
+    out = ewma_stream(stream, "user_id", "bts", "v", window=_EWMA_W)
+    got = _drain(out, "t_q_ewma_stream")
+    return got.select("user_id", "bts", "v", "ewma").orderBy("user_id", "bts")
+
+
+# --------------------------------------------------------------- resample
+# bucket → aggregate → gapfill as ONE operator call — the single most
+# common telemetry query. The corpus is scanned once (plan-pinned in
+# tests/test_timeseries.py); fills exercise all three grid methods at
+# once (locf value, zero-filled count, null-on-gap sum).
+
+_RESAMPLE_ORACLE = """
+WITH obs AS (
+  SELECT user_id AS k, TIME_BUCKET(INTERVAL 6 HOUR, ts) AS bts,
+         MIN(value) AS v, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT k, MIN(bts) AS t0, MAX(bts) AS t1 FROM obs GROUP BY k),
+spine AS (
+  SELECT k, UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS bts FROM bounds
+),
+grid AS (
+  SELECT s.k, s.bts, o.v, o.n, o.sv, (o.k IS NOT NULL) AS observed
+  FROM spine s LEFT JOIN obs o ON s.k = o.k AND s.bts = o.bts
+)
+SELECT k AS user_id, CAST(bts AS TIMESTAMP) AS bts,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bts ROWS UNBOUNDED PRECEDING) AS v,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       sv,
+       CAST(NOT observed AS BIGINT) AS is_gap
+FROM grid
+ORDER BY user_id, bts
+"""
+
+
+@query("q_resample", oracle=_RESAMPLE_ORACLE, tags=("timeseries", "window"))
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call downsample: events → dense per-user 6-hour grid with
+    LOCF'd min, zero-filled event count, and NULL-on-gap sum — the
+    composite `resample` (operators/timeseries.py) chaining bucket agg
+    and gapfill over ONE corpus scan."""
+    from rspl_spark.operators.timeseries import resample
+
+    e = load(spark, sf_dir, "events")
+    out = resample(
+        e,
+        ["user_id"],
+        "ts",
+        "6 hours",
+        aggs={
+            "v": F.min("value"),
+            "n": F.count(F.lit(1)).cast("long"),
+            "sv": F.round(F.sum("value"), 6),
+        },
+        fills={"v": "locf", "n": "zero"},
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bts"),
+        "v",
+        "n",
+        "sv",
+        F.col("is_gap").cast("long").alias("is_gap"),
+    ).orderBy("user_id", "bts")

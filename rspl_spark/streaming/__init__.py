@@ -25,3 +25,7 @@ from rspl_spark.streaming.stateful import (  # noqa: F401
     run_mealy_stream_tws,
 )
 from rspl_spark.streaming.analytics import streaming_funnel  # noqa: F401
+from rspl_spark.streaming.timeseries import (  # noqa: F401
+    ewma_stream,
+    gapfill_stream,
+)

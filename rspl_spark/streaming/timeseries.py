@@ -1,0 +1,259 @@
+"""Streaming forms of the regular-grid time-series operators
+(operators/timeseries.py): incremental gap-fill and exact-replay EWMA
+over an unbounded bucket-grain stream.
+
+This is the module's own motivating story closed end-to-end: the
+reference's paced combinators (src/combinators.rs, the hics
+demand-driven meter) consume a DENSE tick stream; telemetry arrives
+sparse AND unbounded. The batch operators rebuild the dense grid over
+a finite frame; these rebuild it per micro-batch with
+``applyInPandasWithState`` keyed state — the same
+states-as-continuations discipline as ``streaming_funnel``
+(tests/events.rs:32-55).
+
+Semantics vs batch (asserted in tests/test_timeseries_streaming.py):
+
+- ``gapfill_stream`` ≡ batch ``gapfill`` on the same in-order finite
+  prefix, for the STREAMABLE fill methods: ``locf`` / ``zero`` /
+  ``null``. ``linear`` is deliberately absent — it needs the NEXT
+  observation (lookahead), so its streaming form would have to buffer
+  a gap until the closing observation arrives; run the batch operator
+  over a replay for interpolation.
+- ``ewma_stream`` ≡ batch ``ewma`` bit-exactly: the per-key state is
+  the trailing ``window`` values, and the fold replays the identical
+  IEEE-double sequence (same exact power-of-two weights, same
+  oldest→newest accumulation order, one final division — pandas/Python
+  floats ARE the same doubles Spark folds JVM-side).
+
+Arrival contract (same as streaming_funnel): rows arrive in event-time
+order across micro-batches for each key; a row at or before the key's
+last-seen bucket is LATE and is dropped (counted nowhere — the batch
+operator over a full replay is the backstop, exactly as with
+dedup_store). State per key is O(1): last bucket + one double per fill
+column (gapfill), or ≤``window`` doubles (ewma) — no growth with
+stream length.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_GAPFILL_STATE = StructType(
+    [
+        StructField("last_ns", LongType()),
+        StructField("last_vals", ArrayType(DoubleType())),
+    ]
+)
+
+_STREAM_FILLS = ("locf", "zero", "null")
+
+
+def gapfill_stream(
+    obs: DataFrame,
+    key_col: str,
+    time_col: str,
+    step: str,
+    fills: dict[str, str],
+    mark_gaps: bool = True,
+) -> DataFrame:
+    """Emit one row per (key, bucket) — observed rows as-is, gap rows
+    filled per ``fills`` (``"locf"`` | ``"zero"`` | ``"null"``) — as
+    the dense grid grows with the stream.
+
+    ``obs`` must already be at bucket grain (one row per key+bucket,
+    see batch ``gapfill``); ``step`` is a pandas-parsable interval
+    (``"6 hours"``). Fill columns are emitted as DOUBLE (state holds
+    doubles); the key is emitted as STRING. Append mode: each
+    micro-batch appends the buckets from the key's previous frontier
+    (exclusive) up to its newest observation. NULL observed values
+    carry as-is, matching the batch contract.
+    """
+    if not fills:
+        raise ValueError("gapfill_stream: no fill columns given")
+    for c, m in fills.items():
+        if m not in _STREAM_FILLS:
+            raise ValueError(
+                f"gapfill_stream: method {m!r} for column {c!r} not streamable"
+                " (linear needs lookahead — use batch gapfill over a replay)"
+            )
+    step_ns = int(pd.Timedelta(step).value)
+    if step_ns <= 0:
+        raise ValueError("gapfill_stream: step must be positive")
+    vcols = list(fills)
+    out_fields = [f"`{key_col}` string", f"`{time_col}` timestamp"]
+    out_fields += [f"`{c}` double" for c in vcols]
+    if mark_gaps:
+        out_fields.append("`is_gap` boolean")
+    out_schema = ", ".join(out_fields)
+
+    def proc(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ns, last_vals = state.get
+            last_vals = list(last_vals)
+        else:
+            last_ns, last_vals = None, None
+        chunks = [p for p in pdfs if len(p)]
+        out_t: list[int] = []
+        out_v: list[list[float | None]] = []
+        out_gap: list[bool] = []
+
+        def _fill_row(prev: list[float | None]) -> list[float | None]:
+            row: list[float | None] = []
+            for c, v in zip(vcols, prev):
+                m = fills[c]
+                row.append(v if m == "locf" else 0.0 if m == "zero" else None)
+            return row
+
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                time_col, kind="mergesort"
+            )
+            ts_ns = batch[time_col].astype("int64").tolist()
+            vals = [
+                [None if pd.isna(v) else float(v) for v in batch[c].tolist()]
+                for c in vcols
+            ]
+            for i, t in enumerate(ts_ns):
+                if last_ns is not None and t <= last_ns:
+                    continue  # late/duplicate arrival: documented drop
+                if last_ns is not None:
+                    g = last_ns + step_ns
+                    while g < t:
+                        out_t.append(g)
+                        out_v.append(_fill_row(last_vals))
+                        out_gap.append(True)
+                        g += step_ns
+                row = [vals[j][i] for j in range(len(vcols))]
+                out_t.append(t)
+                out_v.append(row)
+                out_gap.append(False)
+                last_ns, last_vals = t, row
+        state.update((last_ns, last_vals))
+        if out_t:
+            data = {
+                key_col: [str(key[0])] * len(out_t),
+                time_col: pd.to_datetime(out_t, unit="ns"),
+            }
+            for j, c in enumerate(vcols):
+                data[c] = [r[j] for r in out_v]
+            if mark_gaps:
+                data["is_gap"] = out_gap
+            yield pd.DataFrame(data)
+
+    return (
+        obs.select(key_col, time_col, *vcols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            proc,
+            outputStructType=out_schema,
+            stateStructType=_GAPFILL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ewma_stream(
+    obs: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    window: int = 16,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Streaming twin of batch ``ewma``: trailing-``window`` EWMA with
+    decay 1/2 per bucket, REPLAYING THE BATCH ARITHMETIC BIT-EXACTLY
+    (exact power-of-two weights, sequential oldest→newest fold, one
+    final division, round 6 — see the batch docstring's determinism
+    contract; Python floats are the same IEEE doubles).
+
+    One output row per in-order observation. NULL values shrink the
+    window (never enter the state tail), matching batch collect_list;
+    the NULL row itself emits the EWMA of the tail so far (NULL when
+    the tail is empty). Late rows (at or before the key's last bucket)
+    are dropped. State per key: last bucket + ≤window doubles.
+    """
+    if not 1 <= window <= 52:
+        raise ValueError("ewma_stream: window must be in [1, 52]")
+    out_schema = (
+        f"`{key_col}` string, `{time_col}` timestamp,"
+        f" `{value_col}` double, `{out_col}` double"
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ns", LongType()),
+            StructField("tail", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _ewma(tail: list[float]) -> float | None:
+        n = len(tail)
+        if n == 0:
+            return None
+        num = 0.0
+        for i, x in enumerate(tail):  # oldest→newest, same fold order
+            num += x * 2.0 ** -(n - 1 - i)
+        return round(num / (2.0 - 2.0 ** -(n - 1)), 6)
+
+    def proc(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ns, tail = state.get
+            tail = list(tail)
+        else:
+            last_ns, tail = None, []
+        chunks = [p for p in pdfs if len(p)]
+        out_t: list[int] = []
+        out_x: list[float | None] = []
+        out_e: list[float | None] = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                time_col, kind="mergesort"
+            )
+            ts_ns = batch[time_col].astype("int64").tolist()
+            xs = batch[value_col].tolist()
+            for t, x in zip(ts_ns, xs):
+                if last_ns is not None and t <= last_ns:
+                    continue
+                if pd.isna(x):
+                    out_t.append(t)
+                    out_x.append(None)
+                    out_e.append(_ewma(tail))
+                else:
+                    tail.append(float(x))
+                    if len(tail) > window:
+                        tail = tail[-window:]
+                    out_t.append(t)
+                    out_x.append(float(x))
+                    out_e.append(_ewma(tail))
+                last_ns = t
+        state.update((last_ns, tail))
+        if out_t:
+            yield pd.DataFrame(
+                {
+                    key_col: [str(key[0])] * len(out_t),
+                    time_col: pd.to_datetime(out_t, unit="ns"),
+                    value_col: out_x,
+                    out_col: out_e,
+                }
+            )
+
+    return (
+        obs.select(key_col, time_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            proc,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,209 @@
+"""Streaming ≡ batch parity for the time-series operators: the dense
+grid that gapfill_stream/ewma_stream grow incrementally over a chunked
+in-order stream must equal the batch gapfill/ewma over the same finite
+prefix — the reference's finite-prefix observation discipline
+(streams/mod.rs:62-77), the same harness as test_streaming_parity.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+from rspl_spark.operators.timeseries import ewma, gapfill
+from rspl_spark.streaming import (
+    ewma_stream,
+    file_stream,
+    gapfill_stream,
+    write_stream_chunks,
+)
+from rspl_spark.streaming.sources import run_to_memory_sink
+
+SF = "/root/testdata/sf0.001"
+_SCHEMA = "user_id long, bts timestamp, v double"
+
+
+def _bucketed(spark):
+    """events → (user_id, 6h bucket, min value): the gates' obs frame."""
+    e = load(spark, SF, "events")
+    return (
+        e.groupBy("user_id", F.window("ts", "6 hours").alias("w"))
+        .agg(F.min("value").alias("v"))
+        .select("user_id", F.col("w.start").alias("bts"), "v")
+    )
+
+
+def _chunks(spark, obs, n):
+    """Split the bucket frame into bts-ordered chunks (in-order arrival)."""
+    pdf = obs.orderBy("bts", "user_id").toPandas()
+    size = (len(pdf) + n - 1) // n
+    schema = obs.schema
+    return [
+        spark.createDataFrame(pdf.iloc[i : i + size], schema)
+        for i in range(0, len(pdf), size)
+    ]
+
+
+def test_gapfill_stream_matches_batch_locf(spark):
+    obs = _bucketed(spark)
+    expected = {
+        (str(r["user_id"]), str(r["bts"]), r["v"], r["is_gap"])
+        for r in gapfill(obs, ["user_id"], "bts", "6 HOURS", {"v": "locf"}).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, _chunks(spark, obs, 4))
+        stream = file_stream(spark, tmp, _SCHEMA)
+        out = gapfill_stream(stream, "user_id", "bts", "6 hours", {"v": "locf"})
+        run_to_memory_sink(out, "t_gapfill_parity", timeout_s=180)
+        got = {
+            (r["user_id"], str(r["bts"]), r["v"], r["is_gap"])
+            for r in spark.table("t_gapfill_parity").collect()
+        }
+    assert got == expected
+    assert len(got) > obs.count()  # gaps actually exist in the data
+
+
+def test_gapfill_stream_cross_batch_gap_and_late_drop(spark):
+    """A gap spanning a micro-batch boundary fills exactly once, and a
+    late (≤ frontier) arrival is dropped, not re-emitted."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def chunk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [1] * len(rows),
+                    "bts": [t0 + dt.timedelta(hours=h) for h, _ in rows],
+                    "v": [v for _, v in rows],
+                }
+            ),
+            _SCHEMA,
+        )
+
+    chunks = [
+        chunk([(0, 10.0)]),
+        chunk([(18, 40.0), (6, 99.0)]),  # 2-bucket gap + in-batch order fix
+        chunk([(12, 77.0)]),  # LATE: behind the frontier → dropped
+        chunk([(24, 50.0)]),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, _SCHEMA)
+        out = gapfill_stream(stream, "user_id", "bts", "6 hours", {"v": "locf"})
+        run_to_memory_sink(out, "t_gapfill_late", timeout_s=180)
+        rows = sorted(
+            (r["bts"], r["v"], r["is_gap"])
+            for r in spark.table("t_gapfill_late").collect()
+        )
+    hours = [(int((t - t0).total_seconds() // 3600), v, g) for t, v, g in rows]
+    assert hours == [
+        (0, 10.0, False),
+        (6, 99.0, False),  # arrived out of order INSIDE a batch: sorted in
+        (12, 99.0, True),  # the late 12h row was dropped; gap filled by LOCF
+        (18, 40.0, False),
+        (24, 50.0, False),
+    ]
+
+
+def test_gapfill_stream_zero_and_null_fills(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    c = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "bts": [t0, t0 + dt.timedelta(hours=12)],
+                "v": [5.0, 7.0],
+            }
+        ),
+        _SCHEMA,
+    )
+    for method, want in (("zero", 0.0), ("null", None)):
+        with tempfile.TemporaryDirectory() as tmp:
+            write_stream_chunks(spark, tmp, [c])
+            stream = file_stream(spark, tmp, _SCHEMA)
+            out = gapfill_stream(stream, "user_id", "bts", "6 hours", {"v": method})
+            run_to_memory_sink(out, f"t_gapfill_{method}", timeout_s=180)
+            gap = [
+                r["v"]
+                for r in spark.table(f"t_gapfill_{method}").collect()
+                if r["is_gap"]
+            ]
+        assert gap == [want]
+
+
+def test_gapfill_stream_rejects_linear(spark):
+    obs = _bucketed(spark)
+    with pytest.raises(ValueError, match="not streamable"):
+        gapfill_stream(obs, "user_id", "bts", "6 hours", {"v": "linear"})
+    with pytest.raises(ValueError, match="no fill columns"):
+        gapfill_stream(obs, "user_id", "bts", "6 hours", {})
+
+
+def test_ewma_stream_matches_batch_bit_exact(spark):
+    """Final streamed EWMA per (key, bucket) == batch ewma — EXACT
+    equality (same IEEE fold), not approximate."""
+    obs = _bucketed(spark)
+    expected = {
+        (str(r["user_id"]), str(r["bts"])): r["ewma"]
+        for r in ewma(obs, ["user_id"], "bts", "v", window=16).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, _chunks(spark, obs, 4))
+        stream = file_stream(spark, tmp, _SCHEMA)
+        out = ewma_stream(stream, "user_id", "bts", "v", window=16)
+        run_to_memory_sink(out, "t_ewma_parity", timeout_s=180)
+        got = {
+            (r["user_id"], str(r["bts"])): r["ewma"]
+            for r in spark.table("t_ewma_parity").collect()
+        }
+    assert got == expected  # bit-exact, every row
+
+
+def test_ewma_stream_window_truncation_across_batches(spark):
+    """The state tail truncates to `window` across micro-batch
+    boundaries (not within one batch only)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def chunk(pairs):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [1] * len(pairs),
+                    "bts": [t0 + dt.timedelta(hours=6 * i) for i, _ in pairs],
+                    "v": [v for _, v in pairs],
+                }
+            ),
+            _SCHEMA,
+        )
+
+    chunks = [chunk([(0, 0.0), (1, 1.0)]), chunk([(2, 2.0)]), chunk([(3, 3.0)])]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, _SCHEMA)
+        out = ewma_stream(stream, "user_id", "bts", "v", window=2)
+        run_to_memory_sink(out, "t_ewma_trunc", timeout_s=180)
+        got = {str(r["bts"]): r["ewma"] for r in spark.table("t_ewma_trunc").collect()}
+    # window=2 → ewma = (prev + 2·cur)/3 from the 2nd row on
+    assert got[str(t0 + dt.timedelta(hours=12))] == round((1.0 + 2 * 2.0) / 3, 6)
+    assert got[str(t0 + dt.timedelta(hours=18))] == round((2.0 + 2 * 3.0) / 3, 6)
+
+
+def test_ewma_stream_validates_window(spark):
+    obs = _bucketed(spark)
+    with pytest.raises(ValueError, match="window"):
+        ewma_stream(obs, "user_id", "bts", "v", window=0)
