@@ -309,7 +309,13 @@ def mad_outliers(
     of the corpus; the window form keeps every group's rows in one
     partition and computes both percentiles in place. Same trap the
     chi_square draft hit; see DEVNOTES.) MAD == 0 (over half the group
-    identical) flags any deviation, matching the strict > fence."""
+    identical) flags any deviation, matching the strict > fence.
+
+    Scale bound: an EXACT percentile needs the whole group's values in
+    one place in any formulation; the window form additionally keeps
+    the group's rows co-located. Feed it a BOUNDED-group frame (the
+    bucket grain: ≤ span/step rows per group) — for huge raw groups
+    use approx_percentile fences instead."""
     wg = Window.partitionBy(*group_cols)
     vq = _bt(value_col)
     return (

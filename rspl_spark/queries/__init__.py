@@ -52,6 +52,7 @@ def load_registry() -> dict[str, QuerySpec]:
         aggregation,
         curation,
         dsl_queries,
+        graph_queries,
         joins,
         llm_ops,
         pipeline_ops,

@@ -246,9 +246,9 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_obs(spark: SparkSession, sf_dir: str, n_chunks: int = 3):
     """The q_gapfill obs frame chunked into in-order micro-batches on a
-    temp dir; returns (dir, streaming DataFrame). The caller's sink run
-    completes before the gate returns, so the dir only needs to outlive
-    this call (reaped by the OS tmp cleaner; a few KB at gate scale)."""
+    temp dir; returns (streaming DataFrame, dir). The sink run in
+    ``_drain`` completes before the gate returns, after which the dir
+    is deleted there."""
     import tempfile
 
     from rspl_spark.streaming.sources import file_stream, write_stream_chunks
@@ -262,16 +262,23 @@ def _stream_obs(spark: SparkSession, sf_dir: str, n_chunks: int = 3):
     ]
     tmp = tempfile.mkdtemp(prefix="rspl_ts_stream_")
     write_stream_chunks(spark, tmp, chunks)
-    return file_stream(spark, tmp, "user_id long, bts timestamp, v double")
+    return file_stream(spark, tmp, "user_id long, bts timestamp, v double"), tmp
 
 
-def _drain(out: DataFrame, name: str) -> DataFrame:
+def _drain(out: DataFrame, name: str, tmp_dir: str) -> DataFrame:
+    """Run the stream to completion into a memory table, then reap the
+    chunk dir (the availableNow run has fully consumed it; the memory
+    table is independent of the files)."""
+    import shutil
     import uuid
 
     from rspl_spark.streaming.sources import run_to_memory_sink
 
     table = f"{name}_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(out, table, timeout_s=300)
+    try:
+        run_to_memory_sink(out, table, timeout_s=300)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out.sparkSession.table(table)
 
 
@@ -300,9 +307,9 @@ def q_gapfill_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOCF grid."""
     from rspl_spark.streaming.timeseries import gapfill_stream
 
-    stream = _stream_obs(spark, sf_dir)
+    stream, tmp = _stream_obs(spark, sf_dir)
     out = gapfill_stream(stream, "user_id", "bts", "6 hours", {"v": "locf"})
-    got = _drain(out, "t_q_gapfill_stream")
+    got = _drain(out, "t_q_gapfill_stream", tmp)
     return got.select(
         "user_id", "bts", "v", F.col("is_gap").cast("long").alias("is_gap")
     ).orderBy("user_id", "bts")
@@ -340,9 +347,9 @@ def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle needs no extra slack."""
     from rspl_spark.streaming.timeseries import ewma_stream
 
-    stream = _stream_obs(spark, sf_dir)
+    stream, tmp = _stream_obs(spark, sf_dir)
     out = ewma_stream(stream, "user_id", "bts", "v", window=_EWMA_W)
-    got = _drain(out, "t_q_ewma_stream")
+    got = _drain(out, "t_q_ewma_stream", tmp)
     return got.select("user_id", "bts", "v", "ewma").orderBy("user_id", "bts")
 
 

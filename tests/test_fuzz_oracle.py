@@ -1182,3 +1182,213 @@ def test_fuzz_peak_concurrency(spark, duck):
             failures.append(seed)
         duck.unregister("iv")
     assert not failures, f"peak-concurrency fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #20: time-series gap-fill + EWMA on randomized sparse grids —
+# the segment-emission gapfill (one lead window + sequence/explode) must
+# equal an INDEPENDENT DuckDB spine formulation (bounds → generate_series
+# spine → left join → ignore-nulls window fills) for random keys, steps,
+# and gap shapes; the window EWMA must equal the LIST-window fold for
+# random window widths. (SURVEY §5 finite-prefix discipline;
+# reference root: tests/basic.rs:18-22 windowing.)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_FUZZ_SQL = """
+WITH bounds AS (SELECT k, MIN(bts) AS t0, MAX(bts) AS t1 FROM ts_obs GROUP BY k),
+spine AS (
+  SELECT k, UNNEST(generate_series(t0, t1, INTERVAL {step})) AS bts FROM bounds
+),
+grid AS (
+  SELECT s.k, s.bts, o.v, (o.k IS NOT NULL) AS observed
+  FROM spine s LEFT JOIN ts_obs o ON s.k = o.k AND s.bts = o.bts
+),
+br AS (
+  SELECT k, bts, v, observed,
+    LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN bts END IGNORE NULLS) OVER wp AS pt,
+    FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bts END IGNORE NULLS) OVER wf AS nt
+  FROM grid
+  WINDOW wp AS (PARTITION BY k ORDER BY bts ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY k ORDER BY bts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT k, CAST(bts AS TIMESTAMP) AS bts,
+  pv AS v_locf,
+  CASE WHEN observed THEN v
+       WHEN nv IS NULL THEN pv
+       WHEN pv IS NULL THEN nv
+       ELSE ROUND(pv + (nv - pv) *
+            (CAST(EPOCH_US(bts) - EPOCH_US(pt) AS DOUBLE)
+             / CAST(EPOCH_US(nt) - EPOCH_US(pt) AS DOUBLE)), 6)
+  END AS v_lin,
+  CASE WHEN observed THEN v ELSE 0.0 END AS v_zero,
+  v AS v_null,
+  CAST(NOT observed AS BIGINT) AS is_gap
+FROM br
+ORDER BY k, bts
+"""
+
+_TS_STEPS = [
+    ("30 minutes", "30 MINUTE", 1800),
+    ("2 hours", "2 HOUR", 7200),
+    ("6 hours", "6 HOUR", 21600),
+    ("1 days", "1 DAY", 86400),
+]
+
+
+def _random_sparse_obs(rng: random.Random, step_s: int) -> pd.DataFrame:
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for ki in range(rng.randrange(1, 8)):
+        idxs = sorted(rng.sample(range(60), rng.randrange(1, 25)))
+        for i in idxs:
+            rows.append(
+                (f"k{ki}", t0 + pd.Timedelta(seconds=step_s * i),
+                 round(rng.uniform(-50, 50), 3))
+            )
+    return pd.DataFrame(rows, columns=["k", "bts", "v"])
+
+
+def test_fuzz_gapfill_sparse_grids(spark, duck):
+    from rspl_spark.operators.timeseries import gapfill
+
+    failures = []
+    for seed in (3, 41, 512, 6007):
+        rng = random.Random(seed)
+        spark_step, duck_step, step_s = _TS_STEPS[seed % len(_TS_STEPS)]
+        pdf = _random_sparse_obs(rng, step_s)
+        duck.register("ts_obs", pdf)
+        df = spark.createDataFrame(pdf, "k string, bts timestamp, v double")
+        wide = (
+            df.withColumn("v_locf", F.col("v"))
+            .withColumn("v_lin", F.col("v"))
+            .withColumn("v_zero", F.col("v"))
+            .withColumn("v_null", F.col("v"))
+            .drop("v")
+        )
+        out = gapfill(
+            wide,
+            ["k"],
+            "bts",
+            spark_step,
+            {"v_locf": "locf", "v_lin": "linear", "v_zero": "zero",
+             "v_null": "null"},
+        )
+        got = _canon(
+            out.select(
+                "k", "bts", "v_locf", "v_lin", "v_zero", "v_null",
+                F.col("is_gap").cast("long").alias("is_gap"),
+            ).toPandas()
+        )
+        want = _canon(duck.sql(_GAPFILL_FUZZ_SQL.format(step=duck_step)).df())
+        if not got.equals(want):
+            failures.append(seed)
+        duck.unregister("ts_obs")
+    assert not failures, f"gapfill fuzz mismatches: {failures}"
+
+
+def _ewma_fuzz_sql(w: int) -> str:
+    pw = "[" + ", ".join(repr(2.0 ** -j) for j in range(w + 1)) + "]"
+    return f"""
+WITH lw AS (
+  SELECT k, bts, v,
+         LIST(v) OVER (PARTITION BY k ORDER BY bts
+                       ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS l
+  FROM ts_obs
+)
+SELECT k, CAST(bts AS TIMESTAMP) AS bts, v,
+       ROUND(
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(l) + 1),
+                  i -> l[i] * ({pw})[LEN(l) - i + 1]))
+         / (2.0 - 2.0 * ({pw})[LEN(l) + 1]), 6) AS ewma
+FROM lw
+ORDER BY k, bts
+"""
+
+
+def test_fuzz_ewma_random_windows(spark, duck):
+    from rspl_spark.operators.timeseries import ewma
+
+    failures = []
+    for seed in (7, 99, 1024, 31337):
+        rng = random.Random(seed)
+        w = rng.randrange(1, 21)
+        pdf = _random_sparse_obs(rng, 3600)
+        duck.register("ts_obs", pdf)
+        df = spark.createDataFrame(pdf, "k string, bts timestamp, v double")
+        got = _canon(
+            ewma(df, ["k"], "bts", "v", window=w)
+            .select("k", "bts", "v", "ewma")
+            .toPandas()
+        )
+        want = _canon(duck.sql(_ewma_fuzz_sql(w)).df())
+        if not got.equals(want):
+            failures.append((seed, w))
+        duck.unregister("ts_obs")
+    assert not failures, f"ewma fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #21: PageRank on random directed graphs — the checkpointed
+# Spark power loop (operators/graph.py) must equal a DuckDB replay that
+# UNROLLS the same synchronous iterations as plain CTEs, across random
+# topologies (including dangling nodes and multi-edges collapsed via
+# distinct), damping factors, and iteration counts.
+# ---------------------------------------------------------------------------
+
+
+def _pr_fuzz_sql(damping: float, n_iter: int) -> str:
+    head = """
+WITH nodes AS (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM pr_edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        its.append(f""",
+c{k} AS (SELECT e.dst AS node, SUM(r.rank / deg.d) AS contrib
+         FROM pr_edges e JOIN r{p} r ON e.src = r.node
+         JOIN deg ON deg.src = e.src GROUP BY e.dst),
+d{k} AS (SELECT COALESCE(SUM(rank), 0) AS dmass FROM r{p}
+         WHERE node NOT IN (SELECT src FROM deg)),
+r{k} AS (SELECT n.node,
+    (1 - {damping!r}) / (SELECT n FROM nn)
+    + {damping!r} * (COALESCE(c.contrib, 0)
+                     + (SELECT dmass FROM d{k}) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""")
+    return head + "".join(its) + f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter} ORDER BY node
+"""
+
+
+def test_fuzz_pagerank_random_graphs(spark, duck):
+    from rspl_spark.operators.graph import pagerank
+
+    failures = []
+    for seed in (11, 202, 4093):
+        rng = random.Random(seed)
+        n_nodes = rng.randrange(8, 40)
+        nodes = [f"v{i}" for i in range(n_nodes)]
+        pairs = {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(rng.randrange(n_nodes, n_nodes * 4))
+        }
+        pairs = sorted((s, d) for s, d in pairs if s != d)
+        damping = rng.choice([0.5, 0.85, 0.9])
+        n_iter = rng.randrange(1, 5)
+        pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+        duck.register("pr_edges", pdf)
+        e = spark.createDataFrame(pdf, "src string, dst string")
+        got = _canon(
+            pagerank(e, n_iter=n_iter, damping=damping)
+            .select("node", F.round("rank", 6).alias("rank"))
+            .toPandas()
+        )
+        want = _canon(duck.sql(_pr_fuzz_sql(damping, n_iter)).df())
+        if not got.equals(want):
+            failures.append((seed, damping, n_iter))
+        duck.unregister("pr_edges")
+    assert not failures, f"pagerank fuzz mismatches: {failures}"
