@@ -333,6 +333,62 @@ def _bigram_pairs(toks: Column) -> Column:
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent
+    whitespace-token pairs: (a, b, n_ab, pmi) with
+    pmi = ln(n_ab · N / (n_a· · n·_b)) — n_a·/n·_b are the token's
+    counts as bigram FIRST/SECOND element, N the total bigram count.
+
+    The statistical upgrade over raw top-bigrams (q_top_bigrams finds
+    "of the"; PMI finds "San Francisco"): frequency is normalized away,
+    so only pairs that co-occur far above chance survive. ``min_count``
+    guards the classic PMI pathology (a hapax pair scores ln N).
+
+    One corpus scan → pair explode → ONE count shuffle at bigram-type
+    grain; the marginals are two windows over that (small) grain and
+    the grand total a 1-row broadcast. Counts convert to double before
+    the ratio (products can pass 2^53 at corpus scale — the rounding is
+    deterministic IEEE, identical in any engine, unlike BIGINT
+    overflow which wraps in Spark and promotes in DuckDB). Ranking is
+    on the ROUNDED score with (a, b) tie-break, so the top-k cut is
+    engine-stable."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = df.select(F.explode(_bigram_pairs(toks)).alias("pr"))
+    big = pairs.groupBy(
+        F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    tot = big.agg(F.sum("n_ab").alias("n_total"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    scored = (
+        big.withColumn("_na", F.sum("n_ab").over(wa))
+        .withColumn("_nb", F.sum("n_ab").over(wb))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_total").cast("double")
+                    / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.where(F.col("n_ab") >= min_count)
+        .select("a", "b", "n_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(top_k)
+    )
+
+
 def bigram_lm_score(
     df: DataFrame,
     train_filter: Column,

@@ -50,6 +50,7 @@ def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY) and return it."""
     from rspl_spark.queries import (  # noqa: F401
         aggregation,
+        behavior_queries,
         curation,
         dsl_queries,
         graph_queries,

@@ -1,0 +1,151 @@
+"""Behavioral analytics tests (operators/behavior.py): multi-cohort
+retention on hand-built activity (the events-table gate only has one
+cohort — synthetic data covers the rest), and transition matrices with
+deterministic tie-breaking.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from rspl_spark.operators.behavior import cohort_retention, transition_matrix
+
+# Mondays — date_trunc('week') boundaries
+W0 = dt.datetime(2024, 1, 1, 12, 0)
+W1 = W0 + dt.timedelta(weeks=1)
+W2 = W0 + dt.timedelta(weeks=2)
+
+
+def _events(spark, rows):
+    """rows: (user, ts[, event_type, event_id])"""
+    return spark.createDataFrame(
+        [
+            Row(
+                user_id=r[0],
+                ts=r[1],
+                event_type=r[2] if len(r) > 2 else "view",
+                event_id=r[3] if len(r) > 3 else i,
+            )
+            for i, r in enumerate(rows)
+        ]
+    )
+
+
+def test_cohort_retention_two_cohorts(spark):
+    # cohort W0: users 1,2 — user 1 returns in W1 and W2, user 2 never
+    # cohort W1: user 3 — returns in W2
+    df = _events(
+        spark,
+        [
+            (1, W0), (2, W0),
+            (1, W1), (3, W1),
+            (1, W2), (3, W2),
+            (1, W0 + dt.timedelta(days=2)),  # same week: no double count
+        ],
+    )
+    got = {
+        (str(r["cohort"]), r["offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in cohort_retention(df, "user_id", "ts", "week").collect()
+    }
+    c0, c1 = str(W0.date()), str(W1.date())
+    assert got == {
+        (c0, 0): (2, 2, 1.0),
+        (c0, 1): (1, 2, 0.5),
+        (c0, 2): (1, 2, 0.5),
+        (c1, 0): (1, 1, 1.0),
+        (c1, 1): (1, 1, 1.0),
+    }
+
+
+def test_cohort_retention_daily_period_and_validation(spark):
+    df = _events(spark, [(1, W0), (1, W0 + dt.timedelta(days=3))])
+    got = {
+        r["offset"]: r["n_active"]
+        for r in cohort_retention(df, "user_id", "ts", "day").collect()
+    }
+    assert got == {0: 1, 3: 1}
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, "user_id", "ts", "month")
+
+
+def test_transition_matrix_counts_and_rows_normalize(spark):
+    h = dt.timedelta(hours=1)
+    df = _events(
+        spark,
+        [
+            # user 1: a -> b -> a -> b   (a->b twice, b->a once)
+            (1, W0, "a", 10), (1, W0 + h, "b", 11),
+            (1, W0 + 2 * h, "a", 12), (1, W0 + 3 * h, "b", 13),
+            # user 2: a -> c             (a->c once)
+            (2, W0, "a", 20), (2, W0 + h, "c", 21),
+        ],
+    )
+    got = {
+        (r["prev_state"], r["state"]): (r["n"], r["p"])
+        for r in transition_matrix(
+            df, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_transition_matrix_tiebreak_is_deterministic(spark):
+    """Two events at the SAME timestamp: the unique id orders them, so
+    repeated runs give the identical pair multiset."""
+    df = _events(
+        spark,
+        [(1, W0, "x", 1), (1, W0, "y", 2), (1, W0 + dt.timedelta(hours=1), "z", 3)],
+    )
+    expect = {("x", "y"), ("y", "z")}
+    for _ in range(3):
+        got = {
+            (r["prev_state"], r["state"])
+            for r in transition_matrix(
+                df, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_transition_matrix_single_event_keys_contribute_nothing(spark):
+    df = _events(spark, [(1, W0, "a", 1), (2, W0, "b", 2)])
+    assert (
+        transition_matrix(
+            df, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+        ).count()
+        == 0
+    )
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI on an enumerable corpus: pmi = ln(n_ab·N / (n_a·n_b))."""
+    import math
+
+    from rspl_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [("san francisco",), ("san francisco",), ("new york",), ("new san",)],
+        "text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["pmi"])
+        for r in pmi_collocations(docs, "text", min_count=1, top_k=10).collect()
+    }
+    ln2 = round(math.log(2.0), 6)
+    # N=4 pairs; san appears twice as first, new twice as first
+    assert got == {
+        ("san", "francisco"): (2, ln2),  # ln(2*4 / (2*2))
+        ("new", "york"): (1, ln2),       # ln(1*4 / (2*1))
+        ("new", "san"): (1, ln2),        # ln(1*4 / (2*1))
+    }
+    # min_count prunes hapax pairs
+    assert (
+        pmi_collocations(docs, "text", min_count=2, top_k=10).count() == 1
+    )
