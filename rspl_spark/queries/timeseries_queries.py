@@ -413,3 +413,34 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sv",
         F.col("is_gap").cast("long").alias("is_gap"),
     ).orderBy("user_id", "bts")
+
+
+_STREAM_RMED_ORACLE = (
+    _OBS_CTE.format(key="user_id")
+    + """
+SELECT CAST(k AS VARCHAR) AS user_id, CAST(bts AS TIMESTAMP) AS bts, v,
+       ROUND(QUANTILE_CONT(v, 0.5) OVER (
+         PARTITION BY k ORDER BY bts
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rmedian
+FROM obs
+ORDER BY user_id, bts
+"""
+)
+
+
+@query(
+    "q_rolling_median_stream",
+    oracle=_STREAM_RMED_ORACLE,
+    tags=("timeseries", "streaming"),
+)
+def q_rolling_median_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_median_stream (keyed state = trailing ≤7 doubles) over
+    the chunked stream — the sorted-tail interpolation replays Spark's
+    exact percentile (lower + (upper−lower)·0.5), which ≡ DuckDB
+    QUANTILE_CONT."""
+    from rspl_spark.streaming.timeseries import rolling_median_stream
+
+    stream, tmp = _stream_obs(spark, sf_dir)
+    out = rolling_median_stream(stream, "user_id", "bts", "v", n_buckets=7)
+    got = _drain(out, "t_q_rmed_stream", tmp)
+    return got.select("user_id", "bts", "v", "rmedian").orderBy("user_id", "bts")

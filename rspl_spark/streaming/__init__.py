@@ -28,4 +28,5 @@ from rspl_spark.streaming.analytics import streaming_funnel  # noqa: F401
 from rspl_spark.streaming.timeseries import (  # noqa: F401
     ewma_stream,
     gapfill_stream,
+    rolling_median_stream,
 )

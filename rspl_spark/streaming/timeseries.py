@@ -257,3 +257,101 @@ def ewma_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rolling_median_stream(
+    obs: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    n_buckets: int = 7,
+    out_col: str = "rmedian",
+) -> DataFrame:
+    """Streaming twin of batch ``rolling_median``: exact median over
+    the trailing ``n_buckets`` in-order observations per key.
+
+    The interpolation replays Spark's ``percentile(…, 0.5)`` exactly:
+    for an even tail, ``lower + (upper − lower) * 0.5`` — the same IEEE
+    sequence, NOT ``(a+b)/2`` (which can differ in the last ulp). One
+    output row per in-order observation; late rows dropped; state per
+    key = last bucket + ≤n_buckets doubles. NULL values pass through
+    with a NULL median (they never enter the tail), mirroring how the
+    batch window percentile ignores NULLs only when a non-null frame
+    exists — run gapfill first for a dense non-null grid.
+    """
+    if n_buckets < 1:
+        raise ValueError("rolling_median_stream: n_buckets must be >= 1")
+    out_schema = (
+        f"`{key_col}` string, `{time_col}` timestamp,"
+        f" `{value_col}` double, `{out_col}` double"
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ns", LongType()),
+            StructField("tail", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _median(tail: list[float]) -> float | None:
+        n = len(tail)
+        if n == 0:
+            return None
+        s = sorted(tail)
+        # continuous percentile at q=0.5: pos = (n-1)*0.5
+        lo = (n - 1) // 2
+        if n % 2:
+            return round(s[lo], 6)
+        return round(s[lo] + (s[lo + 1] - s[lo]) * 0.5, 6)
+
+    def proc(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ns, tail = state.get
+            tail = list(tail)
+        else:
+            last_ns, tail = None, []
+        chunks = [p for p in pdfs if len(p)]
+        out_t: list[int] = []
+        out_x: list[float | None] = []
+        out_m: list[float | None] = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                time_col, kind="mergesort"
+            )
+            for t, x in zip(
+                batch[time_col].astype("int64").tolist(),
+                batch[value_col].tolist(),
+            ):
+                if last_ns is not None and t <= last_ns:
+                    continue
+                if pd.isna(x):
+                    out_x.append(None)
+                else:
+                    tail.append(float(x))
+                    if len(tail) > n_buckets:
+                        tail = tail[-n_buckets:]
+                    out_x.append(float(x))
+                out_t.append(t)
+                out_m.append(_median(tail))
+                last_ns = t
+        state.update((last_ns, tail))
+        if out_t:
+            yield pd.DataFrame(
+                {
+                    key_col: [str(key[0])] * len(out_t),
+                    time_col: pd.to_datetime(out_t, unit="ns"),
+                    value_col: out_x,
+                    out_col: out_m,
+                }
+            )
+
+    return (
+        obs.select(key_col, time_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            proc,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -149,3 +149,22 @@ def test_pmi_collocations_hand_computed(spark):
     assert (
         pmi_collocations(docs, "text", min_count=2, top_k=10).count() == 1
     )
+
+
+# ---------------------------------------------------------------- plan pins
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_behavior_gates_scan_corpus_once(spark):
+    from rspl_spark.queries import load_registry
+
+    reg = load_registry()
+    for gate in ("q_cohort_retention", "q_transition_matrix", "q_pmi_collocations"):
+        plan = _final_plan(reg[gate].fn(spark, "/root/testdata/sf0.001"))
+        n = max(plan.count("Scan parquet"), plan.count("FileScan"))
+        assert n == 1, f"{gate}: {n} scans"

@@ -207,3 +207,59 @@ def test_ewma_stream_validates_window(spark):
     obs = _bucketed(spark)
     with pytest.raises(ValueError, match="window"):
         ewma_stream(obs, "user_id", "bts", "v", window=0)
+
+
+def test_rolling_median_stream_matches_batch(spark):
+    """Streamed trailing-7 median per (key, bucket) == batch
+    rolling_median (Spark exact percentile) on the same prefix."""
+    from rspl_spark.operators.timeseries import rolling_median
+    from rspl_spark.streaming import rolling_median_stream
+
+    obs = _bucketed(spark)
+    expected = {
+        (str(r["user_id"]), str(r["bts"])): r["rmedian"]
+        for r in rolling_median(obs, ["user_id"], "bts", "v", n_buckets=7).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, _chunks(spark, obs, 4))
+        stream = file_stream(spark, tmp, _SCHEMA)
+        out = rolling_median_stream(stream, "user_id", "bts", "v", n_buckets=7)
+        run_to_memory_sink(out, "t_rmed_parity", timeout_s=180)
+        got = {
+            (r["user_id"], str(r["bts"])): r["rmedian"]
+            for r in spark.table("t_rmed_parity").collect()
+        }
+    assert got == expected
+
+
+def test_rolling_median_stream_tail_truncates_across_batches(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from rspl_spark.streaming import rolling_median_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def chunk(pairs):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [1] * len(pairs),
+                    "bts": [t0 + dt.timedelta(hours=6 * i) for i, _ in pairs],
+                    "v": [v for _, v in pairs],
+                }
+            ),
+            _SCHEMA,
+        )
+
+    chunks = [chunk([(0, 10.0), (1, 2.0)]), chunk([(2, 8.0), (3, 100.0)])]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, _SCHEMA)
+        out = rolling_median_stream(stream, "user_id", "bts", "v", n_buckets=2)
+        run_to_memory_sink(out, "t_rmed_trunc", timeout_s=180)
+        got = {str(r["bts"]): r["rmedian"] for r in spark.table("t_rmed_trunc").collect()}
+    # window=2: median = midpoint of the last two values
+    assert got[str(t0 + dt.timedelta(hours=12))] == 5.0   # (2, 8)
+    assert got[str(t0 + dt.timedelta(hours=18))] == 54.0  # (8, 100)
