@@ -204,6 +204,58 @@ def hll_estimate(
     )
 
 
+def rolling_distinct_hll(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step: str = "1 day",
+    window_buckets: int = 7,
+    p: int = HLL_P,
+) -> DataFrame:
+    """(bts, approx_distinct) — approximate distinct ``key_col`` over
+    the trailing ``window_buckets`` time buckets, for every bucket with
+    at least one in-window observation.
+
+    THE scale pattern for "distinct users in the last 7 days" at
+    100 TB: an exact sliding COUNT(DISTINCT) must either re-scan each
+    window (W× the corpus) or hold every (bucket, key) pair in a
+    window state; HLL registers are max-MERGEABLE, so each bucket's
+    registers are built once (one partial-agg pass) and every window
+    is a register-grain max — corpus touched exactly once. Shape:
+    bucket registers (≤ m rows/bucket) → each register row covers the
+    W windows it can influence (sequence/explode, ≤ W·m rows/bucket,
+    corpus-independent) → max-merge per (window, idx) → estimate.
+    Replayable in SQL (same registers + estimate literals as hll_sql),
+    unlike a stateful sliding sketch."""
+    if window_buckets < 1:
+        raise ValueError("rolling_distinct_hll: window_buckets must be >= 1")
+    interval = F.expr(f"INTERVAL {step}")
+    step_us = F.unix_micros(F.timestamp_seconds(F.lit(0)) + interval)
+    with_b = df.withColumn(
+        "_bidx", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / step_us)
+    )
+    reg = hll_registers(with_b, key_col, ("_bidx",), p)
+    bounds = reg.agg(F.max("_bidx").alias("_maxb"))
+    exploded = reg.crossJoin(F.broadcast(bounds)).select(
+        F.explode(
+            F.sequence(
+                F.col("_bidx"),
+                F.least(F.col("_bidx") + (window_buckets - 1), F.col("_maxb")),
+            )
+        ).alias("_bout"),
+        "idx",
+        "mj",
+    )
+    merged = exploded.groupBy("_bout", "idx").agg(F.max("mj").alias("mj"))
+    est = hll_estimate(merged, ("_bout",), p)
+    return est.select(
+        F.timestamp_micros(
+            (F.col("_bout") * step_us).cast("long")
+        ).alias("bts"),
+        "approx_distinct",
+    )
+
+
 def hll_sql(
     table_expr: str,
     key_expr: str,

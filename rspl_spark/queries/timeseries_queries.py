@@ -444,3 +444,79 @@ def q_rolling_median_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rolling_median_stream(stream, "user_id", "bts", "v", n_buckets=7)
     got = _drain(out, "t_q_rmed_stream", tmp)
     return got.select("user_id", "bts", "v", "rmedian").orderBy("user_id", "bts")
+
+
+# -------------------------------------------- rolling distinct (HLL merge)
+# "distinct users in the trailing W days" — the sliding-cardinality
+# question an exact COUNT(DISTINCT) answers only by re-scanning every
+# window (W× the corpus) or holding all (bucket, key) pairs. Mergeable
+# HLL registers are built once per bucket and max-merged per window at
+# register grain (operators/sketches.py::rolling_distinct_hll); the
+# oracle replays the identical registers + estimate literals.
+
+_RD_W = 4  # trailing 4 × 1-day buckets
+_RD_STEP_US = 86_400_000_000
+
+
+def _rolling_hll_oracle() -> str:
+    from rspl_spark.operators.sketches import HLL_P, hll_alpha
+
+    m = 1 << HLL_P
+    wbits = 60 - HLL_P
+    numer = repr(hll_alpha(m) * m * m * float(1 << (wbits + 1)))
+    return f"""
+WITH src AS (
+  SELECT FLOOR(EPOCH_US(ts) / {_RD_STEP_US}) AS bidx,
+         CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+hreg AS (
+  SELECT bidx, idx, CAST(MAX(rank) AS BIGINT) AS mj FROM (
+    SELECT bidx, h % {m} AS idx,
+           CASE WHEN h // {m} = 0 THEN {wbits + 1}
+                ELSE {wbits + 1} - LENGTH(BIN(h // {m})) END AS rank
+    FROM src
+  ) r GROUP BY bidx, idx
+),
+mb AS (SELECT MAX(bidx) AS maxb FROM hreg),
+ex AS (
+  SELECT UNNEST(generate_series(CAST(bidx AS BIGINT),
+                CAST(LEAST(bidx + {_RD_W - 1}, (SELECT maxb FROM mb)) AS BIGINT)))
+           AS bout,
+         idx, mj
+  FROM hreg
+),
+merged AS (SELECT bout, idx, MAX(mj) AS mj FROM ex GROUP BY bout, idx),
+hagg AS (
+  SELECT bout,
+         CAST(SUM(1::BIGINT << CAST({wbits + 1} - mj AS INT)) AS BIGINT)
+           + ({m} - COUNT(*)) * (1::BIGINT << {wbits + 1}) AS s,
+         {m} - COUNT(*) AS v
+  FROM merged GROUP BY bout
+)
+SELECT MAKE_TIMESTAMP(CAST(bout * {_RD_STEP_US} AS BIGINT)) AS bts,
+       ROUND(CASE WHEN {numer} / CAST(s AS DOUBLE) <= {2.5 * m}
+                   AND v > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / CAST(v AS DOUBLE))
+                  ELSE {numer} / CAST(s AS DOUBLE) END, 2) AS approx_distinct
+FROM hagg
+ORDER BY bts
+"""
+
+
+@query(
+    "q_rolling_distinct_hll",
+    oracle=_rolling_hll_oracle(),
+    tags=("timeseries", "sketch"),
+)
+def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users over the trailing 4 days, one row per
+    day — corpus scanned ONCE (bucket registers), windows max-merged at
+    register grain."""
+    from rspl_spark.operators.sketches import rolling_distinct_hll
+
+    e = load(spark, sf_dir, "events")
+    out = rolling_distinct_hll(
+        e, "user_id", "ts", step="1 day", window_buckets=_RD_W
+    )
+    return out.orderBy("bts")

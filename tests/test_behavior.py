@@ -168,3 +168,35 @@ def test_behavior_gates_scan_corpus_once(spark):
         plan = _final_plan(reg[gate].fn(spark, "/root/testdata/sf0.001"))
         n = max(plan.count("Scan parquet"), plan.count("FileScan"))
         assert n == 1, f"{gate}: {n} scans"
+
+
+def test_rolling_distinct_hll_tracks_exact_within_error(spark):
+    """The merged-register rolling estimate stays within HLL error
+    (~4.6% at m=512; allow 3σ) of the exact rolling distinct, and
+    windows slide: early users age out after window_buckets days."""
+    import datetime as dt
+
+    from rspl_spark.operators.sketches import rolling_distinct_hll
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # day d has users [100*d, 100*d + 60): 60/day, disjoint across days
+    for d in range(6):
+        for u in range(60):
+            rows.append(Row(user_id=100 * d + u, ts=t0 + dt.timedelta(days=d, hours=1)))
+    df = spark.createDataFrame(rows)
+    out = {
+        str(r["bts"].date()): r["approx_distinct"]
+        for r in rolling_distinct_hll(
+            df, "user_id", "ts", step="1 day", window_buckets=3
+        ).collect()
+    }
+    assert len(out) == 6
+    for d in range(6):
+        exact = 60 * min(d + 1, 3)  # trailing 3 disjoint days
+        got = out[str((t0 + dt.timedelta(days=d)).date())]
+        assert abs(got - exact) / exact < 0.15, (d, got, exact)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_buckets"):
+        rolling_distinct_hll(df, "user_id", "ts", window_buckets=0)
