@@ -234,7 +234,11 @@ def rolling_distinct_hll(
     with_b = df.withColumn(
         "_bidx", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / step_us)
     )
-    reg = hll_registers(with_b, key_col, ("_bidx",), p)
+    # registers are BOTH exploded and max-scanned (bounds) — materialize
+    # the (small, ≤ m rows/bucket) register frame once so the branch
+    # does not re-execute the corpus scan (the shared-subplan trap;
+    # DEVNOTES round-8 lesson #2)
+    reg = hll_registers(with_b, key_col, ("_bidx",), p).localCheckpoint()
     bounds = reg.agg(F.max("_bidx").alias("_maxb"))
     exploded = reg.crossJoin(F.broadcast(bounds)).select(
         F.explode(

@@ -200,3 +200,18 @@ def test_rolling_distinct_hll_tracks_exact_within_error(spark):
 
     with _pt.raises(ValueError, match="window_buckets"):
         rolling_distinct_hll(df, "user_id", "ts", window_buckets=0)
+
+
+def test_rolling_distinct_hll_plan_no_rescan(spark):
+    """The bounds branch must NOT re-execute the corpus scan: registers
+    are checkpointed, so the final plan is rooted at the materialized
+    register RDD with zero parquet scans (the one real scan happens
+    once, inside the checkpoint job)."""
+    from rspl_spark.queries import load_registry
+
+    reg = load_registry()
+    df = reg["q_rolling_distinct_hll"].fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 0

@@ -1392,3 +1392,55 @@ def test_fuzz_pagerank_random_graphs(spark, duck):
             failures.append((seed, damping, n_iter))
         duck.unregister("pr_edges")
     assert not failures, f"pagerank fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #22: Markov transition matrices on random event sequences with
+# DELIBERATE timestamp ties — the lag-pair multiset is only well-defined
+# under a total order, so the operator (tiebroken on a unique id) must
+# match DuckDB's identically-tiebroken window for random keys, states,
+# tie clusters, and single-event keys.
+# ---------------------------------------------------------------------------
+
+_TRANS_FUZZ_SQL = """
+WITH pairs AS (
+  SELECT LAG(st) OVER (PARTITION BY k ORDER BY t, eid) AS prev_state, st AS state
+  FROM tm_events
+)
+SELECT prev_state, state, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_state) AS DOUBLE),
+             6) AS p
+FROM pairs WHERE prev_state IS NOT NULL
+GROUP BY prev_state, state
+ORDER BY prev_state, state
+"""
+
+
+def test_fuzz_transition_matrix_with_ts_ties(spark, duck):
+    from rspl_spark.operators.behavior import transition_matrix
+
+    failures = []
+    for seed in (13, 555, 7777):
+        rng = random.Random(seed)
+        states = ["s%d" % i for i in range(rng.randrange(2, 7))]
+        rows, eid = [], 0
+        for k in range(rng.randrange(3, 12)):
+            t = 0
+            for _ in range(rng.randrange(1, 30)):
+                # ~30% of steps REUSE the previous timestamp (a tie)
+                if rng.random() > 0.3:
+                    t += rng.randrange(1, 5)
+                rows.append((f"k{k}", t, rng.choice(states), eid))
+                eid += 1
+        pdf = pd.DataFrame(rows, columns=["k", "t", "st", "eid"])
+        duck.register("tm_events", pdf)
+        df = spark.createDataFrame(pdf, "k string, t long, st string, eid long")
+        got = _canon(
+            transition_matrix(df, "k", "t", "st", tiebreak_cols=["eid"]).toPandas()
+        )
+        want = _canon(duck.sql(_TRANS_FUZZ_SQL).df())
+        if not got.equals(want):
+            failures.append(seed)
+        duck.unregister("tm_events")
+    assert not failures, f"transition fuzz mismatches: {failures}"
