@@ -440,6 +440,117 @@ hq AS (
 )"""
 
 
+def rolling_hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    step: str = "1 day",
+    window_buckets: int = 7,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    nbins: int = 256,
+) -> DataFrame:
+    """(bts, q, est) — histogram-interpolated quantiles of
+    ``value_col`` over the trailing ``window_buckets`` buckets ("p95
+    latency per rolling 7 days"): the quantile sibling of
+    :func:`rolling_distinct_hll`, same merge shape.
+
+    Bin counts are ADDITIVE, so each bucket is binned once (one pass)
+    and every window is a bin-grain sum — an exact sliding percentile
+    would re-sort each window's raw rows (W× the corpus). The bin
+    range is the GLOBAL [min, max] (merged histograms must share a
+    range), so the error bound is global-range/nbins — wider than a
+    per-window histogram's; raise ``nbins`` for spiky distributions.
+    Two corpus passes total (range, then binning — inherent to a
+    data-driven equi-width range, same as hist_quantiles); everything
+    after runs at bin grain. Interpolation replays hist_quantiles'
+    exact formula, so a DuckDB replay hash-matches."""
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"rolling_hist_quantiles: quantiles must lie in (0, 1]: {qs}")
+    if nbins < 2:
+        raise ValueError(f"rolling_hist_quantiles: nbins={nbins} < 2")
+    if window_buckets < 1:
+        raise ValueError("rolling_hist_quantiles: window_buckets must be >= 1")
+    interval = F.expr(f"INTERVAL {step}")
+    step_us = F.unix_micros(F.timestamp_seconds(F.lit(0)) + interval)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / step_us
+        ).alias("_bidx"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    # the 1-row range frame is consumed TWICE (binning and the final
+    # interpolation) — materialize it so each use doesn't re-run the
+    # corpus min/max pass
+    stats = base.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    ).localCheckpoint()
+    j = base.crossJoin(F.broadcast(stats))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(nbins - 1),
+            F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    # bin grain (≤ buckets × nbins rows) is both exploded and
+    # max-scanned — checkpoint so the bounds branch does not re-run
+    # the corpus passes (the shared-subplan trap)
+    binned = (
+        j.select("_bidx", bin_.alias("_bin"))
+        .groupBy("_bidx", "_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        .localCheckpoint()
+    )
+    bounds = binned.agg(F.max("_bidx").alias("_maxb"))
+    exploded = binned.crossJoin(F.broadcast(bounds)).select(
+        F.explode(
+            F.sequence(
+                F.col("_bidx"),
+                F.least(F.col("_bidx") + (window_buckets - 1), F.col("_maxb")),
+            )
+        ).alias("_bout"),
+        "_bin",
+        "_cnt",
+    )
+    merged = exploded.groupBy("_bout", "_bin").agg(
+        F.sum("_cnt").cast("long").alias("_cnt")
+    )
+    wq = Window.partitionBy("_bout")
+    wcum = Window.partitionBy("_bout").orderBy("_bin")
+    cum = (
+        merged.withColumn("_n", F.sum("_cnt").over(wq).cast("long"))
+        .withColumn("_cum", F.sum("_cnt").over(wcum).cast("long"))
+        .withColumn("_prev", F.col("_cum") - F.col("_cnt"))
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    t = (
+        cum.crossJoin(F.broadcast(qdf))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_target", F.col("q") * F.col("_n").cast("double"))
+    )
+    hit = t.filter(
+        (F.col("_prev").cast("double") < F.col("_target"))
+        & (F.col("_target") <= F.col("_cum").cast("double"))
+    )
+    width_h = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+        F.col("_lo")
+        + width_h
+        * (
+            F.col("_bin").cast("double")
+            + (F.col("_target") - F.col("_prev").cast("double"))
+            / F.col("_cnt").cast("double")
+        )
+    )
+    return hit.select(
+        F.timestamp_micros((F.col("_bout") * step_us).cast("long")).alias("bts"),
+        "q",
+        F.round(est, 4).alias("est"),
+    )
+
+
 def hist_estimate_from_bins(
     bins: DataFrame,
     lo: float,

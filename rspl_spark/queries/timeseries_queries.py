@@ -520,3 +520,79 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", step="1 day", window_buckets=_RD_W
     )
     return out.orderBy("bts")
+
+
+_RQ_NBINS = 256
+_RQ_QS = (0.5, 0.95)
+
+
+def _rolling_quantile_oracle() -> str:
+    qvals = ", ".join(f"({float(q)!r})" for q in _RQ_QS)
+    nb = float(_RQ_NBINS)
+    return f"""
+WITH base AS (
+  SELECT FLOOR(EPOCH_US(ts) / {_RD_STEP_US}) AS bidx, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+hstats AS (SELECT CAST(MIN(v) AS DOUBLE) AS _lo, CAST(MAX(v) AS DOUBLE) AS _hi
+           FROM base),
+hbins AS (
+  SELECT bidx,
+         CASE WHEN s._hi = s._lo THEN 0
+              ELSE LEAST({_RQ_NBINS - 1},
+                         CAST(FLOOR((v - s._lo) / ((s._hi - s._lo) / {nb!r}))
+                              AS INT))
+         END AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base CROSS JOIN hstats s
+  GROUP BY ALL
+),
+mb AS (SELECT MAX(bidx) AS maxb FROM hbins),
+ex AS (
+  SELECT UNNEST(generate_series(CAST(bidx AS BIGINT),
+                CAST(LEAST(bidx + {_RD_W - 1}, (SELECT maxb FROM mb)) AS BIGINT)))
+           AS bout,
+         bin, cnt
+  FROM hbins
+),
+merged AS (SELECT bout, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+           FROM ex GROUP BY bout, bin),
+wn AS (
+  SELECT bout, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY bout) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY bout ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM merged
+)
+SELECT MAKE_TIMESTAMP(CAST(bout * {_RD_STEP_US} AS BIGINT)) AS bts, q,
+       ROUND(CASE WHEN s._hi = s._lo THEN s._lo
+                  ELSE s._lo + ((s._hi - s._lo) / {nb!r})
+                        * (CAST(bin AS DOUBLE)
+                           + (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                             / CAST(cnt AS DOUBLE))
+             END, 4) AS est
+FROM wn CROSS JOIN hstats s CROSS JOIN (VALUES {qvals}) qs(q)
+WHERE CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)
+  AND q * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)
+ORDER BY bts, q
+"""
+
+
+@query(
+    "q_rolling_quantiles_hist",
+    oracle=_rolling_quantile_oracle(),
+    tags=("timeseries", "sketch"),
+)
+def q_rolling_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of event value over the trailing 4 days, one row per
+    (day, q) — per-bucket histogram bins summed per window at bin
+    grain (sketches.py::rolling_hist_quantiles); an exact sliding
+    percentile re-sorts every window's raw rows."""
+    from rspl_spark.operators.sketches import rolling_hist_quantiles
+
+    e = load(spark, sf_dir, "events")
+    out = rolling_hist_quantiles(
+        e, "value", "ts", step="1 day", window_buckets=_RD_W,
+        qs=_RQ_QS, nbins=_RQ_NBINS,
+    )
+    return out.orderBy("bts", "q")

@@ -215,3 +215,65 @@ def test_rolling_distinct_hll_plan_no_rescan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 0
+
+
+def test_rolling_quantiles_hist_tracks_exact_within_binwidth(spark):
+    """Merged-histogram rolling p50/p95 within one global bin width of
+    the exact sliding percentile; windows demonstrably slide (day 3's
+    window drops day 0's distribution)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from rspl_spark.operators.sketches import rolling_hist_quantiles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.RandomState(7)
+    rows, per_day = [], 400
+    day_vals = {}
+    for d in range(5):
+        vals = np.round(rng.uniform(0, 100, per_day) + 50 * d, 3)  # shifting dist
+        day_vals[d] = vals
+        rows += [
+            Row(value=float(v), ts=t0 + dt.timedelta(days=d, minutes=int(i)))
+            for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows)
+    nbins = 128
+    out = {
+        (str(r["bts"].date()), r["q"]): r["est"]
+        for r in rolling_hist_quantiles(
+            df, "value", "ts", step="1 day", window_buckets=2, qs=(0.5, 0.95),
+            nbins=nbins,
+        ).collect()
+    }
+    lo = min(v.min() for v in day_vals.values())
+    hi = max(v.max() for v in day_vals.values())
+    binw = (hi - lo) / nbins
+    for d in range(5):
+        window = np.concatenate(
+            [day_vals[x] for x in range(max(0, d - 1), d + 1)]
+        )
+        for q in (0.5, 0.95):
+            exact = float(np.quantile(window, q))
+            got = out[(str((t0 + dt.timedelta(days=d)).date()), q)]
+            assert abs(got - exact) <= binw + 1e-9, (d, q, got, exact, binw)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="nbins"):
+        rolling_hist_quantiles(df, "value", "ts", nbins=1)
+    with _pt.raises(ValueError, match="quantiles"):
+        rolling_hist_quantiles(df, "value", "ts", qs=(1.5,))
+
+
+def test_rolling_quantiles_hist_plan_no_rescan(spark):
+    """Bin grain is checkpointed before the bounds branch — the final
+    plan reads the materialized bins, zero extra parquet scans."""
+    from rspl_spark.queries import load_registry
+
+    reg = load_registry()
+    df = reg["q_rolling_quantiles_hist"].fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 0
