@@ -422,10 +422,21 @@ def _reap_stale_compactions(
     location (a successful swap leaves the LIVE data under a ``.__v_``
     path, so the sweep must skip it). Called at the START of the next
     compaction so repeated failures cannot accumulate unreaped
-    warehouse directories."""
+    warehouse directories.
+
+    SAFETY GATE: if ``name`` is not currently registered — the
+    DROP→RENAME crash window, where the on-disk ``.__v_`` dirs are the
+    ONLY copies of the data — this reaps NOTHING. With no catalog
+    entry there is no way to tell the former live data from a stale
+    tmp, and the compaction docstrings promise that window is
+    recoverable precisely because both directories still exist.
+    Recovery (re-register, then compact again) happens first; the
+    reaper only ever runs against a live table."""
     import glob
 
-    live = _table_location(spark, name) if spark.catalog.tableExists(name) else None
+    if not spark.catalog.tableExists(name):
+        return
+    live = _table_location(spark, name)
     live_real = os.path.realpath(live) if live else None
     prefix = f"{name.lower()}__compact_"
     for t in spark.catalog.listTables():

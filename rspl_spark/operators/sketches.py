@@ -229,8 +229,9 @@ def rolling_distinct_hll(
     unlike a stateful sliding sketch."""
     if window_buckets < 1:
         raise ValueError("rolling_distinct_hll: window_buckets must be >= 1")
-    interval = F.expr(f"INTERVAL {step}")
-    step_us = F.unix_micros(F.timestamp_seconds(F.lit(0)) + interval)
+    from rspl_spark.operators.timeseries import step_micros
+
+    step_us = step_micros(step)
     with_b = df.withColumn(
         "_bidx", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / step_us)
     )
@@ -316,6 +317,34 @@ hest AS (
 # state sketch trio.
 
 
+def _hist_bin_expr(v: Column, lo: Column, hi: Column, nbins: int) -> Column:
+    """Shared equi-width bin index: clamp into [0, nbins-1]; degenerate
+    range (hi == lo) → bin 0. hist_quantiles AND rolling_hist_quantiles
+    use this exact op tree, and their DuckDB oracles mirror it — one
+    definition so the copies cannot drift out of hash parity."""
+    width = (hi - lo) / F.lit(float(nbins))
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(F.lit(nbins - 1), F.floor((v - lo) / width).cast("int"))
+    )
+
+
+def _hist_interp_expr(
+    bin_: Column, target: Column, prev: Column, cnt: Column,
+    lo: Column, hi: Column, nbins: int,
+) -> Column:
+    """Shared in-bin linear interpolation (same parity contract as
+    :func:`_hist_bin_expr`)."""
+    width = (hi - lo) / F.lit(float(nbins))
+    return F.when(hi == lo, lo).otherwise(
+        lo
+        + width
+        * (
+            bin_.cast("double")
+            + (target - prev.cast("double")) / cnt.cast("double")
+        )
+    )
+
+
 def hist_quantiles(
     df: DataFrame,
     col: str,
@@ -346,12 +375,8 @@ def hist_quantiles(
         F.count(col).cast("long").alias("_n"),
     )
     j = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
-    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(nbins - 1),
-            F.floor((F.col(col).cast("double") - F.col("_lo")) / width).cast("int"),
-        )
+    bin_ = _hist_bin_expr(
+        F.col(col).cast("double"), F.col("_lo"), F.col("_hi"), nbins
     )
     bins = (
         j.select(*g, "_lo", "_hi", "_n", bin_.alias("_bin"))
@@ -372,15 +397,9 @@ def hist_quantiles(
         (F.col("_prev").cast("double") < F.col("_target"))
         & (F.col("_target") <= F.col("_cum").cast("double"))
     )
-    width_h = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
-    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
-        F.col("_lo")
-        + width_h
-        * (
-            F.col("_bin").cast("double")
-            + (F.col("_target") - F.col("_prev").cast("double"))
-            / F.col("_cnt").cast("double")
-        )
+    est = _hist_interp_expr(
+        F.col("_bin"), F.col("_target"), F.col("_prev"), F.col("_cnt"),
+        F.col("_lo"), F.col("_hi"), nbins,
     )
     return hit.select(*g, "q", F.round(est, 4).alias("est"))
 
@@ -470,8 +489,9 @@ def rolling_hist_quantiles(
         raise ValueError(f"rolling_hist_quantiles: nbins={nbins} < 2")
     if window_buckets < 1:
         raise ValueError("rolling_hist_quantiles: window_buckets must be >= 1")
-    interval = F.expr(f"INTERVAL {step}")
-    step_us = F.unix_micros(F.timestamp_seconds(F.lit(0)) + interval)
+    from rspl_spark.operators.timeseries import step_micros
+
+    step_us = step_micros(step)
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
@@ -487,13 +507,7 @@ def rolling_hist_quantiles(
         F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
     ).localCheckpoint()
     j = base.crossJoin(F.broadcast(stats))
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
-    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(nbins - 1),
-            F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
-        )
-    )
+    bin_ = _hist_bin_expr(F.col("_v"), F.col("_lo"), F.col("_hi"), nbins)
     # bin grain (≤ buckets × nbins rows) is both exploded and
     # max-scanned — checkpoint so the bounds branch does not re-run
     # the corpus passes (the shared-subplan trap)
@@ -534,15 +548,9 @@ def rolling_hist_quantiles(
         (F.col("_prev").cast("double") < F.col("_target"))
         & (F.col("_target") <= F.col("_cum").cast("double"))
     )
-    width_h = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
-    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
-        F.col("_lo")
-        + width_h
-        * (
-            F.col("_bin").cast("double")
-            + (F.col("_target") - F.col("_prev").cast("double"))
-            / F.col("_cnt").cast("double")
-        )
+    est = _hist_interp_expr(
+        F.col("_bin"), F.col("_target"), F.col("_prev"), F.col("_cnt"),
+        F.col("_lo"), F.col("_hi"), nbins,
     )
     return hit.select(
         F.timestamp_micros((F.col("_bout") * step_us).cast("long")).alias("bts"),

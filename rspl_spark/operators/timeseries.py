@@ -56,6 +56,16 @@ def _bt(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def step_micros(step: str):
+    """SQL interval body → its length in microseconds, as an exact
+    integer Column (epoch + interval — no float parsing). Shared by
+    every bucket-index computation (gapfill's guard, the rolling
+    sketch windows) so the bucketing arithmetic cannot drift apart."""
+    return F.unix_micros(
+        F.timestamp_seconds(F.lit(0)) + F.expr(f"INTERVAL {step}")
+    )
+
+
 def gapfill(
     df: DataFrame,
     keys: list[str],
@@ -114,8 +124,8 @@ def gapfill(
     grid_end = F.coalesce(F.col("_nxt_t") - interval, F.col(time_col))
     if max_gap_buckets is not None:
         # gap width in buckets, computed ARITHMETICALLY (before any
-        # array exists): step length in micros via epoch + interval
-        step_us = F.unix_micros(F.timestamp_seconds(F.lit(0)) + interval)
+        # array exists)
+        step_us = step_micros(step)
         n_gap = (
             F.unix_micros(F.col("_nxt_t")) - F.unix_micros(F.col(time_col))
         ) / step_us
@@ -315,7 +325,12 @@ def mad_outliers(
     one place in any formulation; the window form additionally keeps
     the group's rows co-located. Feed it a BOUNDED-group frame (the
     bucket grain: ≤ span/step rows per group) — for huge raw groups
-    use approx_percentile fences instead."""
+    use approx_percentile fences instead.
+
+    NULL group values form their OWN group (window partitioning
+    semantics) and get their own fences — unlike an inner-join
+    formulation, which silently drops those rows; an oracle replay
+    must join null-safely (IS NOT DISTINCT FROM)."""
     wg = Window.partitionBy(*group_cols)
     vq = _bt(value_col)
     return (

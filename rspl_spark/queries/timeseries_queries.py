@@ -205,12 +205,13 @@ _MAD_ORACLE = (
     _OBS_CTE.format(key="event_type")
     + """,
 med AS (SELECT k, QUANTILE_CONT(v, 0.5) AS med FROM obs GROUP BY k),
-wm AS (SELECT o.k, o.bts, o.v, m.med FROM obs o JOIN med m ON o.k = m.k),
+wm AS (SELECT o.k, o.bts, o.v, m.med FROM obs o
+       JOIN med m ON o.k IS NOT DISTINCT FROM m.k),
 mad AS (SELECT k, QUANTILE_CONT(ABS(v - med), 0.5) AS mad FROM wm GROUP BY k)
 SELECT w.k AS event_type, CAST(w.bts AS TIMESTAMP) AS bts, w.v,
        ROUND(w.med, 6) AS med, ROUND(d.mad, 6) AS mad,
        CAST(ABS(w.v - w.med) > 3.0 * d.mad AS BIGINT) AS is_outlier
-FROM wm w JOIN mad d ON w.k = d.k
+FROM wm w JOIN mad d ON w.k IS NOT DISTINCT FROM d.k
 ORDER BY event_type, bts
 """
 )

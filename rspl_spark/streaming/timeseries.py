@@ -64,6 +64,7 @@ def gapfill_stream(
     step: str,
     fills: dict[str, str],
     mark_gaps: bool = True,
+    max_gap_buckets: int | None = 100_000,
 ) -> DataFrame:
     """Emit one row per (key, bucket) — observed rows as-is, gap rows
     filled per ``fills`` (``"locf"`` | ``"zero"`` | ``"null"``) — as
@@ -75,7 +76,14 @@ def gapfill_stream(
     doubles); the key is emitted as STRING. Append mode: each
     micro-batch appends the buckets from the key's previous frontier
     (exclusive) up to its newest observation. NULL observed values
-    carry as-is, matching the batch contract.
+    carry as-is, matching the batch contract; NULL timestamps are
+    dropped (the batch operator's window drops them the same way — and
+    unguarded, a NaT would poison the frontier with int64 min and make
+    the next real row emit ~3e8 "gap" rows).
+
+    ``max_gap_buckets`` mirrors the batch guard: one gap wider than
+    this raises (task error with the offending bucket) rather than
+    emitting an unbounded row run. Pass ``None`` to disable.
     """
     if not fills:
         raise ValueError("gapfill_stream: no fill columns given")
@@ -114,7 +122,10 @@ def gapfill_stream(
             return row
 
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
+            batch = pd.concat(chunks, ignore_index=True)
+            # NaT poisons the frontier (int64 min) — drop, like the
+            # batch window drops NULL order keys
+            batch = batch[batch[time_col].notna()].sort_values(
                 time_col, kind="mergesort"
             )
             ts_ns = batch[time_col].astype("int64").tolist()
@@ -126,6 +137,15 @@ def gapfill_stream(
                 if last_ns is not None and t <= last_ns:
                     continue  # late/duplicate arrival: documented drop
                 if last_ns is not None:
+                    if (
+                        max_gap_buckets is not None
+                        and (t - last_ns) // step_ns > max_gap_buckets
+                    ):
+                        raise ValueError(
+                            "gapfill_stream: gap wider than "
+                            f"max_gap_buckets={max_gap_buckets} buckets at "
+                            f"{pd.Timestamp(t)} (key {key[0]!r})"
+                        )
                     g = last_ns + step_ns
                     while g < t:
                         out_t.append(g)
@@ -176,11 +196,14 @@ def ewma_stream(
     final division, round 6 — see the batch docstring's determinism
     contract; Python floats are the same IEEE doubles).
 
-    One output row per in-order observation. NULL values shrink the
-    window (never enter the state tail), matching batch collect_list;
-    the NULL row itself emits the EWMA of the tail so far (NULL when
-    the tail is empty). Late rows (at or before the key's last bucket)
-    are dropped. State per key: last bucket + ≤window doubles.
+    One output row per in-order observation. NULL values occupy a
+    window SLOT but contribute no value — exactly the batch ROWS-frame
+    semantics (the frame counts null rows, collect_list then drops the
+    nulls), so a NULL inside the trailing window evicts the oldest
+    slot just like the batch frame does. The EWMA is over the slots'
+    non-null values (NULL when none). NULL timestamps and late rows
+    (at or before the key's last bucket) are dropped. State per key:
+    last bucket + ≤window nullable doubles.
     """
     if not 1 <= window <= 52:
         raise ValueError("ewma_stream: window must be in [1, 52]")
@@ -195,12 +218,15 @@ def ewma_stream(
         ]
     )
 
-    def _ewma(tail: list[float]) -> float | None:
-        n = len(tail)
+    def _ewma(slots: list[float | None]) -> float | None:
+        # the frame's non-null values, oldest→newest — exactly what the
+        # batch collect_list yields over the ROWS frame
+        xs = [x for x in slots if x is not None]
+        n = len(xs)
         if n == 0:
             return None
         num = 0.0
-        for i, x in enumerate(tail):  # oldest→newest, same fold order
+        for i, x in enumerate(xs):  # same fold order as F.aggregate
             num += x * 2.0 ** -(n - 1 - i)
         return round(num / (2.0 - 2.0 ** -(n - 1)), 6)
 
@@ -215,7 +241,8 @@ def ewma_stream(
         out_x: list[float | None] = []
         out_e: list[float | None] = []
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch[batch[time_col].notna()].sort_values(
                 time_col, kind="mergesort"
             )
             ts_ns = batch[time_col].astype("int64").tolist()
@@ -223,17 +250,15 @@ def ewma_stream(
             for t, x in zip(ts_ns, xs):
                 if last_ns is not None and t <= last_ns:
                     continue
-                if pd.isna(x):
-                    out_t.append(t)
-                    out_x.append(None)
-                    out_e.append(_ewma(tail))
-                else:
-                    tail.append(float(x))
-                    if len(tail) > window:
-                        tail = tail[-window:]
-                    out_t.append(t)
-                    out_x.append(float(x))
-                    out_e.append(_ewma(tail))
+                # every row — NULL included — takes a frame SLOT, the
+                # batch ROWS(-window+1, 0) semantics
+                v = None if pd.isna(x) else float(x)
+                tail.append(v)
+                if len(tail) > window:
+                    tail = tail[-window:]
+                out_t.append(t)
+                out_x.append(v)
+                out_e.append(_ewma(tail))
                 last_ns = t
         state.update((last_ns, tail))
         if out_t:
@@ -271,13 +296,14 @@ def rolling_median_stream(
     the trailing ``n_buckets`` in-order observations per key.
 
     The interpolation replays Spark's ``percentile(…, 0.5)`` exactly:
-    for an even tail, ``lower + (upper − lower) * 0.5`` — the same IEEE
-    sequence, NOT ``(a+b)/2`` (which can differ in the last ulp). One
-    output row per in-order observation; late rows dropped; state per
-    key = last bucket + ≤n_buckets doubles. NULL values pass through
-    with a NULL median (they never enter the tail), mirroring how the
-    batch window percentile ignores NULLs only when a non-null frame
-    exists — run gapfill first for a dense non-null grid.
+    for an even count, ``lower + (upper − lower) * 0.5`` — the same
+    IEEE sequence, NOT ``(a+b)/2`` (which can differ in the last ulp).
+    One output row per in-order observation; NULL timestamps and late
+    rows dropped. NULL values occupy a frame SLOT but contribute no
+    value (the batch ROWS-frame semantics: percentile skips nulls, the
+    frame still counts the row) — the emitted median is over the
+    slots' non-null values, NULL when there are none. State per key =
+    last bucket + ≤n_buckets nullable doubles.
     """
     if n_buckets < 1:
         raise ValueError("rolling_median_stream: n_buckets must be >= 1")
@@ -292,11 +318,12 @@ def rolling_median_stream(
         ]
     )
 
-    def _median(tail: list[float]) -> float | None:
-        n = len(tail)
+    def _median(slots: list[float | None]) -> float | None:
+        xs = [x for x in slots if x is not None]
+        n = len(xs)
         if n == 0:
             return None
-        s = sorted(tail)
+        s = sorted(xs)
         # continuous percentile at q=0.5: pos = (n-1)*0.5
         lo = (n - 1) // 2
         if n % 2:
@@ -314,7 +341,8 @@ def rolling_median_stream(
         out_x: list[float | None] = []
         out_m: list[float | None] = []
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch[batch[time_col].notna()].sort_values(
                 time_col, kind="mergesort"
             )
             for t, x in zip(
@@ -323,14 +351,13 @@ def rolling_median_stream(
             ):
                 if last_ns is not None and t <= last_ns:
                     continue
-                if pd.isna(x):
-                    out_x.append(None)
-                else:
-                    tail.append(float(x))
-                    if len(tail) > n_buckets:
-                        tail = tail[-n_buckets:]
-                    out_x.append(float(x))
+                # every row — NULL included — takes a frame slot
+                v = None if pd.isna(x) else float(x)
+                tail.append(v)
+                if len(tail) > n_buckets:
+                    tail = tail[-n_buckets:]
                 out_t.append(t)
+                out_x.append(v)
                 out_m.append(_median(tail))
                 last_ns = t
         state.update((last_ns, tail))

@@ -209,3 +209,10 @@ def test_triangle_counts_no_cartesian(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(e, n_iter=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]

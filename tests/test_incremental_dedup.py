@@ -275,3 +275,44 @@ def test_delete_is_tombstone_only_then_compact(spark, docs):
     finally:
         spark.sql("DROP TABLE IF EXISTS sigstore_test_tomb")
         spark.sql("DROP TABLE IF EXISTS sigstore_test_tomb__deleted")
+
+
+def test_reaper_spares_data_in_drop_rename_crash_window(spark, docs):
+    """r10 review fix: _reap_stale_compactions must reap NOTHING when
+    the store table is unregistered (the DROP→RENAME crash window) —
+    the on-disk versioned dirs are then the ONLY copies of the data."""
+    import os
+    import shutil
+
+    from rspl_spark.operators.agg_store import (
+        _reap_stale_compactions,
+        _table_location,
+    )
+    from rspl_spark.operators.dedup_store import (
+        _warehouse_path,
+        create_signature_store,
+    )
+
+    store = "t_reaper_window_store"
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+    create_signature_store(spark, docs, store)
+    loc = _table_location(spark, store)
+    base = _warehouse_path(spark, store)
+    # simulate the crash window: catalog entry gone, data dir renamed to
+    # a versioned path (as after any successful prior compaction)
+    vdir = f"{base}.__v_crashwin"
+    shutil.rmtree(vdir, ignore_errors=True)
+    shutil.move(loc, vdir) if os.path.realpath(loc) != os.path.realpath(vdir) else None
+    spark.sql(f"DROP TABLE {store}")
+    _reap_stale_compactions(spark, store, base)
+    assert os.path.isdir(vdir), "reaper deleted the only copy of the data"
+    # and once the table IS registered again, stale non-live dirs DO reap
+    os.makedirs(f"{base}.__v_stale", exist_ok=True)
+    from rspl_spark.operators.agg_store import _register_bucketed_at
+
+    _register_bucketed_at(spark, store, vdir, ["bucket"], 8)
+    _reap_stale_compactions(spark, store, base)
+    assert os.path.isdir(vdir)  # live data kept
+    assert not os.path.isdir(f"{base}.__v_stale")  # stale dir reaped
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+    shutil.rmtree(vdir, ignore_errors=True)

@@ -263,3 +263,96 @@ def test_rolling_median_stream_tail_truncates_across_batches(spark):
     # window=2: median = midpoint of the last two values
     assert got[str(t0 + dt.timedelta(hours=12))] == 5.0   # (2, 8)
     assert got[str(t0 + dt.timedelta(hours=18))] == 54.0  # (8, 100)
+
+
+def test_ewma_and_rmedian_stream_null_slots_match_batch(spark):
+    """r10 review fix: a NULL value occupies a frame SLOT (the batch
+    ROWS-frame semantics) — with window=2, a NULL between v1 and v2
+    must evict v1 from v2's window in BOTH engines. Streaming == batch
+    exactly, including the NULL rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from rspl_spark.operators.timeseries import ewma, rolling_median
+    from rspl_spark.streaming import ewma_stream, rolling_median_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 5,
+            "bts": [t0 + dt.timedelta(hours=6 * i) for i in range(5)],
+            "v": [2.0, 8.0, None, 4.0, None],
+        }
+    )
+    obs = spark.createDataFrame(pdf, _SCHEMA)
+    exp_ewma = {
+        str(r["bts"]): r["ewma"]
+        for r in ewma(obs, ["user_id"], "bts", "v", window=2).collect()
+    }
+    exp_med = {
+        str(r["bts"]): r["rmedian"]
+        for r in rolling_median(obs, ["user_id"], "bts", "v", n_buckets=2).collect()
+    }
+    # batch sanity: the NULL slot evicted 8.0 from row 3's window
+    assert exp_ewma[str(t0 + dt.timedelta(hours=18))] == 4.0
+    assert exp_med[str(t0 + dt.timedelta(hours=18))] == 4.0
+    chunks = [
+        spark.createDataFrame(pdf.iloc[:2], _SCHEMA),
+        spark.createDataFrame(pdf.iloc[2:], _SCHEMA),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        e_out = ewma_stream(
+            file_stream(spark, tmp, _SCHEMA), "user_id", "bts", "v", window=2
+        )
+        run_to_memory_sink(e_out, "t_ewma_nulls", timeout_s=180)
+        got_e = {
+            str(r["bts"]): r["ewma"] for r in spark.table("t_ewma_nulls").collect()
+        }
+        m_out = rolling_median_stream(
+            file_stream(spark, tmp, _SCHEMA), "user_id", "bts", "v", n_buckets=2
+        )
+        run_to_memory_sink(m_out, "t_rmed_nulls", timeout_s=180)
+        got_m = {
+            str(r["bts"]): r["rmedian"]
+            for r in spark.table("t_rmed_nulls").collect()
+        }
+    assert got_e == exp_ewma
+    assert got_m == exp_med
+
+
+def test_gapfill_stream_max_gap_guard_and_nat_drop(spark):
+    """r10 review fix: a too-wide gap raises instead of emitting an
+    unbounded row run, and a NULL timestamp is dropped rather than
+    poisoning the frontier with int64 min."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "bts": [pd.NaT, t0, t0 + dt.timedelta(hours=60)],  # 10-bucket gap
+            "v": [9.0, 1.0, 2.0],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [spark.createDataFrame(pdf, _SCHEMA)])
+        guarded = gapfill_stream(
+            file_stream(spark, tmp, _SCHEMA),
+            "user_id", "bts", "6 hours", {"v": "locf"}, max_gap_buckets=5,
+        )
+        with pytest.raises(Exception, match="max_gap_buckets"):
+            run_to_memory_sink(guarded, "t_gap_guard", timeout_s=180)
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [spark.createDataFrame(pdf, _SCHEMA)])
+        ok = gapfill_stream(
+            file_stream(spark, tmp, _SCHEMA),
+            "user_id", "bts", "6 hours", {"v": "locf"}, max_gap_buckets=10,
+        )
+        run_to_memory_sink(ok, "t_gap_ok", timeout_s=180)
+        rows = spark.table("t_gap_ok").collect()
+    assert len(rows) == 11  # NaT row dropped; dense 11-bucket grid
+    assert all(r["bts"] is not None for r in rows)
