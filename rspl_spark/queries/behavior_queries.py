@@ -118,3 +118,74 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return pmi_collocations(d, "text", min_count=20, top_k=100)
+
+
+_TRANSITION_STREAM_ORACLE = """
+WITH pairs AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
+         event_type AS state
+  FROM events
+)
+SELECT prev_state, state, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+WHERE prev_state IS NOT NULL
+GROUP BY prev_state, state
+ORDER BY prev_state, state
+"""
+
+
+@query(
+    "q_transition_pairs_stream",
+    oracle=_TRANSITION_STREAM_ORACLE,
+    tags=("behavior", "streaming"),
+)
+def q_transition_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed transition pairs (keyed state = ONE string per user,
+    streaming/timeseries.py::transition_pairs_stream) drained over an
+    in-order 3-chunk file stream, then aggregated — the pair multiset
+    over the finite prefix equals the batch lag exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from rspl_spark.streaming.sources import (
+        file_stream,
+        run_to_memory_sink,
+        write_stream_chunks,
+    )
+    from rspl_spark.streaming.timeseries import transition_pairs_stream
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    pdf = e.orderBy("ts", "event_id").toPandas()
+    n_chunks = 3
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    chunks = [
+        spark.createDataFrame(pdf.iloc[i : i + size], e.schema)
+        for i in range(0, len(pdf), size)
+    ]
+    tmp = tempfile.mkdtemp(prefix="rspl_trans_stream_")
+    table = f"t_q_trans_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(
+            spark, tmp,
+            "user_id long, ts timestamp, event_type string, event_id long",
+        )
+        out = transition_pairs_stream(
+            stream, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+        )
+        run_to_memory_sink(out, table, timeout_s=300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(table)
+        .groupBy("prev_state", "state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("prev_state", "state")
+    )

@@ -29,4 +29,5 @@ from rspl_spark.streaming.timeseries import (  # noqa: F401
     ewma_stream,
     gapfill_stream,
     rolling_median_stream,
+    transition_pairs_stream,
 )

@@ -43,6 +43,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -373,6 +374,88 @@ def rolling_median_stream(
 
     return (
         obs.select(key_col, time_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            proc,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def transition_pairs_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch Markov transition pairs
+    (operators/behavior.py::transition_matrix before its aggregation):
+    one (prev_state, state) row per in-order observation after a key's
+    first. Keyed state is ONE string — the key's last seen state — so
+    the pair multiset over a finite in-order prefix equals the batch
+    lag exactly; aggregate the drained pairs for the matrix.
+
+    Ordering within a micro-batch uses (ts, *tiebreak_cols) — pass a
+    unique id whenever ts can tie (the batch operator's contract).
+    NULL timestamps dropped; late rows (at or before the key's last
+    (ts, tiebreak) position) are dropped by the frontier, which stores
+    the last event-time only — feed in-order streams, as with the
+    other twins.
+    """
+    tiebreaks = list(tiebreak_cols or [])
+    out_schema = (
+        f"`{key_col}` string, `{ts_col}` timestamp,"
+        " `prev_state` string, `state` string"
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ns", LongType()),
+            StructField("last_state", StringType()),
+        ]
+    )
+
+    def proc(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ns, last_state = state.get
+        else:
+            last_ns, last_state = None, None
+        chunks = [p for p in pdfs if len(p)]
+        out_t: list[int] = []
+        out_p: list[str] = []
+        out_s: list[str] = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch[batch[ts_col].notna()].sort_values(
+                [ts_col, *tiebreaks], kind="mergesort"
+            )
+            ts_ns = batch[ts_col].astype("int64").tolist()
+            sts = batch[state_col].tolist()
+            for t, s in zip(ts_ns, sts):
+                if last_ns is not None and t < last_ns:
+                    continue  # late arrival: documented drop
+                s = None if pd.isna(s) else str(s)
+                if last_state is not None:
+                    out_t.append(t)
+                    out_p.append(last_state)
+                    out_s.append(s)
+                last_ns, last_state = t, s
+        state.update((last_ns, last_state))
+        if out_t:
+            yield pd.DataFrame(
+                {
+                    key_col: [str(key[0])] * len(out_t),
+                    ts_col: pd.to_datetime(out_t, unit="ns"),
+                    "prev_state": out_p,
+                    "state": out_s,
+                }
+            )
+
+    return (
+        events.select(key_col, ts_col, state_col, *tiebreaks)
         .groupBy(key_col)
         .applyInPandasWithState(
             proc,

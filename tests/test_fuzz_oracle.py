@@ -1444,3 +1444,64 @@ def test_fuzz_transition_matrix_with_ts_ties(spark, duck):
             failures.append(seed)
         duck.unregister("tm_events")
     assert not failures, f"transition fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #23: k-hop BFS distances on random directed graphs — the
+# frontier-expansion loop (operators/graph.py, checkpoint per round,
+# early exit) must equal a DuckDB replay that unrolls the same frontier
+# CTEs, across random topologies, source sets, and hop budgets.
+# ---------------------------------------------------------------------------
+
+
+def _khop_fuzz_sql(max_hops: int) -> str:
+    head = """
+WITH d0 AS (SELECT DISTINCT node, 0 AS dist FROM bfs_src),
+f0 AS (SELECT node FROM d0)"""
+    its = []
+    for k in range(1, max_hops + 1):
+        p = k - 1
+        its.append(f""",
+n{k} AS (SELECT DISTINCT e.dst AS node
+         FROM bfs_edges e JOIN f{p} f ON e.src = f.node),
+f{k} AS (SELECT node FROM n{k} WHERE node NOT IN (SELECT node FROM d{p})),
+d{k} AS (SELECT * FROM d{p} UNION ALL SELECT node, {k} AS dist FROM f{k})""")
+    return head + "".join(its) + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{max_hops} ORDER BY node
+"""
+
+
+def test_fuzz_khop_random_graphs(spark, duck):
+    from rspl_spark.operators.graph import khop_distances
+
+    failures = []
+    for seed in (17, 404, 9091):
+        rng = random.Random(seed)
+        n = rng.randrange(8, 36)
+        nodes = [f"v{i}" for i in range(n)]
+        pairs = sorted(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(rng.randrange(n, n * 3))
+            }
+        )
+        pairs = [(s, d) for s, d in pairs if s != d]
+        srcs = sorted(rng.sample(nodes, rng.randrange(1, 4)))
+        hops = rng.randrange(0, 5)
+        epdf = pd.DataFrame(pairs, columns=["src", "dst"])
+        spdf = pd.DataFrame({"node": srcs})
+        duck.register("bfs_edges", epdf)
+        duck.register("bfs_src", spdf)
+        got = _canon(
+            khop_distances(
+                spark.createDataFrame(epdf, "src string, dst string"),
+                spark.createDataFrame(spdf, "node string"),
+                max_hops=hops,
+            ).toPandas()
+        )
+        want = _canon(duck.sql(_khop_fuzz_sql(hops)).df())
+        if not got.equals(want):
+            failures.append((seed, hops))
+        duck.unregister("bfs_edges")
+        duck.unregister("bfs_src")
+    assert not failures, f"khop fuzz mismatches: {failures}"

@@ -356,3 +356,43 @@ def test_gapfill_stream_max_gap_guard_and_nat_drop(spark):
         rows = spark.table("t_gap_ok").collect()
     assert len(rows) == 11  # NaT row dropped; dense 11-bucket grid
     assert all(r["bts"] is not None for r in rows)
+
+
+def test_transition_pairs_stream_crosses_batch_boundaries(spark):
+    """The last state carried in keyed state must pair with the next
+    micro-batch's first event; NULL states reset the chain exactly like
+    the batch lag + prev-not-null filter."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from rspl_spark.streaming import transition_pairs_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def chunk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "event_id"]),
+            schema,
+        )
+
+    h = dt.timedelta(hours=1)
+    chunks = [
+        chunk([(1, t0, "a", 1), (1, t0 + h, "b", 2)]),
+        chunk([(1, t0 + 2 * h, "c", 3), (1, t0 + 3 * h, None, 4)]),
+        chunk([(1, t0 + 4 * h, "d", 5)]),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        out = transition_pairs_stream(
+            file_stream(spark, tmp, schema),
+            "user_id", "ts", "event_type", tiebreak_cols=["event_id"],
+        )
+        run_to_memory_sink(out, "t_trans_cross", timeout_s=180)
+        got = sorted(
+            (r["prev_state"], r["state"])
+            for r in spark.table("t_trans_cross").collect()
+        )
+    # b->c spans the first batch boundary; c->NULL emits; NULL->d drops
+    assert got == [("a", "b"), ("b", "c"), ("c", None)]
