@@ -1505,3 +1505,60 @@ def test_fuzz_khop_random_graphs(spark, duck):
         duck.unregister("bfs_edges")
         duck.unregister("bfs_src")
     assert not failures, f"khop fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #24: cohort retention on random activity patterns — the
+# window/agg formulation (operators/behavior.py) vs an independent
+# DuckDB CTE for random user counts, activity densities, and both
+# period grains.
+# ---------------------------------------------------------------------------
+
+_COHORT_FUZZ_SQL = """
+WITH up AS (
+  SELECT DISTINCT u, CAST(DATE_TRUNC('{period}', ts) AS DATE) AS p FROM cr_events
+),
+upc AS (SELECT u, p, MIN(p) OVER (PARTITION BY u) AS cohort FROM up),
+counts AS (
+  SELECT cohort, CAST(DATEDIFF('day', cohort, p) / {plen} AS BIGINT) AS "offset",
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM upc GROUP BY 1, 2
+)
+SELECT cohort, "offset", n_active,
+       MAX(CASE WHEN "offset" = 0 THEN n_active END)
+         OVER (PARTITION BY cohort) AS n_cohort,
+       ROUND(CAST(n_active AS DOUBLE)
+             / CAST(MAX(CASE WHEN "offset" = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
+FROM counts
+ORDER BY cohort, "offset"
+"""
+
+
+def test_fuzz_cohort_retention_random_activity(spark, duck):
+    from rspl_spark.operators.behavior import cohort_retention
+
+    failures = []
+    for seed in (23, 808, 31415):
+        rng = random.Random(seed)
+        period, plen = rng.choice([("week", 7), ("day", 1)])
+        t0 = pd.Timestamp("2024-01-01")  # a Monday
+        rows = []
+        for u in range(rng.randrange(5, 40)):
+            start = rng.randrange(0, 30)
+            for _ in range(rng.randrange(1, 15)):
+                rows.append(
+                    (u, t0 + pd.Timedelta(days=start + rng.randrange(0, 60),
+                                          hours=rng.randrange(24)))
+                )
+        pdf = pd.DataFrame(rows, columns=["u", "ts"])
+        duck.register("cr_events", pdf)
+        df = spark.createDataFrame(pdf, "u long, ts timestamp")
+        got = _canon(cohort_retention(df, "u", "ts", period).toPandas())
+        want = _canon(
+            duck.sql(_COHORT_FUZZ_SQL.format(period=period, plen=plen)).df()
+        )
+        if not got.equals(want):
+            failures.append((seed, period))
+        duck.unregister("cr_events")
+    assert not failures, f"cohort fuzz mismatches: {failures}"
