@@ -437,7 +437,13 @@ def _reap_stale_compactions(
     if not spark.catalog.tableExists(name):
         return
     live = _table_location(spark, name)
-    live_real = os.path.realpath(live) if live else None
+    if live is None:
+        # Same safety posture as the unregistered-table gate: if the
+        # live table's location cannot be determined (DESCRIBE output
+        # missing its Location row), the `.__v_*` sweep below could not
+        # tell the live data directory from a stale one — reap nothing.
+        return
+    live_real = os.path.realpath(live)
     prefix = f"{name.lower()}__compact_"
     for t in spark.catalog.listTables():
         if t.name.lower().startswith(prefix):

@@ -126,9 +126,16 @@ def gapfill(
         # gap width in buckets, computed ARITHMETICALLY (before any
         # array exists)
         step_us = step_micros(step)
-        n_gap = (
-            F.unix_micros(F.col("_nxt_t")) - F.unix_micros(F.col(time_col))
-        ) / step_us
+        # floor of the bucket count — the SAME comparison gapfill_stream
+        # uses ((t - last_ns) // step_ns), so the twin guards trip on
+        # identical gaps even when observations are off-grid
+        n_gap = F.floor(
+            (
+                F.unix_micros(F.col("_nxt_t"))
+                - F.unix_micros(F.col(time_col))
+            )
+            / step_us
+        )
         # the guard lives INSIDE the sequence's end expression so column
         # pruning cannot drop it
         grid_end = F.when(

@@ -36,6 +36,9 @@ stream length.
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -56,6 +59,21 @@ _GAPFILL_STATE = StructType(
 )
 
 _STREAM_FILLS = ("locf", "zero", "null")
+
+_SIX_DP = Decimal("0.000001")
+
+
+def _round6(x: float) -> float:
+    """Replicate Spark's ``F.round(x, 6)`` on doubles exactly:
+    BigDecimal.valueOf(x) takes the SHORTEST decimal repr (same string
+    Python's repr gives), then setScale(6, HALF_UP). Python's builtin
+    round() is half-even on the exact binary value — it diverges from
+    Spark when a value's shortest repr is an exact 6dp midpoint (e.g.
+    at 2dp Java rounds 2.675→2.68, builtin round→2.67), which dyadic
+    EWMA numerators over short-decimal inputs can hit."""
+    if not math.isfinite(x):
+        return x
+    return float(Decimal(repr(x)).quantize(_SIX_DP, rounding=ROUND_HALF_UP))
 
 
 def gapfill_stream(
@@ -195,7 +213,9 @@ def ewma_stream(
     decay 1/2 per bucket, REPLAYING THE BATCH ARITHMETIC BIT-EXACTLY
     (exact power-of-two weights, sequential oldest→newest fold, one
     final division, round 6 — see the batch docstring's determinism
-    contract; Python floats are the same IEEE doubles).
+    contract; Python floats are the same IEEE doubles, and the final
+    round replicates Spark's shortest-repr HALF_UP via ``_round6``,
+    not Python's half-even builtin).
 
     One output row per in-order observation. NULL values occupy a
     window SLOT but contribute no value — exactly the batch ROWS-frame
@@ -229,7 +249,7 @@ def ewma_stream(
         num = 0.0
         for i, x in enumerate(xs):  # same fold order as F.aggregate
             num += x * 2.0 ** -(n - 1 - i)
-        return round(num / (2.0 - 2.0 ** -(n - 1)), 6)
+        return _round6(num / (2.0 - 2.0 ** -(n - 1)))
 
     def proc(key, pdfs, state: GroupState):
         if state.exists:
@@ -328,8 +348,8 @@ def rolling_median_stream(
         # continuous percentile at q=0.5: pos = (n-1)*0.5
         lo = (n - 1) // 2
         if n % 2:
-            return round(s[lo], 6)
-        return round(s[lo] + (s[lo + 1] - s[lo]) * 0.5, 6)
+            return _round6(s[lo])
+        return _round6(s[lo] + (s[lo + 1] - s[lo]) * 0.5)
 
     def proc(key, pdfs, state: GroupState):
         if state.exists:
@@ -401,10 +421,12 @@ def transition_pairs_stream(
 
     Ordering within a micro-batch uses (ts, *tiebreak_cols) — pass a
     unique id whenever ts can tie (the batch operator's contract).
-    NULL timestamps dropped; late rows (at or before the key's last
-    (ts, tiebreak) position) are dropped by the frontier, which stores
-    the last event-time only — feed in-order streams, as with the
-    other twins.
+    NULL timestamps dropped. The frontier stores the last EVENT TIME
+    only, so only rows STRICTLY BEFORE it are dropped as late: rows AT
+    the frontier timestamp are processed (ties may legitimately span
+    micro-batches), which means exact-ts re-delivery of an
+    already-seen row is the caller's responsibility to avoid — feed
+    in-order, exactly-once streams, as with the other twins.
     """
     tiebreaks = list(tiebreak_cols or [])
     out_schema = (

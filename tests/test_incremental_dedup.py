@@ -316,3 +316,34 @@ def test_reaper_spares_data_in_drop_rename_crash_window(spark, docs):
     assert not os.path.isdir(f"{base}.__v_stale")  # stale dir reaped
     spark.sql(f"DROP TABLE IF EXISTS {store}")
     shutil.rmtree(vdir, ignore_errors=True)
+
+
+def test_reaper_spares_data_when_live_location_unknown(spark, docs, monkeypatch):
+    """r11 advice fix: if the LIVE registered table's location cannot
+    be determined (DESCRIBE missing its Location row), the reaper must
+    fail CLOSED — reap nothing — rather than sweep every `.__v_*` dir
+    including, potentially, the live data directory itself."""
+    import os
+    import shutil
+
+    from rspl_spark.operators import agg_store
+    from rspl_spark.operators.dedup_store import (
+        _warehouse_path,
+        create_signature_store,
+    )
+
+    store = "t_reaper_noloc_store"
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+    create_signature_store(spark, docs, store)
+    base = _warehouse_path(spark, store)
+    stale = f"{base}.__v_stale_noloc"
+    os.makedirs(stale, exist_ok=True)
+    try:
+        monkeypatch.setattr(agg_store, "_table_location", lambda s, n: None)
+        agg_store._reap_stale_compactions(spark, store, base)
+        assert os.path.isdir(stale), (
+            "reaper swept .__v_* dirs without knowing the live location"
+        )
+    finally:
+        shutil.rmtree(stale, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {store}")

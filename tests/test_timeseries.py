@@ -130,6 +130,22 @@ def test_gapfill_max_gap_buckets_guard_raises(spark):
     assert unguarded.count() == 11
 
 
+def test_gapfill_guard_floors_fractional_gaps_like_stream(spark):
+    """r11 advice fix: the batch guard floors the bucket count — the
+    same comparison gapfill_stream uses ((t - last_ns) // step_ns) —
+    so an off-grid gap of 5.5 buckets passes a max_gap_buckets=5 guard
+    in BOTH twins instead of raising only in batch."""
+    df = _obs(spark, [("a", 0, 1.0), ("a", 33, 2.0)])  # 5.5 buckets at 6h
+    out = gapfill(
+        df, ["k"], "bts", "6 HOURS", {"v": "locf"}, max_gap_buckets=5
+    )
+    assert out.count() == 6  # floor(5.5)=5 ≤ 5 — no raise, same as stream
+    with pytest.raises(Exception, match="max_gap_buckets"):
+        gapfill(
+            df, ["k"], "bts", "6 HOURS", {"v": "locf"}, max_gap_buckets=4
+        ).collect()
+
+
 def test_gapfill_validates_methods(spark):
     df = _obs(spark, [("a", 0, 1.0)])
     with pytest.raises(ValueError, match="no fill columns"):

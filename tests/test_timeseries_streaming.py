@@ -47,6 +47,25 @@ def _chunks(spark, obs, n):
     ]
 
 
+def test_round6_matches_spark_half_up_on_midpoints(spark):
+    """r11 advice fix: the streaming folds' final round must replicate
+    Spark's F.round (HALF_UP on the shortest decimal repr), not
+    Python's builtin half-even round — they diverge on exact 6dp
+    midpoints (Java BigDecimal.valueOf(2.0000005).setScale(6, HALF_UP)
+    → 2.000001; builtin round can give 2.0)."""
+    from rspl_spark.streaming.timeseries import _round6
+
+    probes = [
+        2.0000005, 1.0000015, -2.0000005, 0.1234565, -0.1234575,
+        7.0 / 3.0, 1e-7, -1e-7, 0.0, 123456.7890145, 2.675e-4,
+    ]
+    rows = spark.createDataFrame(
+        [(x,) for x in probes], "x double"
+    ).select(F.round("x", 6).alias("r")).collect()
+    for x, r in zip(probes, rows):
+        assert _round6(x) == r["r"], f"divergence at {x!r}"
+
+
 def test_gapfill_stream_matches_batch_locf(spark):
     obs = _bucketed(spark)
     expected = {
