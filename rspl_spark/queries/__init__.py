@@ -61,6 +61,7 @@ def load_registry() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         scale_queries,
+        streaming_queries,
         timeseries_queries,
         tpch_partsupp,
         windows,

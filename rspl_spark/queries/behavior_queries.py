@@ -155,24 +155,19 @@ def q_transition_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.streaming.sources import (
         file_stream,
         run_to_memory_sink,
-        write_stream_chunks,
+        write_sorted_chunks,
     )
     from rspl_spark.streaming.timeseries import transition_pairs_stream
 
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "event_id"
     )
-    pdf = e.orderBy("ts", "event_id").toPandas()
-    n_chunks = 3
-    size = (len(pdf) + n_chunks - 1) // n_chunks
-    chunks = [
-        spark.createDataFrame(pdf.iloc[i : i + size], e.schema)
-        for i in range(0, len(pdf), size)
-    ]
     tmp = tempfile.mkdtemp(prefix="rspl_trans_stream_")
     table = f"t_q_trans_stream_{uuid.uuid4().hex[:8]}"
     try:
-        write_stream_chunks(spark, tmp, chunks)
+        # executor-side in-order chunking: one range shuffle, no
+        # orderBy().toPandas() through the driver
+        write_sorted_chunks(e, tmp, ["ts", "event_id"], 3)
         stream = file_stream(
             spark, tmp,
             "user_id long, ts timestamp, event_type string, event_id long",

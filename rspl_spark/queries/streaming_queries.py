@@ -1,0 +1,175 @@
+"""Streaming-native gates that previously had only pytest evidence:
+session-window aggregation and the watermarked stream-stream interval
+join, both observed over a finite in-order prefix (availableNow over
+mtime-ordered chunks) and compared against the batch oracle — the
+reference's finite-prefix observation discipline
+(/root/reference/src/streams/mod.rs:62-77; the concurrent channel
+producers in /root/reference/tests/events.rs:73-92 are the semantics
+source for two independent streams joining).
+
+Determinism argument (why a watermark drops NOTHING here): chunks are
+range-partitioned on event time (``write_sorted_chunks``), so every
+future micro-batch's rows are >= the watermark the previous batch set.
+For the inner interval join, a row's candidate partners all lie within
+the join range of a FUTURE row, hence strictly above the state-eviction
+bound; for the session aggregation, complete output mode re-emits the
+whole result so no flush is needed. The finite-prefix result therefore
+equals the batch query exactly — full value-hash oracles, not
+rows-only checks.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rspl_spark.catalog import load
+from rspl_spark.queries import query
+from rspl_spark.queries.relational2 import _SESSION_ORACLE
+
+
+def _ordered_stream(
+    df: DataFrame,
+    order_cols: list[str],
+    schema: str,
+    n_chunks: int = 3,
+) -> tuple[DataFrame, str]:
+    """``df`` → an in-event-time-order chunked file stream (one chunk =
+    one micro-batch); returns (stream, tmp_dir). Chunking happens
+    executor-side (one range shuffle, no driver materialization)."""
+    from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
+
+    tmp = tempfile.mkdtemp(prefix="rspl_sq_stream_")
+    write_sorted_chunks(df, tmp, order_cols, n_chunks)
+    return file_stream(df.sparkSession, tmp, schema), tmp
+
+
+def _drain(
+    out: DataFrame, name: str, tmp_dirs: list[str], output_mode: str = "append"
+) -> DataFrame:
+    from rspl_spark.streaming.sources import run_to_memory_sink
+
+    table = f"{name}_{uuid.uuid4().hex[:8]}"
+    try:
+        run_to_memory_sink(out, table, timeout_s=300, output_mode=output_mode)
+    finally:
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return out.sparkSession.table(table)
+
+
+@query(
+    "q_session_window_stream",
+    oracle=_SESSION_ORACLE,
+    tags=("window", "streaming"),
+)
+def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming ``session_window`` aggregation (30-minute
+    inactivity gap per user) over an in-order 3-chunk replay of the
+    events table, complete output mode — the final micro-batch's table
+    IS the batch ``q_sessionize`` result: sessions that straddle a
+    micro-batch boundary must merge in the state store, which is the
+    semantics this gate pins (a session is state, not a window you can
+    close per batch)."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    stream, tmp = _ordered_stream(
+        e,
+        ["ts", "event_id"],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    got = _drain(agg, "t_q_session_stream", [tmp], output_mode="complete")
+    return got.orderBy("user_id", "sess_start")
+
+
+_SSJOIN_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts,
+       ROUND(p.value - c.value, 6) AS value_delta
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+ORDER BY click_id, purchase_id
+"""
+
+
+@query(
+    "q_stream_stream_join",
+    oracle=_SSJOIN_ORACLE,
+    tags=("join", "streaming"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: clicks and
+    purchases arrive as two independent in-order streams (the
+    reference's two concurrent channel producers, tests/events.rs:73-92);
+    each purchase joins the same user's clicks in the preceding 6
+    hours. Both sides carry a 1-hour watermark, so the state store
+    evicts rows the interval can never match again — and because
+    chunks are event-time-ordered, eviction provably drops no match
+    (see module docstring), making the finite-prefix result equal the
+    batch interval join bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value"),
+    )
+    s_c, tmp_c = _ordered_stream(
+        clicks,
+        ["click_ts", "click_id"],
+        "c_user long, click_ts timestamp, click_id long, c_value double",
+    )
+    s_p, tmp_p = _ordered_stream(
+        purchases,
+        ["purchase_ts", "purchase_id"],
+        "p_user long, purchase_ts timestamp, purchase_id long, p_value double",
+    )
+    joined = (
+        s_c.withWatermark("click_ts", "1 hour")
+        .join(
+            s_p.withWatermark("purchase_ts", "1 hour"),
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+            ),
+            "inner",
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+            F.round(F.col("p_value") - F.col("c_value"), 6).alias("value_delta"),
+        )
+    )
+    got = _drain(joined, "t_q_ssjoin", [tmp_c, tmp_p])
+    return got.orderBy("click_id", "purchase_id")

@@ -247,22 +247,18 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_obs(spark: SparkSession, sf_dir: str, n_chunks: int = 3):
     """The q_gapfill obs frame chunked into in-order micro-batches on a
-    temp dir; returns (streaming DataFrame, dir). The sink run in
-    ``_drain`` completes before the gate returns, after which the dir
-    is deleted there."""
+    temp dir; returns (streaming DataFrame, dir). Chunking is
+    executor-side (``write_sorted_chunks``: one range shuffle — no
+    ``orderBy().toPandas()``, so the harness device itself is
+    scale-honest). The sink run in ``_drain`` completes before the
+    gate returns, after which the dir is deleted there."""
     import tempfile
 
-    from rspl_spark.streaming.sources import file_stream, write_stream_chunks
+    from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
 
     obs = _bucketed(spark, sf_dir, "user_id").drop("n")
-    pdf = obs.orderBy("bts", "user_id").toPandas()
-    size = (len(pdf) + n_chunks - 1) // n_chunks
-    chunks = [
-        spark.createDataFrame(pdf.iloc[i : i + size], obs.schema)
-        for i in range(0, len(pdf), size)
-    ]
     tmp = tempfile.mkdtemp(prefix="rspl_ts_stream_")
-    write_stream_chunks(spark, tmp, chunks)
+    write_sorted_chunks(obs, tmp, ["bts", "user_id"], n_chunks)
     return file_stream(spark, tmp, "user_id long, bts timestamp, v double"), tmp
 
 

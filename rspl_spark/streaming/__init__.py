@@ -12,6 +12,7 @@ from rspl_spark.streaming.sources import (  # noqa: F401
     decode_kafka_records,
     kafka_stream,
     seeded_batch_stream,
+    write_sorted_chunks,
     write_stream_chunks,
     file_stream,
 )

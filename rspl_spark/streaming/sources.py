@@ -36,6 +36,41 @@ def write_stream_chunks(spark: SparkSession, out_dir: str, chunks: list[DataFram
                 os.utime(os.path.join(root, f), (t, t))
 
 
+def write_sorted_chunks(
+    df: DataFrame,
+    out_dir: str,
+    order_cols: list[str],
+    n_chunks: int = 3,
+) -> None:
+    """Executor-side twin of :func:`write_stream_chunks` for ORDERED
+    replays: range-partition ``df`` into ``n_chunks`` contiguous runs
+    of ``order_cols``, sort within each run, and write each run as one
+    parquet part file with strictly increasing mtimes — a globally
+    ordered chunk sequence the file source replays in order, WITHOUT
+    ever materializing the frame on the driver (the in-order gate
+    harness device stays scale-honest: one distributed range shuffle,
+    no ``orderBy().toPandas()``).
+
+    Rows with EQUAL order keys may straddle a chunk boundary (range
+    partitioning keeps them adjacent but may split a tie run); every
+    in-order consumer here orders on a key-unique column set, so each
+    key's own sequence never goes backwards across chunks.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        df.repartitionByRange(n_chunks, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    # part-00000… file order IS range-partition order; monotone mtimes
+    # make the file source replay them as ordered micro-batches
+    parts = sorted(f for f in os.listdir(out_dir) if f.startswith("part-"))
+    base = time.time()
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out_dir, f), (base + i, base + i))
+
+
 def file_stream(spark: SparkSession, in_dir: str, schema: str) -> DataFrame:
     """One-file-per-micro-batch streaming read of chunk dirs."""
     return (

@@ -721,3 +721,59 @@ def test_streaming_semantic_dedup_cap_bounds_state(spark):
     assert (1, 2) in got
     assert (2, 3) in got
     assert (1, 3) not in got  # evicted by the cap before batch 3
+
+
+def test_write_sorted_chunks_global_order(spark):
+    """r11: the executor-side chunk writer yields globally ordered
+    chunks — reading part files in mtime order reconstructs the full
+    sort, with no driver materialization in the harness."""
+    import os
+
+    from rspl_spark.streaming import write_sorted_chunks
+
+    df = spark.createDataFrame(
+        [(i * 7919 % 100, i) for i in range(100)], "k long, i long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_sorted_chunks(df, tmp, ["k", "i"], n_chunks=4)
+        parts = sorted(
+            (os.path.getmtime(os.path.join(tmp, f)), os.path.join(tmp, f))
+            for f in os.listdir(tmp)
+            if f.startswith("part-")
+        )
+        seen = []
+        for _, p in parts:
+            seen += [
+                (r["k"], r["i"]) for r in spark.read.parquet(p).collect()
+            ]
+        assert seen == sorted(seen)
+        assert len(seen) == 100
+        assert len(parts) >= 2  # actually chunked
+
+
+def test_session_window_stream_merges_across_batches(spark):
+    """A session straddling a micro-batch boundary must MERGE in the
+    state store (sessions are state, not closable per batch): events
+    10 minutes apart with a 30-minute gap, split mid-session across
+    chunks, yield ONE session."""
+    from rspl_spark.streaming.sources import run_to_memory_sink
+
+    rows = [(1, f"2024-01-01 00:{m:02d}:00", float(m)) for m in (0, 10, 20, 30)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, v double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(
+            spark, tmp, [df.filter(F.col("v") < 20), df.filter(F.col("v") >= 20)]
+        )
+        stream = file_stream(spark, tmp, "user_id long, ts timestamp, v double")
+        agg = (
+            stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        run_to_memory_sink(agg, "t_sess_merge", output_mode="complete")
+        got = [
+            (r["user_id"], r["n"])
+            for r in spark.table("t_sess_merge").collect()
+        ]
+    assert got == [(1, 4)]
