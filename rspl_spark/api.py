@@ -1,5 +1,8 @@
-"""Fluent user-facing stream API — the ergonomic entry point a user of
-the reference switches to.
+"""Fluent user-facing API — the ergonomic entry point a user of the
+reference switches to. Two facades:
+
+**Streams** (the reference's own surface — combinator terms over a
+(seq, value) frame):
 
     from rspl_spark.api import stream_of
 
@@ -11,6 +14,22 @@ the reference switches to.
 The pipeline records an rspl term (compose of combinators, reference
 semantics exactly); ``to_df`` tries the Catalyst compiler first and falls
 back to the keyed applyInPandas interpreter for stateful terms.
+
+**Tables** (the engine's analytic operator families — graph, behavioral,
+time-series, rolling sketches — discoverable in one place instead of
+per-module imports):
+
+    from rspl_spark.api import analytics
+
+    ranks = analytics(edges).pagerank(n_iter=10).df
+    grid  = (analytics(events)
+             .resample(keys=["user_id"], time_col="ts", step="6 HOURS",
+                       aggs={"v": F.min("value")}, fills={"v": "locf"})
+             .where("is_gap"))    # chain straight into DataFrame ops
+
+Every method is a thin binding of the operator module that owns the
+semantics (``rspl_spark.operators.*``); the facade adds discoverability,
+not behavior.
 """
 
 from __future__ import annotations
@@ -160,6 +179,157 @@ def stream_of(
     position-dependent compiled lowerings then use ``seq`` directly and
     length-preserving terms skip output renumbering altogether."""
     return RStream(df, value_col, seq_col, key_col, dense_input=dense_input)
+
+
+class AnalyticsFrame:
+    """A DataFrame plus the analytic operator families as methods.
+
+    Each method returns a NEW ``AnalyticsFrame`` over the operator's
+    result, so calls chain; ``.df`` unwraps, and any unknown attribute
+    (``where``, ``select``, ``collect`` …) delegates to the underlying
+    DataFrame — a delegated DataFrame method returns the plain
+    DataFrame, ending the fluent chain.
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def __getattr__(self, name):
+        return getattr(self.df, name)
+
+    def _wrap(self, df: DataFrame) -> "AnalyticsFrame":
+        return AnalyticsFrame(df)
+
+    # ---------------------------------------------------- graph family
+    def pagerank(self, n_iter: int = 10, damping: float = 0.85,
+                 src_col: str = "src", dst_col: str = "dst",
+                 n_partitions: int = 32, tol: float | None = None):
+        """PageRank over this frame's edge list (operators/graph.py)."""
+        from rspl_spark.operators.graph import pagerank
+
+        return self._wrap(pagerank(
+            self.df, n_iter=n_iter, damping=damping, src_col=src_col,
+            dst_col=dst_col, n_partitions=n_partitions, tol=tol,
+        ))
+
+    def khop_distances(self, sources: DataFrame, max_hops: int,
+                       src_col: str = "src", dst_col: str = "dst",
+                       node_col: str = "node"):
+        """Shortest directed hop distance from ``sources`` (graph.py)."""
+        from rspl_spark.operators.graph import khop_distances
+
+        return self._wrap(khop_distances(
+            self.df, sources, max_hops, src_col=src_col, dst_col=dst_col,
+            node_col=node_col,
+        ))
+
+    def triangle_counts(self, src_col: str = "src", dst_col: str = "dst"):
+        """Per-node triangle participation counts (graph.py)."""
+        from rspl_spark.operators.graph import triangle_counts
+
+        return self._wrap(triangle_counts(self.df, src_col=src_col, dst_col=dst_col))
+
+    # ------------------------------------------------- behavior family
+    def cohort_retention(self, user_col: str, ts_col: str, period: str = "week"):
+        """First-activity cohorts + retention ratios (behavior.py)."""
+        from rspl_spark.operators.behavior import cohort_retention
+
+        return self._wrap(cohort_retention(self.df, user_col, ts_col, period=period))
+
+    def transition_matrix(self, key_col: str, ts_col: str, state_col: str,
+                          tiebreak_cols: list[str] | None = None):
+        """First-order Markov transition matrix (behavior.py)."""
+        from rspl_spark.operators.behavior import transition_matrix
+
+        return self._wrap(transition_matrix(
+            self.df, key_col, ts_col, state_col, tiebreak_cols=tiebreak_cols,
+        ))
+
+    def pmi_collocations(self, text_col: str = "text", min_count: int = 5,
+                         top_k: int = 50):
+        """Top collocations by PMI over adjacent token pairs (text.py)."""
+        from rspl_spark.operators.text import pmi_collocations
+
+        return self._wrap(pmi_collocations(
+            self.df, text_col=text_col, min_count=min_count, top_k=top_k,
+        ))
+
+    # ---------------------------------------------- time-series family
+    def gapfill(self, keys: list[str], time_col: str, step: str,
+                fills: dict[str, str], mark_gaps: bool = True,
+                max_gap_buckets: int | None = 100_000):
+        """Fill missing buckets of an already-bucketed frame (timeseries.py)."""
+        from rspl_spark.operators.timeseries import gapfill
+
+        return self._wrap(gapfill(
+            self.df, keys, time_col, step, fills, mark_gaps=mark_gaps,
+            max_gap_buckets=max_gap_buckets,
+        ))
+
+    def resample(self, keys: list[str], time_col: str, step: str,
+                 aggs: dict, fills: dict[str, str], mark_gaps: bool = True,
+                 max_gap_buckets: int | None = 100_000):
+        """Bucket → aggregate → gap-fill in one call (timeseries.py)."""
+        from rspl_spark.operators.timeseries import resample
+
+        return self._wrap(resample(
+            self.df, keys, time_col, step, aggs, fills, mark_gaps=mark_gaps,
+            max_gap_buckets=max_gap_buckets,
+        ))
+
+    def ewma(self, keys: list[str], time_col: str, value_col: str,
+             window: int = 16, out_col: str = "ewma"):
+        """Trailing-window EWMA, exact-replay arithmetic (timeseries.py)."""
+        from rspl_spark.operators.timeseries import ewma
+
+        return self._wrap(ewma(
+            self.df, keys, time_col, value_col, window=window, out_col=out_col,
+        ))
+
+    def rolling_median(self, keys: list[str], time_col: str, value_col: str,
+                       n_buckets: int = 7, out_col: str = "rmedian"):
+        """Exact trailing-window median (timeseries.py)."""
+        from rspl_spark.operators.timeseries import rolling_median
+
+        return self._wrap(rolling_median(
+            self.df, keys, time_col, value_col, n_buckets=n_buckets,
+            out_col=out_col,
+        ))
+
+    def mad_outliers(self, group_cols: list[str], value_col: str, k: float = 3.0):
+        """Median/MAD outlier fences per group (timeseries.py)."""
+        from rspl_spark.operators.timeseries import mad_outliers
+
+        return self._wrap(mad_outliers(self.df, group_cols, value_col, k=k))
+
+    # ------------------------------------------- rolling-sketch family
+    def rolling_distinct_hll(self, key_col: str, ts_col: str,
+                             step: str = "1 day", window_buckets: int = 7):
+        """Approx distinct keys per trailing window via merged HLL
+        registers (sketches.py)."""
+        from rspl_spark.operators.sketches import rolling_distinct_hll
+
+        return self._wrap(rolling_distinct_hll(
+            self.df, key_col, ts_col, step=step, window_buckets=window_buckets,
+        ))
+
+    def rolling_hist_quantiles(self, value_col: str, ts_col: str,
+                               step: str = "1 day", window_buckets: int = 7,
+                               qs: tuple[float, ...] = (0.5, 0.95),
+                               nbins: int = 256):
+        """Histogram-interpolated quantiles per trailing window
+        (sketches.py)."""
+        from rspl_spark.operators.sketches import rolling_hist_quantiles
+
+        return self._wrap(rolling_hist_quantiles(
+            self.df, value_col, ts_col, step=step,
+            window_buckets=window_buckets, qs=qs, nbins=nbins,
+        ))
+
+
+def analytics(df: DataFrame) -> AnalyticsFrame:
+    """Wrap ``df`` in the analytic-operator facade (see module doc)."""
+    return AnalyticsFrame(df)
 
 
 def _length_preserving(sp: StreamProcessor) -> bool:

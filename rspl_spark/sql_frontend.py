@@ -1,5 +1,8 @@
-"""SQL front-end for the DSL: register any StreamProcessor term as a
-table-valued function, callable from plain ``spark.sql``:
+"""SQL front-end: DSL terms as table-valued functions, and the analytic
+operator families as CALL-style procedures.
+
+**DSL as TVF** — register any StreamProcessor term, callable from plain
+``spark.sql``:
 
     register_stream_processor(spark, "rspl_swap", swap_forever, "bigint")
     spark.sql('''
@@ -14,13 +17,33 @@ PARTITION BY that is one per key group), rows arrive in ORDER BY order,
 reference's prefix semantics). This is the "UML-like language compiled
 to rspl" future-work item of the reference's closing remarks
 (examples/pelican.rs:373-376) realized as SQL.
+
+**Analytics as procedures** — the graph / behavior / time-series /
+rolling-sketch operators take whole tables and run multi-stage (often
+iterative) plans, which a per-partition UDTF cannot express; the public
+precedent for SQL-exposing such operators is the CALL-procedure syntax
+(Iceberg's ``CALL catalog.system.rewrite_data_files(...)``). Same shape
+here — table arguments are view names, everything else SQL literals:
+
+    events.createOrReplaceTempView("events")
+    df = sql_call(spark, \"""
+        CALL resample(df => 'events', keys => 'user_id', time_col => 'ts',
+                      step => '6 HOURS', aggs => 'v:min(value)',
+                      fills => 'v:locf')
+    \""")
+
+``sql_call`` parses and dispatches to the SAME operator functions the
+Python facade binds (``rspl_spark.api.analytics``) — one semantics,
+three surfaces.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from rspl_spark.dsl.core import StreamProcessor, run_prefix
@@ -56,3 +79,207 @@ def register_stream_processor(
                 self._n += 1
 
     spark.udtf.register(name, Runner)
+
+
+# --------------------------------------------------------------------------
+# CALL-style analytics procedures
+# --------------------------------------------------------------------------
+
+def _cols(v: str) -> list[str]:
+    """'a,b,c' → ['a', 'b', 'c'] (a comma-list literal)."""
+    return [c.strip() for c in str(v).split(",") if c.strip()]
+
+
+def _colmap(v: str) -> dict[str, str]:
+    """'v:locf,n:zero' → {'v': 'locf', 'n': 'zero'}."""
+    out: dict[str, str] = {}
+    for item in _cols(v):
+        k, _, m = item.partition(":")
+        if not _ or not k or not m:
+            raise ValueError(f"expected 'col:value' pairs, got {item!r}")
+        out[k.strip()] = m.strip()
+    return out
+
+
+def _aggmap(v: str) -> dict:
+    """'v:min(value),n:count(*)' → {'v': F.expr('min(value)'), …}."""
+    return {k: F.expr(expr) for k, expr in _colmap(v).items()}
+
+
+def _proc_pagerank(spark, df, n_iter=10, damping=0.85, src_col="src",
+                   dst_col="dst", tol=None, **_):
+    from rspl_spark.operators.graph import pagerank
+
+    return pagerank(df, n_iter=int(n_iter), damping=float(damping),
+                    src_col=src_col, dst_col=dst_col, tol=tol)
+
+
+def _proc_khop(spark, df, sources, max_hops, src_col="src", dst_col="dst",
+               node_col="node", **_):
+    from rspl_spark.operators.graph import khop_distances
+
+    return khop_distances(df, spark.table(sources), int(max_hops),
+                          src_col=src_col, dst_col=dst_col, node_col=node_col)
+
+
+def _proc_triangles(spark, df, src_col="src", dst_col="dst", **_):
+    from rspl_spark.operators.graph import triangle_counts
+
+    return triangle_counts(df, src_col=src_col, dst_col=dst_col)
+
+
+def _proc_cohort_retention(spark, df, user_col, ts_col, period="week", **_):
+    from rspl_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(df, user_col, ts_col, period=period)
+
+
+def _proc_transition_matrix(spark, df, key_col, ts_col, state_col,
+                            tiebreak_cols=None, **_):
+    from rspl_spark.operators.behavior import transition_matrix
+
+    return transition_matrix(
+        df, key_col, ts_col, state_col,
+        tiebreak_cols=_cols(tiebreak_cols) if tiebreak_cols else None,
+    )
+
+
+def _proc_pmi(spark, df, text_col="text", min_count=5, top_k=50, **_):
+    from rspl_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(df, text_col=text_col, min_count=int(min_count),
+                            top_k=int(top_k))
+
+
+def _proc_gapfill(spark, df, keys, time_col, step, fills, **_):
+    from rspl_spark.operators.timeseries import gapfill
+
+    return gapfill(df, _cols(keys), time_col, step, _colmap(fills))
+
+
+def _proc_resample(spark, df, keys, time_col, step, aggs, fills, **_):
+    from rspl_spark.operators.timeseries import resample
+
+    return resample(df, _cols(keys), time_col, step, _aggmap(aggs),
+                    _colmap(fills))
+
+
+def _proc_ewma(spark, df, keys, time_col, value_col, window=16,
+               out_col="ewma", **_):
+    from rspl_spark.operators.timeseries import ewma
+
+    return ewma(df, _cols(keys), time_col, value_col, window=int(window),
+                out_col=out_col)
+
+
+def _proc_rolling_median(spark, df, keys, time_col, value_col, n_buckets=7,
+                         out_col="rmedian", **_):
+    from rspl_spark.operators.timeseries import rolling_median
+
+    return rolling_median(df, _cols(keys), time_col, value_col,
+                          n_buckets=int(n_buckets), out_col=out_col)
+
+
+def _proc_mad_outliers(spark, df, group_cols, value_col, k=3.0, **_):
+    from rspl_spark.operators.timeseries import mad_outliers
+
+    return mad_outliers(df, _cols(group_cols), value_col, k=float(k))
+
+
+def _proc_rolling_distinct(spark, df, key_col, ts_col, step="1 day",
+                           window_buckets=7, **_):
+    from rspl_spark.operators.sketches import rolling_distinct_hll
+
+    return rolling_distinct_hll(df, key_col, ts_col, step=step,
+                                window_buckets=int(window_buckets))
+
+
+def _proc_rolling_quantiles(spark, df, value_col, ts_col, step="1 day",
+                            window_buckets=7, qs="0.5,0.95", nbins=256, **_):
+    from rspl_spark.operators.sketches import rolling_hist_quantiles
+
+    return rolling_hist_quantiles(
+        df, value_col, ts_col, step=step, window_buckets=int(window_buckets),
+        qs=tuple(float(q) for q in _cols(str(qs))), nbins=int(nbins),
+    )
+
+
+#: procedure name → fn(spark, df, **kwargs). ``df`` is the resolved
+#: table argument (every procedure's first parameter, passed as
+#: ``df => '<view name>'``); other table args stay view-name strings
+#: and are resolved inside the adapter (khop's ``sources``).
+PROCEDURES: dict[str, Callable] = {
+    "pagerank": _proc_pagerank,
+    "khop_distances": _proc_khop,
+    "triangle_counts": _proc_triangles,
+    "cohort_retention": _proc_cohort_retention,
+    "transition_matrix": _proc_transition_matrix,
+    "pmi_collocations": _proc_pmi,
+    "gapfill": _proc_gapfill,
+    "resample": _proc_resample,
+    "ewma": _proc_ewma,
+    "rolling_median": _proc_rolling_median,
+    "mad_outliers": _proc_mad_outliers,
+    "rolling_distinct_hll": _proc_rolling_distinct,
+    "rolling_hist_quantiles": _proc_rolling_quantiles,
+}
+
+
+def call_procedure(spark: SparkSession, name: str, df, **kwargs) -> DataFrame:
+    """Dispatch an analytics procedure by name. ``df`` is a DataFrame
+    or a view name; see :data:`PROCEDURES` for the catalog."""
+    if name not in PROCEDURES:
+        raise ValueError(
+            f"unknown procedure {name!r}; available: {sorted(PROCEDURES)}"
+        )
+    if isinstance(df, str):
+        df = spark.table(df)
+    return PROCEDURES[name](spark, df, **kwargs)
+
+
+_CALL_RE = re.compile(r"^\s*CALL\s+(\w+)\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_ARG_RE = re.compile(
+    r"\s*(\w+)\s*=>\s*('(?:[^']|'')*'|[^,]+)\s*(?:,|$)", re.DOTALL
+)
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1].replace("''", "'")
+    low = tok.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    if low in ("null", "none"):
+        return None
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        raise ValueError(f"cannot parse CALL argument literal {tok!r}")
+
+
+def sql_call(spark: SparkSession, statement: str) -> DataFrame:
+    """Execute ``CALL name(arg => literal, …)`` (module doc) and return
+    the result DataFrame. String literals use SQL quoting ('' escapes a
+    quote); the ``df`` argument names the input view."""
+    m = _CALL_RE.match(statement)
+    if not m:
+        raise ValueError("expected: CALL name(arg => value, …)")
+    name, body = m.group(1), m.group(2)
+    kwargs = {}
+    pos = 0
+    while pos < len(body.rstrip()):
+        am = _ARG_RE.match(body, pos)
+        if not am:
+            raise ValueError(f"cannot parse CALL arguments at: {body[pos:]!r}")
+        kwargs[am.group(1)] = _parse_literal(am.group(2))
+        pos = am.end()
+    if "df" not in kwargs:
+        raise ValueError("CALL requires a df => '<view name>' argument")
+    return call_procedure(spark, name.lower(), kwargs.pop("df"), **kwargs)

@@ -194,3 +194,86 @@ def test_alternate_with_preserves_dense_input(spark):
     )
     got = [r["value"] for r in out.orderBy("seq").collect()]
     assert got == want
+
+
+# ------------------------------------------------------------------ analytics
+# r11: the table-level facade — every analytic family discoverable from
+# one entry point, each method a thin binding of the operator module
+# that owns the semantics (result equality asserted against the direct
+# operator call, plus chainability into plain DataFrame ops).
+
+
+def _edges(spark):
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+
+
+def test_analytics_graph_family_matches_operators(spark):
+    from rspl_spark.api import analytics
+    from rspl_spark.operators.graph import pagerank, triangle_counts
+
+    e = _edges(spark)
+    got = {
+        (r["node"], round(r["rank"], 9))
+        for r in analytics(e).pagerank(n_iter=3).collect()
+    }
+    want = {
+        (r["node"], round(r["rank"], 9)) for r in pagerank(e, n_iter=3).collect()
+    }
+    assert got == want
+    tri = analytics(e).triangle_counts()
+    assert {(r["node"], r["n_triangles"]) for r in tri.collect()} == {
+        (r["node"], r["n_triangles"]) for r in triangle_counts(e).collect()
+    }
+    # khop through the facade
+    src = spark.createDataFrame([(1,)], "n long")
+    d = {
+        (r["node"], r["dist"])
+        for r in analytics(e).khop_distances(src, 2).collect()
+    }
+    assert (1, 0) in d and (2, 1) in d
+
+
+def test_analytics_timeseries_chain(spark):
+    """resample through the facade, then chain a plain DataFrame op on
+    the wrapped result (delegation ends the fluent chain)."""
+    import datetime as dt
+
+    from rspl_spark.api import analytics
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(hours=h), float(h)) for h in (0, 1, 2, 13, 14)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = analytics(df).resample(
+        keys=["k"], time_col="ts", step="6 HOURS",
+        aggs={"v": F.min("v")}, fills={"v": "locf"},
+    )
+    gaps = out.where(F.col("is_gap")).collect()  # delegated DataFrame op
+    assert len(gaps) == 1  # the 06:00 bucket
+    assert gaps[0]["v"] == 0.0  # locf carried from the 00:00 bucket
+
+
+def test_analytics_behavior_and_sketches(spark):
+    import datetime as dt
+
+    from rspl_spark.api import analytics
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(days=d), s, i)
+            for i, (d, s) in enumerate([(0, "a"), (1, "b"), (2, "a"), (7, "b")])
+        ],
+        "u long, ts timestamp, s string, eid long",
+    )
+    tm = analytics(ev).transition_matrix("u", "ts", "s", tiebreak_cols=["eid"])
+    assert {(r["prev_state"], r["state"], r["n"]) for r in tm.collect()} == {
+        ("a", "b", 2), ("b", "a", 1),
+    }
+    ret = analytics(ev).cohort_retention("u", "ts", period="week").collect()
+    assert ret[0]["offset"] == 0 and ret[0]["n_cohort"] == 1
+    rd = analytics(ev).rolling_distinct_hll("u", "ts", window_buckets=3)
+    assert rd.count() > 0

@@ -216,3 +216,31 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(e, n_iter=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank"]
+
+
+def test_pagerank_tol_early_exit_and_convergence(spark):
+    """r11: tol stops iteration once the L1 rank delta drops below it.
+    A huge tol stops after ONE iteration (bit-exact with n_iter=1); a
+    tiny tol under a large budget lands within epsilon of the full
+    fixed-iteration fixpoint."""
+    from rspl_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2)], "src long, dst long"
+    )
+    one = {(r["node"], r["rank"]) for r in pagerank(e, n_iter=1).collect()}
+    early = {
+        (r["node"], r["rank"])
+        for r in pagerank(e, n_iter=10, tol=10.0).collect()
+    }
+    assert early == one  # L1 delta is always < 10 → stop after iter 1
+    full = {r["node"]: r["rank"] for r in pagerank(e, n_iter=60).collect()}
+    conv = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, n_iter=60, tol=1e-12).collect()
+    }
+    assert max(abs(full[n] - conv[n]) for n in full) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(e, tol=0.0)

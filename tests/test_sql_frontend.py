@@ -64,3 +64,78 @@ def test_sql_tvf_composes_with_sql(spark):
         """
     ).collect()[0]
     assert (row["n"], row["s"]) == (3, 15)
+
+
+# ---------------------------------------------------------------- procedures
+# r11: the analytic families as CALL-style SQL procedures (the Iceberg
+# CALL precedent) — same operator functions as the Python facade.
+
+
+def test_sql_call_resample_roundtrip(spark):
+    import datetime as dt
+
+    from rspl_spark.sql_frontend import sql_call
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(hours=h), float(h)) for h in (0, 1, 13)]
+    spark.createDataFrame(
+        rows, "k long, ts timestamp, v double"
+    ).createOrReplaceTempView("sqlcall_events")
+    out = sql_call(spark, """
+        CALL resample(df => 'sqlcall_events', keys => 'k', time_col => 'ts',
+                      step => '6 HOURS', aggs => 'v:min(v)', fills => 'v:locf')
+    """)
+    got = [(str(r["ts"])[11:13], r["v"], r["is_gap"]) for r in out.orderBy("ts").collect()]
+    assert got == [("00", 0.0, False), ("06", 0.0, True), ("12", 13.0, False)]
+
+
+def test_sql_call_pagerank_matches_operator(spark):
+    from rspl_spark.operators.graph import pagerank
+    from rspl_spark.sql_frontend import sql_call
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    e.createOrReplaceTempView("sqlcall_edges")
+    got = sql_call(
+        spark, "CALL pagerank(df => 'sqlcall_edges', n_iter => 3)"
+    )
+    want = pagerank(e, n_iter=3)
+    assert {(r["node"], round(r["rank"], 9)) for r in got.collect()} == {
+        (r["node"], round(r["rank"], 9)) for r in want.collect()
+    }
+
+
+def test_sql_call_parse_errors(spark):
+    import pytest
+
+    from rspl_spark.sql_frontend import sql_call
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        sql_call(spark, "CALL nonsense(df => 'x')")
+    with pytest.raises(ValueError, match="df =>"):
+        sql_call(spark, "CALL pagerank(n_iter => 3)")
+    with pytest.raises(ValueError, match="expected: CALL"):
+        sql_call(spark, "SELECT 1")
+
+
+def test_sql_call_string_escapes_and_kwargs(spark):
+    import datetime as dt
+
+    from rspl_spark.sql_frontend import sql_call
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(days=d), float(v))
+        for d, v in [(0, 1.0), (1, 2.0), (2, 30.0), (3, 4.0)]
+    ]
+    spark.createDataFrame(
+        rows, "k long, ts timestamp, v double"
+    ).createOrReplaceTempView("sqlcall_mad")
+    out = sql_call(spark, """
+        CALL rolling_median(df => 'sqlcall_mad', keys => 'k',
+                            time_col => 'ts', value_col => 'v',
+                            n_buckets => 3, out_col => 'rm')
+    """)
+    meds = [r["rm"] for r in out.orderBy("ts").collect()]
+    assert meds == [1.0, 1.5, 2.0, 4.0]
