@@ -101,6 +101,85 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle() -> str:
+    """Personalized variant: the teleport vector (uniform over nation-0
+    customers present in the graph) replaces 1/N in the restart term,
+    the dangling redistribution, AND the initial ranks."""
+    head = """
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+rs AS (
+  SELECT DISTINCT n.node FROM nodes n
+  JOIN customer c ON n.node = 'c' || CAST(c_custkey AS VARCHAR)
+  WHERE c.c_nationkey = 0
+),
+rm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM rs),
+rv AS (
+  SELECT n.node,
+         CASE WHEN r.node IS NOT NULL THEN 1.0 / (SELECT m FROM rm)
+              ELSE 0.0 END AS reset
+  FROM nodes n LEFT JOIN rs r ON n.node = r.node
+),
+r0 AS (SELECT node, reset AS rank FROM rv)"""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        p = k - 1
+        its.append(
+            f""",
+c{k} AS (
+  SELECT e.dst AS node, SUM(r.rank / deg.d) AS contrib
+  FROM edges e JOIN r{p} r ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT COALESCE(SUM(rank), 0) AS dmass FROM r{p}
+  WHERE node NOT IN (SELECT src FROM deg)
+),
+r{k} AS (
+  SELECT v.node,
+         (1 - {_PR_DAMP}) * v.reset
+         + {_PR_DAMP} * (COALESCE(c.contrib, 0)
+                         + (SELECT dmass FROM d{k}) * v.reset) AS rank
+  FROM rv v LEFT JOIN c{k} c ON v.node = c.node
+)"""
+        )
+    tail = f"""
+SELECT node, ROUND(rank, 6) AS rank
+FROM r{_PR_ITERS}
+ORDER BY node
+"""
+    return head + "".join(its) + tail
+
+
+@query("q_pagerank_personalized", oracle=_ppr_oracle(), tags=("graph",))
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded uniformly at nation-0 customers —
+    rank mass re-enters ONLY through the seeds (restart + dangling
+    both teleport by the reset vector), the 'rank everything from
+    these seeds' form a recommendation pipeline actually runs. Same
+    checkpointed power loop; oracle unrolls the same 4 iterations."""
+    from rspl_spark.operators.graph import pagerank
+
+    cust = load(spark, sf_dir, "customer")
+    seeds = cust.where(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    ranks = pagerank(
+        _purchase_edges(spark, sf_dir),
+        n_iter=_PR_ITERS,
+        damping=_PR_DAMP,
+        reset_df=seeds,
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
+        "node"
+    )
+
+
 _TRI_ORACLE = """
 WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (

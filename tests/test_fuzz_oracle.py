@@ -1394,6 +1394,78 @@ def test_fuzz_pagerank_random_graphs(spark, duck):
     assert not failures, f"pagerank fuzz mismatches: {failures}"
 
 
+def _ppr_fuzz_sql(damping: float, n_iter: int) -> str:
+    head = """
+WITH nodes AS (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges),
+deg AS (SELECT src, COUNT(*) AS d FROM pr_edges GROUP BY src),
+sw AS (SELECT s.node, SUM(s.w) AS w FROM pr_seeds s
+       JOIN nodes n ON s.node = n.node GROUP BY s.node),
+wt AS (SELECT CAST(SUM(w) AS DOUBLE) AS t FROM sw),
+rv AS (SELECT n.node, COALESCE(sw.w, 0) / (SELECT t FROM wt) AS reset
+       FROM nodes n LEFT JOIN sw ON n.node = sw.node),
+r0 AS (SELECT node, reset AS rank FROM rv)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        its.append(f""",
+c{k} AS (SELECT e.dst AS node, SUM(r.rank / deg.d) AS contrib
+         FROM pr_edges e JOIN r{p} r ON e.src = r.node
+         JOIN deg ON deg.src = e.src GROUP BY e.dst),
+d{k} AS (SELECT COALESCE(SUM(rank), 0) AS dmass FROM r{p}
+         WHERE node NOT IN (SELECT src FROM deg)),
+r{k} AS (SELECT v.node,
+    (1 - {damping!r}) * v.reset
+    + {damping!r} * (COALESCE(c.contrib, 0)
+                     + (SELECT dmass FROM d{k}) * v.reset) AS rank
+  FROM rv v LEFT JOIN c{k} c ON v.node = c.node)""")
+    return head + "".join(its) + f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter} ORDER BY node
+"""
+
+
+def test_fuzz_personalized_pagerank_random_graphs(spark, duck):
+    """Grammar #21 extension (r11): personalized PageRank with random
+    seed subsets and half-integer weights (exact in binary, so the
+    normalization replays bit-for-bit) — the teleport vector replaces
+    1/N in restart, dangling, AND init."""
+    from rspl_spark.operators.graph import pagerank
+
+    failures = []
+    for seed in (17, 509, 8191):
+        rng = random.Random(seed)
+        n_nodes = rng.randrange(8, 32)
+        nodes = [f"v{i}" for i in range(n_nodes)]
+        pairs = {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(rng.randrange(n_nodes, n_nodes * 3))
+        }
+        pairs = sorted((s, d) for s, d in pairs if s != d)
+        damping = rng.choice([0.5, 0.85])
+        n_iter = rng.randrange(1, 4)
+        n_seeds = rng.randrange(1, max(2, n_nodes // 3))
+        seed_rows = [
+            (rng.choice(nodes), rng.choice([0.5, 1.0, 1.5, 2.0]))
+            for _ in range(n_seeds)
+        ]
+        pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+        spdf = pd.DataFrame(seed_rows, columns=["node", "w"])
+        duck.register("pr_edges", pdf)
+        duck.register("pr_seeds", spdf)
+        e = spark.createDataFrame(pdf, "src string, dst string")
+        s = spark.createDataFrame(spdf, "node string, w double")
+        got = _canon(
+            pagerank(e, n_iter=n_iter, damping=damping, reset_df=s)
+            .select("node", F.round("rank", 6).alias("rank"))
+            .toPandas()
+        )
+        want = _canon(duck.sql(_ppr_fuzz_sql(damping, n_iter)).df())
+        if not got.equals(want):
+            failures.append((seed, damping, n_iter))
+        duck.unregister("pr_edges")
+        duck.unregister("pr_seeds")
+    assert not failures, f"personalized pagerank fuzz mismatches: {failures}"
+
+
 # ---------------------------------------------------------------------------
 # Grammar #22: Markov transition matrices on random event sequences with
 # DELIBERATE timestamp ties — the lag-pair multiset is only well-defined

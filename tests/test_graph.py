@@ -244,3 +244,34 @@ def test_pagerank_tol_early_exit_and_convergence(spark):
 
     with pytest.raises(ValueError, match="tol"):
         pagerank(e, tol=0.0)
+
+
+def test_personalized_pagerank_seed_semantics(spark):
+    """r11: reset_df seeds — mass re-enters only through seeds; seeds
+    absent from the graph are ignored (filtered before normalizing);
+    a fully-absent seed set raises; two-column weights respected."""
+    import pytest
+
+    from rspl_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 not in graph
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, n_iter=8, reset_df=seeds).collect()}
+    assert 99 not in ranks
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+    # node 4 has no in-edges and is not a seed: rank exactly 0
+    assert ranks[4] == 0.0
+    # weighted seeds, one iteration: closed form replayed exactly.
+    # reset = (1:0.25, 3:0.75); every node has out-degree 1, no dangling:
+    # r1(v) = 0.15*reset(v) + 0.85*sum_{u->v} reset(u)
+    w = spark.createDataFrame([(1, 1.0), (3, 3.0)], "node long, w double")
+    rw = {r["node"]: r["rank"] for r in pagerank(e, n_iter=1, reset_df=w).collect()}
+    d = 0.85
+    assert rw[1] == (1.0 - d) * 0.25 + d * (0.75 + 0.0)  # from 3 and 4
+    assert rw[2] == (1.0 - d) * 0.0 + d * 0.25           # from 1
+    assert rw[3] == (1.0 - d) * 0.75 + d * 0.0           # from 2 (reset 0)
+    assert rw[4] == 0.0
+    with pytest.raises(ValueError, match="reset_df"):
+        pagerank(e, reset_df=spark.createDataFrame([(99,)], "node long"))
