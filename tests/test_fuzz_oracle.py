@@ -11,6 +11,8 @@ import random
 import duckdb
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.slow  # fuzz/streaming/scale tier: pytest -m "not slow" skips
 from pyspark.sql import functions as F
 
 from rspl_spark.catalog import load

@@ -13,6 +13,10 @@ Two paths:
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # fuzz/streaming/scale tier: pytest -m "not slow" skips
+
 import itertools
 import math
 import time

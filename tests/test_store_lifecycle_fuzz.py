@@ -28,6 +28,8 @@ from __future__ import annotations
 import random
 
 import pytest
+
+pytestmark = pytest.mark.slow  # fuzz/streaming/scale tier: pytest -m "not slow" skips
 from pyspark.sql import functions as F
 
 from rspl_spark.operators import ann_store as A

@@ -3,6 +3,10 @@ stream-stream join with watermarks, print-sink analog (R10)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # fuzz/streaming/scale tier: pytest -m "not slow" skips
+
 import tempfile
 import time
 

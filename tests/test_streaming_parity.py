@@ -5,6 +5,10 @@ to the driver's real events table."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # fuzz/streaming/scale tier: pytest -m "not slow" skips
+
 import tempfile
 
 import pandas as pd

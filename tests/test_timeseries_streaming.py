@@ -10,6 +10,8 @@ from __future__ import annotations
 import tempfile
 
 import pytest
+
+pytestmark = pytest.mark.slow  # fuzz/streaming/scale tier: pytest -m "not slow" skips
 from pyspark.sql import functions as F
 
 from rspl_spark.catalog import load
