@@ -204,15 +204,17 @@ class AnalyticsFrame:
     def pagerank(self, n_iter: int = 10, damping: float = 0.85,
                  src_col: str = "src", dst_col: str = "dst",
                  n_partitions: int = 32, tol: float | None = None,
-                 reset_df: DataFrame | None = None):
+                 reset_df: DataFrame | None = None,
+                 weight_col: str | None = None):
         """PageRank over this frame's edge list; ``reset_df`` seeds make
-        it personalized (operators/graph.py)."""
+        it personalized, ``weight_col`` makes flow weight-proportional
+        (operators/graph.py)."""
         from rspl_spark.operators.graph import pagerank
 
         return self._wrap(pagerank(
             self.df, n_iter=n_iter, damping=damping, src_col=src_col,
             dst_col=dst_col, n_partitions=n_partitions, tol=tol,
-            reset_df=reset_df,
+            reset_df=reset_df, weight_col=weight_col,
         ))
 
     def khop_distances(self, sources: DataFrame, max_hops: int,

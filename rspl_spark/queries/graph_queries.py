@@ -101,6 +101,84 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wpr_oracle() -> str:
+    """Weighted variant: contribution = rank · w / Σ out-weights, with
+    w = number of distinct orders linking the customer to the supplier
+    (edge multiplicity IS signal). Out-weight sums are integer-valued
+    doubles — exact — so only the contrib sum carries float reorder
+    drift, absorbed by the 6dp round like the uniform gate."""
+    head = """
+WITH edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           's' || CAST(l_suppkey AS VARCHAR) AS dst, o_orderkey
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  ) GROUP BY src, dst
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        p = k - 1
+        its.append(
+            f""",
+c{k} AS (
+  SELECT e.dst AS node, SUM(r.rank * e.w / deg.ow) AS contrib
+  FROM edges e JOIN r{p} r ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT COALESCE(SUM(rank), 0) AS dmass FROM r{p}
+  WHERE node NOT IN (SELECT src FROM deg)
+),
+r{k} AS (
+  SELECT n.node,
+         (1 - {_PR_DAMP}) / (SELECT n FROM nn)
+         + {_PR_DAMP} * (COALESCE(c.contrib, 0)
+                         + (SELECT dmass FROM d{k}) / (SELECT n FROM nn))
+           AS rank
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+)"""
+        )
+    tail = f"""
+SELECT node, ROUND(rank, 6) AS rank
+FROM r{_PR_ITERS}
+ORDER BY node
+"""
+    return head + "".join(its) + tail
+
+
+@query("q_pagerank_weighted", oracle=_wpr_oracle(), tags=("graph",))
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the purchase graph, edge weight = number
+    of distinct orders between the pair — rank flows out proportionally
+    to weight (rank · w / Σ out-weights), the multiplicity-aware form a
+    purchase/co-occurrence graph wants."""
+    from rspl_spark.operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "o_orderkey",
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(
+        edges, n_iter=_PR_ITERS, damping=_PR_DAMP, weight_col="w"
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
+        "node"
+    )
+
+
 def _ppr_oracle() -> str:
     """Personalized variant: the teleport vector (uniform over nation-0
     customers present in the graph) replaces 1/N in the restart term,

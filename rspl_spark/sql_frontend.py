@@ -107,13 +107,14 @@ def _aggmap(v: str) -> dict:
 
 
 def _proc_pagerank(spark, df, n_iter=10, damping=0.85, src_col="src",
-                   dst_col="dst", tol=None, reset=None, **_):
+                   dst_col="dst", tol=None, reset=None, weight_col=None, **_):
     from rspl_spark.operators.graph import pagerank
 
     return pagerank(
         df, n_iter=int(n_iter), damping=float(damping), src_col=src_col,
         dst_col=dst_col, tol=tol,
         reset_df=spark.table(reset) if reset else None,
+        weight_col=weight_col,
     )
 
 

@@ -1425,6 +1425,65 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter} ORDER BY node
 """
 
 
+def _wpr_fuzz_sql(damping: float, n_iter: int) -> str:
+    head = """
+WITH nodes AS (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, SUM(w) AS ow FROM pr_edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        its.append(f""",
+c{k} AS (SELECT e.dst AS node, SUM(r.rank * e.w / deg.ow) AS contrib
+         FROM pr_edges e JOIN r{p} r ON e.src = r.node
+         JOIN deg ON deg.src = e.src GROUP BY e.dst),
+d{k} AS (SELECT COALESCE(SUM(rank), 0) AS dmass FROM r{p}
+         WHERE node NOT IN (SELECT src FROM deg)),
+r{k} AS (SELECT n.node,
+    (1 - {damping!r}) / (SELECT n FROM nn)
+    + {damping!r} * (COALESCE(c.contrib, 0)
+                     + (SELECT dmass FROM d{k}) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""")
+    return head + "".join(its) + f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter} ORDER BY node
+"""
+
+
+def test_fuzz_weighted_pagerank_random_graphs(spark, duck):
+    """Grammar #21 extension (r11): edge-weighted PageRank with random
+    half-integer weights (out-weight sums exact in binary) vs the
+    DuckDB unrolled replay."""
+    from rspl_spark.operators.graph import pagerank
+
+    failures = []
+    for seed in (23, 607, 7919):
+        rng = random.Random(seed)
+        n_nodes = rng.randrange(8, 32)
+        nodes = [f"v{i}" for i in range(n_nodes)]
+        pairs = sorted({
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(rng.randrange(n_nodes, n_nodes * 3))
+        })
+        pairs = [(s, d) for s, d in pairs if s != d]
+        rows = [(s, d, rng.choice([0.5, 1.0, 1.5, 2.0])) for s, d in pairs]
+        damping = rng.choice([0.5, 0.85])
+        n_iter = rng.randrange(1, 4)
+        pdf = pd.DataFrame(rows, columns=["src", "dst", "w"])
+        duck.register("pr_edges", pdf)
+        e = spark.createDataFrame(pdf, "src string, dst string, w double")
+        got = _canon(
+            pagerank(e, n_iter=n_iter, damping=damping, weight_col="w")
+            .select("node", F.round("rank", 6).alias("rank"))
+            .toPandas()
+        )
+        want = _canon(duck.sql(_wpr_fuzz_sql(damping, n_iter)).df())
+        if not got.equals(want):
+            failures.append((seed, damping, n_iter))
+        duck.unregister("pr_edges")
+    assert not failures, f"weighted pagerank fuzz mismatches: {failures}"
+
+
 def test_fuzz_personalized_pagerank_random_graphs(spark, duck):
     """Grammar #21 extension (r11): personalized PageRank with random
     seed subsets and half-integer weights (exact in binary, so the

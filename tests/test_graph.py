@@ -275,3 +275,35 @@ def test_personalized_pagerank_seed_semantics(spark):
     assert rw[4] == 0.0
     with pytest.raises(ValueError, match="reset_df"):
         pagerank(e, reset_df=spark.createDataFrame([(99,)], "node long"))
+
+
+def test_weighted_pagerank_semantics(spark):
+    """r11: weight_col — rank flows out proportionally to edge weight;
+    NULL/non-positive-weight edges dropped (source may become
+    dangling). One-iteration closed form checked exactly."""
+    from rspl_spark.operators.graph import pagerank
+
+    # 1 -> 2 (w=3), 1 -> 3 (w=1): node 2 gets 3/4 of 1's outflow
+    e = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, None)],
+        "src long, dst long, w double",
+    )
+    # the NULL-weight edge 3->1 is dropped: 3 becomes dangling
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(e, n_iter=1, weight_col="w").collect()
+    }
+    d, n = 0.85, 3
+    base = (1.0 - d) / n
+    init = 1.0 / n
+    dmass = init  # node 3 dangles
+    assert r[2] == base + d * (init * 3.0 / 4.0 + dmass / n)
+    assert r[3] == base + d * (init * 1.0 / 4.0 + dmass / n)
+    assert r[1] == base + d * (init * 1.0 / 1.0 + dmass / n)
+    # uniform weights == unweighted (same IEEE shape after the division)
+    eu = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "src long, dst long, w double"
+    )
+    rw = {x["node"]: x["rank"] for x in pagerank(eu, n_iter=3, weight_col="w").collect()}
+    ru = {x["node"]: x["rank"] for x in pagerank(eu.drop("w"), n_iter=3).collect()}
+    assert all(abs(rw[k] - ru[k]) < 1e-12 for k in ru)

@@ -9,10 +9,13 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-from rspl_spark.queries import load_registry
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rspl_spark.queries import load_registry  # noqa: E402
 from rspl_spark.session import get_spark
 
 QUERIES = ("q_pagerank", "q_khop_distances", "q_triangle_counts")
