@@ -99,6 +99,52 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("user_id", "sess_start")
 
 
+_STREAM_DEDUP_ORACLE = """
+WITH dup AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  WHERE event_id % 3 = 0
+)
+SELECT DISTINCT event_id, ts, user_id, event_type, value
+FROM dup
+ORDER BY event_id
+"""
+
+
+@query(
+    "q_stream_dedup",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("llm", "dedup", "streaming"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming exact dedup with WATERMARKED state: every third
+    event re-delivered, then ``withWatermark + dropDuplicates`` on
+    (event_id, ts) — the event-time key in the dedup set is what lets
+    the state store EVICT seen-keys older than the watermark, the only
+    form whose state is bounded on an unbounded stream (a keyless
+    dropDuplicates would grow state forever — the same contract as
+    dedup_store's batch incremental path). In-order chunks keep every
+    duplicate at or above the watermark when it arrives, so the finite
+    prefix equals batch DISTINCT exactly."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dup = e.unionAll(e.where(F.col("event_id") % 3 == 0))
+    stream, tmp = _ordered_stream(
+        dup,
+        ["ts", "event_id"],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+        n_chunks=3,
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    got = _drain(deduped, "t_q_stream_dedup", [tmp])
+    return got.orderBy("event_id")
+
+
 _SSJOIN_ORACLE = """
 SELECT c.user_id,
        c.event_id AS click_id, p.event_id AS purchase_id,

@@ -781,3 +781,31 @@ def test_session_window_stream_merges_across_batches(spark):
             for r in spark.table("t_sess_merge").collect()
         ]
     assert got == [(1, 4)]
+
+
+def test_stream_dedup_watermark_eviction_contract(spark):
+    """r11: watermarked dropDuplicates — state evicts below the
+    watermark, and LATE rows (duplicate or fresh) are dropped entirely,
+    so the output stays exactly-once deduped; a late fresh row is data
+    loss by the documented watermark contract (batch replay backstop)."""
+    from rspl_spark.streaming.sources import run_to_memory_sink
+
+    def chunk(rows):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 {h:02d}:00:00") for i, h in rows],
+            "k long, ts_s string",
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    chunks = [
+        chunk([(1, 0), (2, 1)]),
+        chunk([(2, 1), (3, 6)]),   # dup of 2 (same ts, above wm) dropped
+        chunk([(1, 0), (9, 0)]),   # BOTH late (wm = 6h - 1h): dropped
+        chunk([(4, 7)]),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        stream = file_stream(spark, tmp, "k long, ts timestamp")
+        out = stream.withWatermark("ts", "1 hour").dropDuplicates(["k", "ts"])
+        run_to_memory_sink(out, "t_wm_dedup", timeout_s=180)
+        got = sorted(r["k"] for r in spark.table("t_wm_dedup").collect())
+    assert got == [1, 2, 3, 4]  # one of each; late fresh 9 lost by contract
