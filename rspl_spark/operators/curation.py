@@ -574,3 +574,68 @@ def winsorize(
             "_hi", "bound_hi"
         )
     return out.drop("_lo", "_hi")
+
+
+def consolidate_records(
+    df: DataFrame,
+    key_cols: list[str],
+    priority: list[tuple[str, str]],
+    value_cols: list[str] | None = None,
+    completeness_first: bool = False,
+) -> DataFrame:
+    """Golden-record consolidation (survivorship): collapse each key's
+    duplicate candidate records to ONE row — the highest-priority
+    record, with each value column backfilled by the FIRST NON-NULL
+    value scanning the key's records in priority order. The
+    entity-resolution endgame: dedup finds the duplicate cluster;
+    this decides what the surviving record SAYS.
+
+    ``priority`` is a list of (column, "asc"|"desc") sort keys defining
+    the survivorship order; make it TOTAL per key (end with a unique
+    id) or the winner under ties is nondeterministic — the same
+    contract as transition_matrix's tiebreak. With
+    ``completeness_first=True`` a computed non-null-field count over
+    ``value_cols`` is prepended (desc) — "most complete record wins,
+    then the explicit priority".
+
+    ``value_cols`` defaults to every non-key column not used only for
+    ordering... precisely: every column of ``df`` except ``key_cols``.
+    Output: key_cols + value_cols (golden values), one row per key.
+
+    Scale shape: ONE shuffle on the key, one sort per partition, one
+    window pass computing row_number + per-column first-ignore-nulls
+    over the full key frame — no self-joins, no driver work. 100 TB
+    note: a pathological key with millions of duplicates serializes
+    into one task's sort; duplicate-cluster sizes are bounded by
+    upstream dedup in practice (thin_hot_keys is the guard if not).
+    """
+    if not priority:
+        raise ValueError("consolidate_records: priority must be non-empty")
+    vcols = (
+        list(value_cols)
+        if value_cols is not None
+        else [c for c in df.columns if c not in key_cols]
+    )
+    if not vcols:
+        raise ValueError("consolidate_records: no value columns")
+    order = []
+    if completeness_first:
+        n_nonnull = sum(
+            (F.col(c).isNotNull().cast("int") for c in vcols), F.lit(0)
+        )
+        order.append(n_nonnull.desc())
+    for c, d in priority:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"consolidate_records: direction {d!r}")
+        order.append(F.col(c).desc() if d == "desc" else F.col(c).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sel = list(key_cols)
+    for c in vcols:
+        sel.append(F.first(F.col(c), ignorenulls=True).over(frame).alias(c))
+    return (
+        df.select(*df.columns, F.row_number().over(w).alias("_rn"))
+        .select(*sel, "_rn")
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -662,3 +662,66 @@ def q_pii_scrub_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return C.pii_scrub(injected, patterns=(C.CC_PATTERN,)).orderBy("doc_id")
+
+
+_CONSOLIDATE_ORACLE = """
+WITH cand AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 2 = 0 THEN event_type END AS segment,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS score
+  FROM events
+),
+ranked AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY (CASE WHEN segment IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END) DESC,
+                    ts DESC, event_id DESC) AS rn,
+         FIRST_VALUE(segment IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY (CASE WHEN segment IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END) DESC,
+                    ts DESC, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS segment,
+         FIRST_VALUE(score IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY (CASE WHEN segment IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END) DESC,
+                    ts DESC, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS score
+  FROM cand
+)
+SELECT user_id, segment, score FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@query(
+    "q_consolidate_records",
+    oracle=_CONSOLIDATE_ORACLE,
+    tags=("curation", "dedup"),
+)
+def q_consolidate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship per user over sparsified event
+    'profiles' (deterministic NULL injection): most-complete record
+    wins, then latest (ts, event_id); NULL fields backfilled by the
+    first non-null in priority order — ONE shuffle + one window pass
+    (operators/curation.py::consolidate_records)."""
+    e = load(spark, sf_dir, "events")
+    cand = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.col("event_type")).alias(
+            "segment"
+        ),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("score"),
+    )
+    return C.consolidate_records(
+        cand,
+        ["user_id"],
+        priority=[("ts", "desc"), ("event_id", "desc")],
+        value_cols=["segment", "score"],
+        completeness_first=True,
+    ).orderBy("user_id")

@@ -328,3 +328,70 @@ def test_winsorize_nulls_and_tiny_groups_and_validation(spark):
         winsorize(df, "v", ["g"], 50, 100)
     with _pytest.raises(ValueError, match="group column"):
         winsorize(df, "v", [], 5)
+
+
+# ------------------------------------------------------- consolidate_records
+
+
+def test_consolidate_records_survivorship(spark):
+    """Golden record: most-complete first (when enabled), NULLs
+    backfilled by the first non-null in priority order; all-null
+    columns stay NULL; single-record keys pass through."""
+    from rspl_spark.operators.curation import consolidate_records
+
+    rows = [
+        # key a: r3 newest but sparse; r2 most complete -> wins with
+        # completeness_first, its NULL email backfilled from r1
+        ("a", 1, "x@old", None, 1.0),
+        ("a", 2, None, "Ann", 2.0),
+        ("a", 3, None, None, None),
+        # key b: single record
+        ("b", 9, None, "Bob", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, email string, name string, score double"
+    )
+    got = {
+        r["k"]: (r["email"], r["name"], r["score"])
+        for r in consolidate_records(
+            df, ["k"], priority=[("ts", "desc")],
+            value_cols=["email", "name", "score"], completeness_first=True,
+        ).collect()
+    }
+    assert got["a"] == ("x@old", "Ann", 2.0)
+    assert got["b"] == (None, "Bob", None)
+    # without completeness: newest wins, fields backfilled downward
+    got2 = {
+        r["k"]: (r["email"], r["name"], r["score"])
+        for r in consolidate_records(
+            df, ["k"], priority=[("ts", "desc")],
+            value_cols=["email", "name", "score"],
+        ).collect()
+    }
+    assert got2["a"] == ("x@old", "Ann", 2.0)  # r3 wins, all backfilled
+
+
+def test_consolidate_records_validation_and_plan(spark):
+    import pytest
+
+    from rspl_spark.operators.curation import consolidate_records
+
+    df = spark.createDataFrame([("a", 1, "v")], "k string, ts long, v string")
+    with pytest.raises(ValueError, match="priority"):
+        consolidate_records(df, ["k"], priority=[])
+    with pytest.raises(ValueError, match="direction"):
+        consolidate_records(df, ["k"], priority=[("ts", "down")])
+    with pytest.raises(ValueError, match="no value columns"):
+        consolidate_records(df.select("k"), ["k"], priority=[("k", "asc")])
+    # scale shape: one Exchange (the key shuffle), no Join
+    out = consolidate_records(
+        spark.range(100).select(
+            (F.col("id") % 10).alias("k"), F.col("id").alias("ts"),
+            F.col("id").cast("string").alias("v"),
+        ),
+        ["k"], priority=[("ts", "desc")],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") <= 2  # key shuffle (+AQE read)
+    assert "Join" not in plan
