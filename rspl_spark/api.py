@@ -307,6 +307,18 @@ class AnalyticsFrame:
 
         return self._wrap(mad_outliers(self.df, group_cols, value_col, k=k))
 
+    def consolidate_records(self, key_cols: list[str],
+                            priority: list[tuple[str, str]],
+                            value_cols: list[str] | None = None,
+                            completeness_first: bool = False):
+        """Golden-record survivorship per key (curation.py)."""
+        from rspl_spark.operators.curation import consolidate_records
+
+        return self._wrap(consolidate_records(
+            self.df, key_cols, priority, value_cols=value_cols,
+            completeness_first=completeness_first,
+        ))
+
     # ------------------------------------------- rolling-sketch family
     def rolling_distinct_hll(self, key_col: str, ts_col: str,
                              step: str = "1 day", window_buckets: int = 7):

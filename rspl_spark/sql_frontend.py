@@ -208,6 +208,17 @@ def _proc_rolling_quantiles(spark, df, value_col, ts_col, step="1 day",
     )
 
 
+def _proc_consolidate(spark, df, key_cols, priority, value_cols=None,
+                      completeness_first=False, **_):
+    from rspl_spark.operators.curation import consolidate_records
+
+    return consolidate_records(
+        df, _cols(key_cols), list(_colmap(priority).items()),
+        value_cols=_cols(value_cols) if value_cols else None,
+        completeness_first=bool(completeness_first),
+    )
+
+
 #: procedure name → fn(spark, df, **kwargs). ``df`` is the resolved
 #: table argument (every procedure's first parameter, passed as
 #: ``df => '<view name>'``); other table args stay view-name strings
@@ -224,6 +235,7 @@ PROCEDURES: dict[str, Callable] = {
     "ewma": _proc_ewma,
     "rolling_median": _proc_rolling_median,
     "mad_outliers": _proc_mad_outliers,
+    "consolidate_records": _proc_consolidate,
     "rolling_distinct_hll": _proc_rolling_distinct,
     "rolling_hist_quantiles": _proc_rolling_quantiles,
 }

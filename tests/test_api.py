@@ -277,3 +277,19 @@ def test_analytics_behavior_and_sketches(spark):
     assert ret[0]["offset"] == 0 and ret[0]["n_cohort"] == 1
     rd = analytics(ev).rolling_distinct_hll("u", "ts", window_buckets=3)
     assert rd.count() > 0
+
+
+def test_analytics_consolidate_records(spark):
+    from rspl_spark.api import analytics
+
+    df = spark.createDataFrame(
+        [("a", 1, None, 1.0), ("a", 2, "Ann", None)],
+        "k string, ts long, name string, score double",
+    )
+    r = (
+        analytics(df)
+        .consolidate_records(["k"], [("ts", "desc")],
+                             value_cols=["name", "score"])
+        .collect()[0]
+    )
+    assert (r["k"], r["name"], r["score"]) == ("a", "Ann", 1.0)

@@ -1695,3 +1695,70 @@ def test_fuzz_cohort_retention_random_activity(spark, duck):
             failures.append((seed, period))
         duck.unregister("cr_events")
     assert not failures, f"cohort fuzz mismatches: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar #25: golden-record consolidation on random duplicate clusters
+# with random NULL patterns and priority directions — survivorship +
+# first-non-null backfill must match DuckDB's FIRST_VALUE IGNORE NULLS
+# replay under a total (priority, unique id) order.
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_consolidate_records_random(spark, duck):
+    from rspl_spark.operators.curation import consolidate_records
+
+    failures = []
+    for seed in (31, 313, 31337):
+        rng = random.Random(seed)
+        n_keys = rng.randrange(3, 10)
+        rows = []
+        rid = 0
+        for k in range(n_keys):
+            for _ in range(rng.randrange(1, 6)):
+                rows.append((
+                    f"k{k}",
+                    rng.randrange(0, 50),           # ts (ties possible)
+                    rid,                            # unique id tiebreak
+                    rng.choice([None, "a", "b", "c"]),
+                    rng.choice([None, 1.0, 2.5, 7.0]),
+                ))
+                rid += 1
+        d1 = rng.choice(["asc", "desc"])
+        comp = rng.choice([True, False])
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "rid", "seg", "val"])
+        duck.register("gr_recs", pdf)
+        df = spark.createDataFrame(
+            pdf, "k string, ts long, rid long, seg string, val double"
+        )
+        got = _canon(
+            consolidate_records(
+                df, ["k"],
+                priority=[("ts", d1), ("rid", "desc")],
+                value_cols=["seg", "val"],
+                completeness_first=comp,
+            ).toPandas()
+        )
+        comp_expr = (
+            "(CASE WHEN seg IS NOT NULL THEN 1 ELSE 0 END"
+            " + CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) DESC, "
+            if comp
+            else ""
+        )
+        order = f"{comp_expr}ts {d1.upper()}, rid DESC"
+        frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        want = _canon(duck.sql(f"""
+            SELECT k, seg, val FROM (
+              SELECT k,
+                ROW_NUMBER() OVER (PARTITION BY k ORDER BY {order}) AS rn,
+                FIRST_VALUE(seg IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY {order} {frame}) AS seg,
+                FIRST_VALUE(val IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY {order} {frame}) AS val
+              FROM gr_recs
+            ) WHERE rn = 1 ORDER BY k
+        """).df())
+        if not got.equals(want):
+            failures.append((seed, d1, comp))
+        duck.unregister("gr_recs")
+    assert not failures, f"consolidate fuzz mismatches: {failures}"

@@ -139,3 +139,19 @@ def test_sql_call_string_escapes_and_kwargs(spark):
     """)
     meds = [r["rm"] for r in out.orderBy("ts").collect()]
     assert meds == [1.0, 1.5, 2.0, 4.0]
+
+
+def test_sql_call_consolidate_records(spark):
+    from rspl_spark.sql_frontend import sql_call
+
+    spark.createDataFrame(
+        [("a", 1, None, 1.0), ("a", 2, "Ann", None)],
+        "k string, ts long, name string, score double",
+    ).createOrReplaceTempView("sqlcall_recs")
+    out = sql_call(spark, """
+        CALL consolidate_records(df => 'sqlcall_recs', key_cols => 'k',
+                                 priority => 'ts:desc',
+                                 value_cols => 'name,score')
+    """)
+    r = out.collect()[0]
+    assert (r["k"], r["name"], r["score"]) == ("a", "Ann", 1.0)
