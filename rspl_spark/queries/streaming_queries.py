@@ -145,6 +145,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("event_id")
 
 
+@query(
+    "q_hll_stream",
+    oracle=None,  # replaced below — reuses the batch daily-HLL oracle
+    tags=("llm", "sketch", "streaming"),
+)
+def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL: the register table is a NATIVE streaming
+    aggregation (groupBy (day, idx) max rank — Spark's state store does
+    the merge, complete mode), and because the register computation is
+    deterministic (portable hash, integer max), the drained registers
+    equal the batch table bit-for-bit — so the ESTIMATE does too, and
+    the gate reuses the batch oracle unchanged. The mergeable-sketch
+    argument carried across the batch/stream boundary."""
+    from rspl_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    stream, tmp = _ordered_stream(
+        ev, ["ts", "user_id"], "user_id long, ts timestamp"
+    )
+    regs = hll_registers(
+        stream.select(F.to_date("ts").alias("day"), "user_id"),
+        "user_id",
+        ("day",),
+        p=5,
+    )
+    got = _drain(regs, "t_q_hll_stream", [tmp], output_mode="complete")
+    est = hll_estimate(got, ("day",), p=5)
+    exact = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "day")
+        .select("day", "approx_distinct", "exact_distinct")
+        .orderBy("day")
+    )
+
+
+def _install_hll_stream_oracle() -> None:
+    """The streaming gate's oracle IS the batch daily-HLL oracle (same
+    registers ⇒ same estimate); installed after definition because the
+    oracle builder lives with the batch gate."""
+    from rspl_spark.queries import REGISTRY
+    from rspl_spark.queries.llm_ops import _hll_day_oracle
+
+    REGISTRY["q_hll_stream"].oracle = _hll_day_oracle()
+
+
+_install_hll_stream_oracle()
+
+
 _SSJOIN_ORACLE = """
 SELECT c.user_id,
        c.event_id AS click_id, p.event_id AS purchase_id,
