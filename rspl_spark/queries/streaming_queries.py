@@ -185,17 +185,63 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _install_hll_stream_oracle() -> None:
-    """The streaming gate's oracle IS the batch daily-HLL oracle (same
-    registers ⇒ same estimate); installed after definition because the
-    oracle builder lives with the batch gate."""
+@query(
+    "q_cms_stream",
+    oracle=None,  # replaced below — reuses the batch CMS oracle
+    tags=("llm", "text", "sketch", "streaming"),
+)
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: cell counts are a NATIVE streaming
+    aggregation (groupBy (i, bucket) sum — integer, exactly mergeable),
+    complete mode; the drained sketch equals the batch sketch cell for
+    cell, so the heavy-hitter probe reuses the batch CMS oracle
+    unchanged. With q_hll_stream this carries the mergeable-sketch
+    trio's frequency leg across the batch/stream boundary (the
+    histogram leg needs a min/max range pre-pass — two queries on a
+    stream — so its streaming form is the agg-store rollup, already
+    gated)."""
+    from rspl_spark.operators.sketches import cms_estimate, cms_sketch
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stream, tmp = _ordered_stream(
+        d, ["doc_id"], "doc_id long, text string"
+    )
+    tok_stream = stream.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch_stream = cms_sketch(tok_stream, "token", w=64, d=3)
+    sketch = _drain(
+        sketch_stream, "t_q_cms_stream", [tmp], output_mode="complete"
+    )
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    truth = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    est = cms_estimate(sketch, truth.select("token"), "token", w=64, d=3)
+    return (
+        est.join(truth, "token")
+        .select("token", "est", "true_cnt")
+        .orderBy(F.desc("est"), F.asc("token"))
+        .limit(10)
+    )
+
+
+def _install_stream_sketch_oracles() -> None:
+    """The streaming sketch gates' oracles ARE the batch oracles (same
+    registers/cells ⇒ same estimates); installed after definition
+    because the oracle builders live with the batch gates."""
     from rspl_spark.queries import REGISTRY
-    from rspl_spark.queries.llm_ops import _hll_day_oracle
+    from rspl_spark.queries.llm_ops import _CMS_ORACLE, _hll_day_oracle
 
     REGISTRY["q_hll_stream"].oracle = _hll_day_oracle()
+    REGISTRY["q_cms_stream"].oracle = _CMS_ORACLE
 
 
-_install_hll_stream_oracle()
+_install_stream_sketch_oracles()
 
 
 _SSJOIN_ORACLE = """
