@@ -319,6 +319,17 @@ class AnalyticsFrame:
             completeness_first=completeness_first,
         ))
 
+    def cdf_match(self, group_cols: list[str], value_col: str,
+                  n_grid: int = 1000, out_col: str = "calibrated",
+                  reference_df: DataFrame | None = None):
+        """Cross-source score calibration by CDF matching (curation.py)."""
+        from rspl_spark.operators.curation import cdf_match
+
+        return self._wrap(cdf_match(
+            self.df, group_cols, value_col, n_grid=n_grid, out_col=out_col,
+            reference_df=reference_df,
+        ))
+
     # ------------------------------------------- rolling-sketch family
     def rolling_distinct_hll(self, key_col: str, ts_col: str,
                              step: str = "1 day", window_buckets: int = 7):

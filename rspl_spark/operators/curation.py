@@ -639,3 +639,63 @@ def consolidate_records(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def cdf_match(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_grid: int = 1000,
+    out_col: str = "calibrated",
+    reference_df: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-source score calibration by CDF matching: map each group's
+    ``value_col`` onto the REFERENCE distribution at the value's
+    within-group percent rank — after which "top 10% by score" means
+    the same thing in every source, the property corpus mixing needs
+    (a quality model scored on source A is not comparable to source
+    B's scorer until both are rank-aligned).
+
+    Reference = the pooled ``df`` itself (default) or
+    ``reference_df[value_col]``. The reference CDF is an exact
+    ``n_grid+1``-point percentile grid (ONE aggregation pass, a single
+    broadcast array — never a per-row percentile call); a row's
+    calibrated score linearly interpolates the grid at its
+    ``percent_rank`` (tie-aware, hence deterministic under shuffle).
+
+    Rows with NULL ``value_col`` are DROPPED (calibrating a missing
+    score is undefined; pre-fill if you want them carried). Scale
+    shape: one shuffle on ``group_cols`` for the rank window + one
+    reference aggregation — no joins beyond the 1-row grid broadcast.
+    A single-row group gets percent_rank 0 (both engines define it so)
+    and calibrates to the reference minimum.
+    """
+    if n_grid < 1:
+        raise ValueError("cdf_match: n_grid must be >= 1")
+    ref = (reference_df if reference_df is not None else df).filter(
+        F.col(value_col).isNotNull()
+    )
+    qs = [i / n_grid for i in range(n_grid + 1)]
+    grid = ref.agg(
+        F.expr(
+            f"percentile(`{value_col}`, array({', '.join(repr(q) for q in qs)}))"
+        ).alias("_grid")
+    )
+    nn = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    pr = F.percent_rank().over(w)
+    pos = pr * F.lit(float(n_grid))
+    lo = F.floor(pos).cast("int")
+    # element_at is 1-based; at pr == 1.0 the hi slot clamps to the top
+    g_lo = F.element_at(F.col("_grid"), lo + 1)
+    g_hi = F.element_at(
+        F.col("_grid"), F.least(lo + 2, F.lit(n_grid + 1))
+    )
+    cal = g_lo + (g_hi - g_lo) * (pos - lo.cast("double"))
+    return (
+        nn.withColumn("_pr", pr)
+        .crossJoin(F.broadcast(grid))
+        .withColumn(out_col, F.round(cal, 6))
+        .drop("_grid")
+        .withColumnRenamed("_pr", "pct_rank")
+    )

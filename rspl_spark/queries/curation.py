@@ -725,3 +725,43 @@ def q_consolidate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["segment", "score"],
         completeness_first=True,
     ).orderBy("user_id")
+
+
+def _cdf_match_oracle(n_grid: int = 1000) -> str:
+    qs = ", ".join(repr(i / n_grid) for i in range(n_grid + 1))
+    return f"""
+WITH src AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+),
+grid AS (SELECT QUANTILE_CONT(value, [{qs}]) AS g FROM src),
+ranked AS (
+  SELECT event_id, event_type, value,
+         PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS pct_rank
+  FROM src
+)
+SELECT event_id, event_type, value, pct_rank,
+       ROUND(
+         g[CAST(FLOOR(pct_rank * {n_grid}) AS INT) + 1]
+         + (g[LEAST(CAST(FLOOR(pct_rank * {n_grid}) AS INT) + 2, {n_grid + 1})]
+            - g[CAST(FLOOR(pct_rank * {n_grid}) AS INT) + 1])
+           * (pct_rank * {n_grid} - FLOOR(pct_rank * {n_grid})), 6) AS calibrated
+FROM ranked CROSS JOIN grid
+ORDER BY event_id
+"""
+
+
+@query(
+    "q_cdf_match",
+    oracle=_cdf_match_oracle(),
+    tags=("curation", "llm"),
+)
+def q_cdf_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: each event_type's values mapped
+    onto the pooled value distribution at their within-type percent
+    rank (curation.py::cdf_match) — after this, a score threshold
+    means the same thing in every source."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = C.cdf_match(e, ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type", "value", "pct_rank", "calibrated"
+    ).orderBy("event_id")

@@ -208,6 +208,17 @@ def _proc_rolling_quantiles(spark, df, value_col, ts_col, step="1 day",
     )
 
 
+def _proc_cdf_match(spark, df, group_cols, value_col, n_grid=1000,
+                    out_col="calibrated", reference=None, **_):
+    from rspl_spark.operators.curation import cdf_match
+
+    return cdf_match(
+        df, _cols(group_cols), value_col, n_grid=int(n_grid),
+        out_col=out_col,
+        reference_df=spark.table(reference) if reference else None,
+    )
+
+
 def _proc_consolidate(spark, df, key_cols, priority, value_cols=None,
                       completeness_first=False, **_):
     from rspl_spark.operators.curation import consolidate_records
@@ -235,6 +246,7 @@ PROCEDURES: dict[str, Callable] = {
     "ewma": _proc_ewma,
     "rolling_median": _proc_rolling_median,
     "mad_outliers": _proc_mad_outliers,
+    "cdf_match": _proc_cdf_match,
     "consolidate_records": _proc_consolidate,
     "rolling_distinct_hll": _proc_rolling_distinct,
     "rolling_hist_quantiles": _proc_rolling_quantiles,

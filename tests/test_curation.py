@@ -395,3 +395,54 @@ def test_consolidate_records_validation_and_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Exchange") <= 2  # key shuffle (+AQE read)
     assert "Join" not in plan
+
+
+# ------------------------------------------------------------------ cdf_match
+
+
+def test_cdf_match_rank_alignment(spark):
+    """Two sources with shifted scales calibrate onto the reference:
+    equal within-group ranks get equal calibrated scores; order within
+    each group is preserved; NULLs are dropped."""
+    import pytest
+
+    from rspl_spark.operators.curation import cdf_match
+
+    rows = (
+        [("a", float(v)) for v in (1, 2, 3, 4)]
+        + [("b", float(v)) for v in (100, 200, 300, 400)]
+        + [("b", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = cdf_match(df, ["g"], "v", n_grid=100).collect()
+    assert len(out) == 8  # NULL dropped
+    cal = {(r["g"], r["v"]): r["calibrated"] for r in out}
+    # same within-group rank -> same calibrated value, across sources
+    assert cal[("a", 1.0)] == cal[("b", 100.0)]
+    assert cal[("a", 4.0)] == cal[("b", 400.0)]
+    # order preserved within each group
+    a_sorted = [cal[("a", float(v))] for v in (1, 2, 3, 4)]
+    assert a_sorted == sorted(a_sorted)
+    # top rank hits the pooled max, bottom the pooled min
+    assert cal[("a", 4.0)] == 400.0
+    assert cal[("a", 1.0)] == 1.0
+    with pytest.raises(ValueError, match="n_grid"):
+        cdf_match(df, ["g"], "v", n_grid=0)
+
+
+def test_cdf_match_external_reference_and_singleton(spark):
+    from rspl_spark.operators.curation import cdf_match
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 6.0), ("solo", 42.0)], "g string, v double"
+    )
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(0, 101)], "v double"
+    )
+    cal = {
+        (r["g"], r["v"]): r["calibrated"]
+        for r in cdf_match(df, ["g"], "v", n_grid=10, reference_df=ref).collect()
+    }
+    assert cal[("a", 5.0)] == 0.0    # bottom rank -> reference min
+    assert cal[("a", 6.0)] == 100.0  # top rank -> reference max
+    assert cal[("solo", 42.0)] == 0.0  # single-row group: percent_rank 0
