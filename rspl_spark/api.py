@@ -195,6 +195,10 @@ class AnalyticsFrame:
         self.df = df
 
     def __getattr__(self, name):
+        # guard: without this, attribute lookup before __init__ ran
+        # (deepcopy/pickle reconstruction) recurses on 'df' forever
+        if name == "df" or name.startswith("_"):
+            raise AttributeError(name)
         return getattr(self.df, name)
 
     def _wrap(self, df: DataFrame) -> "AnalyticsFrame":

@@ -664,9 +664,13 @@ def cdf_match(
     ``percent_rank`` (tie-aware, hence deterministic under shuffle).
 
     Rows with NULL ``value_col`` are DROPPED (calibrating a missing
-    score is undefined; pre-fill if you want them carried). Scale
-    shape: one shuffle on ``group_cols`` for the rank window + one
-    reference aggregation — no joins beyond the 1-row grid broadcast.
+    score is undefined; pre-fill if you want them carried). An empty
+    or all-NULL reference raises (silent NULL calibrated scores would
+    make a downstream "top 10% by calibrated" select nothing). Scale
+    shape: one shuffle on ``group_cols`` for the rank window; the
+    reference grid is ONE aggregation read to the driver (n_grid+1
+    doubles — a bounded scalar read, same class as sketch codebooks)
+    and inlined as literals, so the per-row path is pure codegen.
     A single-row group gets percent_rank 0 (both engines define it so)
     and calibrates to the reference minimum.
     """
@@ -676,26 +680,24 @@ def cdf_match(
         F.col(value_col).isNotNull()
     )
     qs = [i / n_grid for i in range(n_grid + 1)]
-    grid = ref.agg(
+    grid_vals = ref.agg(
         F.expr(
             f"percentile(`{value_col}`, array({', '.join(repr(q) for q in qs)}))"
         ).alias("_grid")
-    )
+    ).collect()[0]["_grid"]
+    if grid_vals is None or any(v is None for v in grid_vals):
+        raise ValueError(
+            "cdf_match: reference distribution is empty (no non-NULL"
+            f" {value_col!r} values)"
+        )
+    grid = F.array(*(F.lit(float(v)) for v in grid_vals))
     nn = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     pr = F.percent_rank().over(w)
     pos = pr * F.lit(float(n_grid))
     lo = F.floor(pos).cast("int")
     # element_at is 1-based; at pr == 1.0 the hi slot clamps to the top
-    g_lo = F.element_at(F.col("_grid"), lo + 1)
-    g_hi = F.element_at(
-        F.col("_grid"), F.least(lo + 2, F.lit(n_grid + 1))
-    )
+    g_lo = F.element_at(grid, lo + 1)
+    g_hi = F.element_at(grid, F.least(lo + 2, F.lit(n_grid + 1)))
     cal = g_lo + (g_hi - g_lo) * (pos - lo.cast("double"))
-    return (
-        nn.withColumn("_pr", pr)
-        .crossJoin(F.broadcast(grid))
-        .withColumn(out_col, F.round(cal, 6))
-        .drop("_grid")
-        .withColumnRenamed("_pr", "pct_rank")
-    )
+    return nn.withColumn("pct_rank", pr).withColumn(out_col, F.round(cal, 6))

@@ -13,8 +13,12 @@ future micro-batch's rows are >= the watermark the previous batch set.
 For the inner interval join, a row's candidate partners all lie within
 the join range of a FUTURE row, hence strictly above the state-eviction
 bound; for the session aggregation, complete output mode re-emits the
-whole result so no flush is needed. The finite-prefix result therefore
-equals the batch query exactly — full value-hash oracles, not
+whole result so no flush is needed. The finite prefix therefore yields
+the batch query's ROWS exactly; integer/count outputs are bit-exact,
+while float SUMS accumulate in state-merge order rather than batch
+shuffle order — a different IEEE addition order, absorbed by the same
+in-query rounding every float gate uses (the registry-wide determinism
+rule), not a bit-exactness claim. Full value-hash oracles, not
 rows-only checks.
 """
 
@@ -159,6 +163,7 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate reuses the batch oracle unchanged. The mergeable-sketch
     argument carried across the batch/stream boundary."""
     from rspl_spark.operators.sketches import hll_estimate, hll_registers
+    from rspl_spark.queries.llm_ops import _HLL_DAY_P
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     stream, tmp = _ordered_stream(
@@ -168,10 +173,10 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select(F.to_date("ts").alias("day"), "user_id"),
         "user_id",
         ("day",),
-        p=5,
+        p=_HLL_DAY_P,  # the batch gate's constant — its oracle is reused
     )
     got = _drain(regs, "t_q_hll_stream", [tmp], output_mode="complete")
-    est = hll_estimate(got, ("day",), p=5)
+    est = hll_estimate(got, ("day",), p=_HLL_DAY_P)
     exact = (
         load(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("day"), "user_id")
@@ -201,6 +206,7 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream — so its streaming form is the agg-store rollup, already
     gated)."""
     from rspl_spark.operators.sketches import cms_estimate, cms_sketch
+    from rspl_spark.queries.llm_ops import _CMS_D, _CMS_W
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     stream, tmp = _ordered_stream(
@@ -209,7 +215,7 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_stream = stream.select(
         F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    sketch_stream = cms_sketch(tok_stream, "token", w=64, d=3)
+    sketch_stream = cms_sketch(tok_stream, "token", w=_CMS_W, d=_CMS_D)
     sketch = _drain(
         sketch_stream, "t_q_cms_stream", [tmp], output_mode="complete"
     )
@@ -221,7 +227,7 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("true_cnt")
     )
-    est = cms_estimate(sketch, truth.select("token"), "token", w=64, d=3)
+    est = cms_estimate(sketch, truth.select("token"), "token", w=_CMS_W, d=_CMS_D)
     return (
         est.join(truth, "token")
         .select("token", "est", "true_cnt")

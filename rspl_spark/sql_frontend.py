@@ -107,7 +107,7 @@ def _aggmap(v: str) -> dict:
 
 
 def _proc_pagerank(spark, df, n_iter=10, damping=0.85, src_col="src",
-                   dst_col="dst", tol=None, reset=None, weight_col=None, **_):
+                   dst_col="dst", tol=None, reset=None, weight_col=None):
     from rspl_spark.operators.graph import pagerank
 
     return pagerank(
@@ -119,27 +119,27 @@ def _proc_pagerank(spark, df, n_iter=10, damping=0.85, src_col="src",
 
 
 def _proc_khop(spark, df, sources, max_hops, src_col="src", dst_col="dst",
-               node_col="node", **_):
+               node_col="node"):
     from rspl_spark.operators.graph import khop_distances
 
     return khop_distances(df, spark.table(sources), int(max_hops),
                           src_col=src_col, dst_col=dst_col, node_col=node_col)
 
 
-def _proc_triangles(spark, df, src_col="src", dst_col="dst", **_):
+def _proc_triangles(spark, df, src_col="src", dst_col="dst"):
     from rspl_spark.operators.graph import triangle_counts
 
     return triangle_counts(df, src_col=src_col, dst_col=dst_col)
 
 
-def _proc_cohort_retention(spark, df, user_col, ts_col, period="week", **_):
+def _proc_cohort_retention(spark, df, user_col, ts_col, period="week"):
     from rspl_spark.operators.behavior import cohort_retention
 
     return cohort_retention(df, user_col, ts_col, period=period)
 
 
 def _proc_transition_matrix(spark, df, key_col, ts_col, state_col,
-                            tiebreak_cols=None, **_):
+                            tiebreak_cols=None):
     from rspl_spark.operators.behavior import transition_matrix
 
     return transition_matrix(
@@ -148,28 +148,35 @@ def _proc_transition_matrix(spark, df, key_col, ts_col, state_col,
     )
 
 
-def _proc_pmi(spark, df, text_col="text", min_count=5, top_k=50, **_):
+def _proc_pmi(spark, df, text_col="text", min_count=5, top_k=50):
     from rspl_spark.operators.text import pmi_collocations
 
     return pmi_collocations(df, text_col=text_col, min_count=int(min_count),
                             top_k=int(top_k))
 
 
-def _proc_gapfill(spark, df, keys, time_col, step, fills, **_):
+def _proc_gapfill(spark, df, keys, time_col, step, fills, mark_gaps=True,
+                  max_gap_buckets=100_000):
     from rspl_spark.operators.timeseries import gapfill
 
-    return gapfill(df, _cols(keys), time_col, step, _colmap(fills))
+    return gapfill(df, _cols(keys), time_col, step, _colmap(fills),
+                   mark_gaps=bool(mark_gaps),
+                   max_gap_buckets=int(max_gap_buckets)
+                   if max_gap_buckets is not None else None)
 
 
-def _proc_resample(spark, df, keys, time_col, step, aggs, fills, **_):
+def _proc_resample(spark, df, keys, time_col, step, aggs, fills,
+                   mark_gaps=True, max_gap_buckets=100_000):
     from rspl_spark.operators.timeseries import resample
 
     return resample(df, _cols(keys), time_col, step, _aggmap(aggs),
-                    _colmap(fills))
+                    _colmap(fills), mark_gaps=bool(mark_gaps),
+                    max_gap_buckets=int(max_gap_buckets)
+                    if max_gap_buckets is not None else None)
 
 
 def _proc_ewma(spark, df, keys, time_col, value_col, window=16,
-               out_col="ewma", **_):
+               out_col="ewma"):
     from rspl_spark.operators.timeseries import ewma
 
     return ewma(df, _cols(keys), time_col, value_col, window=int(window),
@@ -177,21 +184,21 @@ def _proc_ewma(spark, df, keys, time_col, value_col, window=16,
 
 
 def _proc_rolling_median(spark, df, keys, time_col, value_col, n_buckets=7,
-                         out_col="rmedian", **_):
+                         out_col="rmedian"):
     from rspl_spark.operators.timeseries import rolling_median
 
     return rolling_median(df, _cols(keys), time_col, value_col,
                           n_buckets=int(n_buckets), out_col=out_col)
 
 
-def _proc_mad_outliers(spark, df, group_cols, value_col, k=3.0, **_):
+def _proc_mad_outliers(spark, df, group_cols, value_col, k=3.0):
     from rspl_spark.operators.timeseries import mad_outliers
 
     return mad_outliers(df, _cols(group_cols), value_col, k=float(k))
 
 
 def _proc_rolling_distinct(spark, df, key_col, ts_col, step="1 day",
-                           window_buckets=7, **_):
+                           window_buckets=7):
     from rspl_spark.operators.sketches import rolling_distinct_hll
 
     return rolling_distinct_hll(df, key_col, ts_col, step=step,
@@ -199,7 +206,7 @@ def _proc_rolling_distinct(spark, df, key_col, ts_col, step="1 day",
 
 
 def _proc_rolling_quantiles(spark, df, value_col, ts_col, step="1 day",
-                            window_buckets=7, qs="0.5,0.95", nbins=256, **_):
+                            window_buckets=7, qs="0.5,0.95", nbins=256):
     from rspl_spark.operators.sketches import rolling_hist_quantiles
 
     return rolling_hist_quantiles(
@@ -209,7 +216,7 @@ def _proc_rolling_quantiles(spark, df, value_col, ts_col, step="1 day",
 
 
 def _proc_cdf_match(spark, df, group_cols, value_col, n_grid=1000,
-                    out_col="calibrated", reference=None, **_):
+                    out_col="calibrated", reference=None):
     from rspl_spark.operators.curation import cdf_match
 
     return cdf_match(
@@ -220,7 +227,7 @@ def _proc_cdf_match(spark, df, group_cols, value_col, n_grid=1000,
 
 
 def _proc_consolidate(spark, df, key_cols, priority, value_cols=None,
-                      completeness_first=False, **_):
+                      completeness_first=False):
     from rspl_spark.operators.curation import consolidate_records
 
     return consolidate_records(
@@ -255,14 +262,26 @@ PROCEDURES: dict[str, Callable] = {
 
 def call_procedure(spark: SparkSession, name: str, df, **kwargs) -> DataFrame:
     """Dispatch an analytics procedure by name. ``df`` is a DataFrame
-    or a view name; see :data:`PROCEDURES` for the catalog."""
+    or a view name; see :data:`PROCEDURES` for the catalog. Unknown
+    argument names raise (a typo'd ``dampin =>`` must not silently run
+    with the default)."""
+    import inspect
+
     if name not in PROCEDURES:
         raise ValueError(
             f"unknown procedure {name!r}; available: {sorted(PROCEDURES)}"
         )
+    proc = PROCEDURES[name]
+    params = set(inspect.signature(proc).parameters) - {"spark", "df"}
+    unknown = set(kwargs) - params
+    if unknown:
+        raise ValueError(
+            f"procedure {name!r} got unknown argument(s) "
+            f"{sorted(unknown)}; accepts: {sorted(params)}"
+        )
     if isinstance(df, str):
         df = spark.table(df)
-    return PROCEDURES[name](spark, df, **kwargs)
+    return proc(spark, df, **kwargs)
 
 
 _CALL_RE = re.compile(r"^\s*CALL\s+(\w+)\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)

@@ -70,8 +70,13 @@ def _round6(x: float) -> float:
     round() is half-even on the exact binary value — it diverges from
     Spark when a value's shortest repr is an exact 6dp midpoint (e.g.
     at 2dp Java rounds 2.675→2.68, builtin round→2.67), which dyadic
-    EWMA numerators over short-decimal inputs can hit."""
-    if not math.isfinite(x):
+    EWMA numerators over short-decimal inputs can hit.
+
+    Magnitudes ≥ 1e16 (past 2^53) are integer-valued doubles — 6dp
+    rounding is the identity there, and quantize would overflow the
+    default 28-digit Decimal context (InvalidOperation at ~1e22) where
+    Java's BigDecimal.setScale succeeds — so return x directly."""
+    if not math.isfinite(x) or abs(x) >= 1e16:
         return x
     return float(Decimal(repr(x)).quantize(_SIX_DP, rounding=ROUND_HALF_UP))
 

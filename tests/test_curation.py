@@ -446,3 +446,14 @@ def test_cdf_match_external_reference_and_singleton(spark):
     assert cal[("a", 5.0)] == 0.0    # bottom rank -> reference min
     assert cal[("a", 6.0)] == 100.0  # top rank -> reference max
     assert cal[("solo", 42.0)] == 0.0  # single-row group: percent_rank 0
+
+
+def test_cdf_match_empty_reference_raises(spark):
+    import pytest
+
+    from rspl_spark.operators.curation import cdf_match
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    empty_ref = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="reference"):
+        cdf_match(df, ["g"], "v", reference_df=empty_ref)

@@ -307,3 +307,16 @@ def test_weighted_pagerank_semantics(spark):
     rw = {x["node"]: x["rank"] for x in pagerank(eu, n_iter=3, weight_col="w").collect()}
     ru = {x["node"]: x["rank"] for x in pagerank(eu.drop("w"), n_iter=3).collect()}
     assert all(abs(rw[k] - ru[k]) < 1e-12 for k in ru)
+
+
+def test_personalized_pagerank_rejects_negative_weights(spark):
+    """r11 self-review fix: a negative per-seed weight would become a
+    negative teleport probability (garbage ranks that still sum to 1)."""
+    import pytest
+
+    from rspl_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    bad = spark.createDataFrame([(1, 2.0), (2, -1.0)], "node long, w double")
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(e, reset_df=bad)

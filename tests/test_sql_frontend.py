@@ -155,3 +155,17 @@ def test_sql_call_consolidate_records(spark):
     """)
     r = out.collect()[0]
     assert (r["k"], r["name"], r["score"]) == ("a", "Ann", 1.0)
+
+
+def test_sql_call_rejects_unknown_arguments(spark):
+    """r11 self-review fix: a typo'd argument must raise, not silently
+    run with the default."""
+    import pytest
+
+    from rspl_spark.sql_frontend import sql_call
+
+    spark.createDataFrame([(1, 2)], "src long, dst long").createOrReplaceTempView(
+        "sqlcall_unknown"
+    )
+    with pytest.raises(ValueError, match="unknown argument"):
+        sql_call(spark, "CALL pagerank(df => 'sqlcall_unknown', dampin => 0.5)")
