@@ -701,3 +701,39 @@ def cdf_match(
     g_hi = F.element_at(grid, F.least(lo + 2, F.lit(n_grid + 1)))
     cal = g_lo + (g_hi - g_lo) * (pos - lo.cast("double"))
     return nn.withColumn("pct_rank", pr).withColumn(out_col, F.round(cal, 6))
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-free deterministic split: the assignment hashes the
+    GROUP key, so every row of a group (all of a user's events, all of
+    a domain's documents) lands in the SAME split — the property
+    row-level splits lack and behavioral/temporal models need (a user
+    straddling train and test leaks their own future). Same
+    content-hash reproducibility contract as the row-level split:
+    stable across runs, machines, engines, and repartitioning.
+
+    ``weights`` maps split name → integer percent (must sum to 100);
+    default 90/5/5 train/val/test. One added column; no shuffle at all
+    — the assignment is a pure projection (the hash IS the
+    coordination), which is the whole point at 100 TB.
+    """
+    from rspl_spark.operators.dedup import portable_hash
+
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100 or any(v <= 0 for v in weights.values()):
+        raise ValueError(
+            "group_split: weights must be positive integers summing to 100"
+        )
+    bucket = portable_hash(F.col(group_col).cast("string")) % 100
+    expr = None
+    acc = 0
+    for name, pct in weights.items():
+        acc += pct
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)

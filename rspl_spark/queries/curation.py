@@ -765,3 +765,39 @@ def q_cdf_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "value", "pct_rank", "calibrated"
     ).orderBy("event_id")
+
+
+_GROUP_SPLIT_ORACLE = """
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 100 < 90 THEN 'train'
+              WHEN CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+) t
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query("q_group_split", oracle=_GROUP_SPLIT_ORACLE, tags=("llm", "curation"))
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: assignment hashes the USER, so each user's
+    whole event history lands in one split (curation.py::group_split —
+    a pure projection, zero shuffle). n_users per split sums to the
+    distinct-user total precisely BECAUSE no user straddles splits."""
+    e = load(spark, sf_dir, "events")
+    return (
+        C.group_split(e, "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("split")
+    )

@@ -457,3 +457,26 @@ def test_cdf_match_empty_reference_raises(spark):
     empty_ref = spark.createDataFrame([], "v double")
     with pytest.raises(ValueError, match="reference"):
         cdf_match(df, ["g"], "v", reference_df=empty_ref)
+
+
+def test_group_split_leakage_free_and_weights(spark):
+    """Every group lands in exactly ONE split; custom weights respected;
+    invalid weights raise. Pure projection: no Exchange in the plan."""
+    import pytest
+
+    from rspl_spark.operators.curation import group_split
+
+    df = spark.createDataFrame(
+        [(u, i) for u in range(200) for i in range(3)], "u long, i long"
+    )
+    out = group_split(df, "u")
+    per_user = out.groupBy("u").agg(F.countDistinct("split").alias("ns"))
+    assert per_user.agg(F.max("ns")).collect()[0][0] == 1  # no straddling
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    two = group_split(df, "u", weights={"a": 50, "b": 50})
+    assert {r["split"] for r in two.select("split").distinct().collect()} == {"a", "b"}
+    with pytest.raises(ValueError, match="sum"):
+        group_split(df, "u", weights={"a": 50, "b": 49})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
