@@ -323,6 +323,16 @@ class AnalyticsFrame:
             completeness_first=completeness_first,
         ))
 
+    def group_split(self, group_col: str,
+                    weights: dict[str, int] | None = None,
+                    out_col: str = "split"):
+        """Leakage-free deterministic split by group hash (curation.py)."""
+        from rspl_spark.operators.curation import group_split
+
+        return self._wrap(group_split(
+            self.df, group_col, weights=weights, out_col=out_col,
+        ))
+
     def cdf_match(self, group_cols: list[str], value_col: str,
                   n_grid: int = 1000, out_col: str = "calibrated",
                   reference_df: DataFrame | None = None):

@@ -215,6 +215,15 @@ def _proc_rolling_quantiles(spark, df, value_col, ts_col, step="1 day",
     )
 
 
+def _proc_group_split(spark, df, group_col, weights=None, out_col="split"):
+    from rspl_spark.operators.curation import group_split
+
+    w = None
+    if weights:
+        w = {k: int(v) for k, v in _colmap(weights).items()}
+    return group_split(df, group_col, weights=w, out_col=out_col)
+
+
 def _proc_cdf_match(spark, df, group_cols, value_col, n_grid=1000,
                     out_col="calibrated", reference=None):
     from rspl_spark.operators.curation import cdf_match
@@ -254,6 +263,7 @@ PROCEDURES: dict[str, Callable] = {
     "rolling_median": _proc_rolling_median,
     "mad_outliers": _proc_mad_outliers,
     "cdf_match": _proc_cdf_match,
+    "group_split": _proc_group_split,
     "consolidate_records": _proc_consolidate,
     "rolling_distinct_hll": _proc_rolling_distinct,
     "rolling_hist_quantiles": _proc_rolling_quantiles,

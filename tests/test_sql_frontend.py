@@ -169,3 +169,13 @@ def test_sql_call_rejects_unknown_arguments(spark):
     )
     with pytest.raises(ValueError, match="unknown argument"):
         sql_call(spark, "CALL pagerank(df => 'sqlcall_unknown', dampin => 0.5)")
+
+
+def test_sql_call_group_split(spark):
+    from rspl_spark.sql_frontend import sql_call
+
+    spark.range(100).select(F.col("id").alias("u")).createOrReplaceTempView(
+        "sqlcall_gs"
+    )
+    out = sql_call(spark, "CALL group_split(df => 'sqlcall_gs', group_col => 'u', weights => 'a:50,b:50')")
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {"a", "b"}
