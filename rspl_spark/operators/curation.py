@@ -648,6 +648,7 @@ def cdf_match(
     n_grid: int = 1000,
     out_col: str = "calibrated",
     reference_df: DataFrame | None = None,
+    rank_col: str = "pct_rank",
 ) -> DataFrame:
     """Cross-source score calibration by CDF matching: map each group's
     ``value_col`` onto the REFERENCE distribution at the value's
@@ -672,10 +673,19 @@ def cdf_match(
     doubles — a bounded scalar read, same class as sketch codebooks)
     and inlined as literals, so the per-row path is pure codegen.
     A single-row group gets percent_rank 0 (both engines define it so)
-    and calibrates to the reference minimum.
+    and calibrates to the reference minimum. The two added columns
+    (``rank_col``, ``out_col``) must not already exist in ``df`` —
+    silently overwriting a caller's column is how a pipeline quietly
+    calibrates against the wrong ranks; rename via the parameters.
     """
     if n_grid < 1:
         raise ValueError("cdf_match: n_grid must be >= 1")
+    for c in (rank_col, out_col):
+        if c in df.columns:
+            raise ValueError(
+                f"cdf_match: output column {c!r} already exists in the"
+                " input; pass rank_col/out_col to avoid clobbering it"
+            )
     ref = (reference_df if reference_df is not None else df).filter(
         F.col(value_col).isNotNull()
     )
@@ -700,7 +710,7 @@ def cdf_match(
     g_lo = F.element_at(grid, lo + 1)
     g_hi = F.element_at(grid, F.least(lo + 2, F.lit(n_grid + 1)))
     cal = g_lo + (g_hi - g_lo) * (pos - lo.cast("double"))
-    return nn.withColumn("pct_rank", pr).withColumn(out_col, F.round(cal, 6))
+    return nn.withColumn(rank_col, pr).withColumn(out_col, F.round(cal, 6))
 
 
 def group_split(
@@ -721,6 +731,13 @@ def group_split(
     default 90/5/5 train/val/test. One added column; no shuffle at all
     — the assignment is a pure projection (the hash IS the
     coordination), which is the whole point at 100 TB.
+
+    A NULL group key gets a NULL split — explicitly, not by when-chain
+    fallthrough: "no group identity" cannot be assigned leakage-free
+    (two NULL-keyed rows may or may not be the same group), so the row
+    belongs to NO split and a ``split == 'train'`` filter excludes it
+    from every one. Filter or fill NULL keys upstream if they should
+    participate.
     """
     from rspl_spark.operators.dedup import portable_hash
 
@@ -736,4 +753,10 @@ def group_split(
         acc += pct
         cond = bucket < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return df.withColumn(out_col, expr)
+    # NULL key → NULL split, stated rather than left to NULL-condition
+    # fallthrough (docstring contract)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(group_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(expr),
+    )

@@ -86,12 +86,35 @@ def register_stream_processor(
 # --------------------------------------------------------------------------
 
 def _cols(v: str) -> list[str]:
-    """'a,b,c' → ['a', 'b', 'c'] (a comma-list literal)."""
-    return [c.strip() for c in str(v).split(",") if c.strip()]
+    """'a,b,c' → ['a', 'b', 'c'] — splitting on TOP-LEVEL commas only,
+    so an aggregate expression containing a comma
+    (``aggs => 'c:corr(a,b)'``) stays one item. Unbalanced parentheses
+    fail loudly (a silently misparsed aggregate is worse than none)."""
+    s = str(v)
+    items: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in list literal {s!r}")
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced '(' in list literal {s!r}")
+    items.append("".join(buf))
+    return [c.strip() for c in items if c.strip()]
 
 
 def _colmap(v: str) -> dict[str, str]:
-    """'v:locf,n:zero' → {'v': 'locf', 'n': 'zero'}."""
+    """'v:locf,n:zero' → {'v': 'locf', 'n': 'zero'}. Values may contain
+    commas inside parentheses ('c:corr(a,b)')."""
     out: dict[str, str] = {}
     for item in _cols(v):
         k, _, m = item.partition(":")
@@ -112,7 +135,7 @@ def _proc_pagerank(spark, df, n_iter=10, damping=0.85, src_col="src",
 
     return pagerank(
         df, n_iter=int(n_iter), damping=float(damping), src_col=src_col,
-        dst_col=dst_col, tol=tol,
+        dst_col=dst_col, tol=float(tol) if tol is not None else None,
         reset_df=spark.table(reset) if reset else None,
         weight_col=weight_col,
     )

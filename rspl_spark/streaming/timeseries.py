@@ -426,30 +426,87 @@ def transition_pairs_stream(
 
     Ordering within a micro-batch uses (ts, *tiebreak_cols) — pass a
     unique id whenever ts can tie (the batch operator's contract).
-    NULL timestamps dropped. The frontier stores the last EVENT TIME
-    only, so only rows STRICTLY BEFORE it are dropped as late: rows AT
-    the frontier timestamp are processed (ties may legitimately span
-    micro-batches), which means exact-ts re-delivery of an
-    already-seen row is the caller's responsibility to avoid — feed
-    in-order, exactly-once streams, as with the other twins.
+    NULL timestamps dropped. The keyed state stores the last processed
+    POSITION — (event time, tiebreak tuple) — not the event time
+    alone: rows strictly before the frontier timestamp drop as late,
+    and rows AT the frontier timestamp drop iff their tiebreak tuple
+    is at or before the stored one. Ties spanning micro-batches
+    therefore process in (ts, tiebreak) order regardless of arrival
+    order, and exact re-delivery of an already-seen row is deduped —
+    no caller contract needed beyond "tiebreaks make the order total".
+    Without tiebreak columns the old behavior holds (frontier-ts rows
+    always process, in arrival order); a NULL tiebreak value makes the
+    position incomparable and the row processes (NULLs in a
+    make-it-total column are a caller bug either way). Tiebreak
+    columns must be integral, float, string, or timestamp typed.
     """
     tiebreaks = list(tiebreak_cols or [])
     out_schema = (
         f"`{key_col}` string, `{ts_col}` timestamp,"
         " `prev_state` string, `state` string"
     )
+    # state carries the tiebreak tuple in its NATIVE type domain (a
+    # string cast would misorder numerics: "10" < "9")
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        FloatType,
+        IntegerType,
+        ShortType,
+        TimestampType,
+    )
+
+    in_schema = {f.name: f.dataType for f in events.schema.fields}
+    tb_fields: list[StructField] = []
+    tb_convs: list = []
+    for i, c in enumerate(tiebreaks):
+        dt = in_schema[c]
+        if isinstance(
+            dt, (LongType, IntegerType, ShortType, ByteType)
+        ):
+            tb_fields.append(StructField(f"tb{i}", LongType()))
+            tb_convs.append(int)
+        elif isinstance(dt, (DoubleType, FloatType)):
+            tb_fields.append(StructField(f"tb{i}", DoubleType()))
+            tb_convs.append(float)
+        elif isinstance(dt, StringType):
+            tb_fields.append(StructField(f"tb{i}", StringType()))
+            tb_convs.append(str)
+        elif isinstance(dt, (TimestampType, DateType)):
+            tb_fields.append(StructField(f"tb{i}", LongType()))
+            tb_convs.append(
+                lambda v: (
+                    v.toordinal()
+                    if isinstance(v, _dt.date)
+                    and not isinstance(v, _dt.datetime)
+                    else int(pd.Timestamp(v).value)
+                )
+            )
+        else:
+            raise ValueError(
+                f"transition_pairs_stream: tiebreak column {c!r} has"
+                f" unsupported type {dt.simpleString()} (use integral,"
+                " float, string, or timestamp)"
+            )
     state_schema = StructType(
         [
             StructField("last_ns", LongType()),
             StructField("last_state", StringType()),
+            *tb_fields,
         ]
     )
+    n_tb = len(tiebreaks)
 
     def proc(key, pdfs, state: GroupState):
         if state.exists:
-            last_ns, last_state = state.get
+            st = state.get
+            last_ns, last_state = st[0], st[1]
+            last_tb = tuple(st[2:])
         else:
             last_ns, last_state = None, None
+            last_tb = (None,) * n_tb
         chunks = [p for p in pdfs if len(p)]
         out_t: list[int] = []
         out_p: list[str] = []
@@ -461,16 +518,42 @@ def transition_pairs_stream(
             )
             ts_ns = batch[ts_col].astype("int64").tolist()
             sts = batch[state_col].tolist()
+            tb_rows = (
+                zip(
+                    *(
+                        [
+                            None if pd.isna(v) else conv(v)
+                            for v in batch[c].tolist()
+                        ]
+                        for c, conv in zip(tiebreaks, tb_convs)
+                    )
+                )
+                if n_tb
+                else None
+            )
             for t, s in zip(ts_ns, sts):
+                tb = next(tb_rows) if n_tb else ()
                 if last_ns is not None and t < last_ns:
                     continue  # late arrival: documented drop
+                if (
+                    n_tb
+                    and last_ns is not None
+                    and t == last_ns
+                    and None not in tb
+                    and None not in last_tb
+                    and tb <= last_tb
+                ):
+                    # at-or-before the stored position at the frontier
+                    # ts: re-delivery or out-of-order tie — drop
+                    continue
                 s = None if pd.isna(s) else str(s)
                 if last_state is not None:
                     out_t.append(t)
                     out_p.append(last_state)
                     out_s.append(s)
                 last_ns, last_state = t, s
-        state.update((last_ns, last_state))
+                last_tb = tb if n_tb else last_tb
+        state.update((last_ns, last_state, *last_tb))
         if out_t:
             yield pd.DataFrame(
                 {

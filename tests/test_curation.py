@@ -480,3 +480,38 @@ def test_group_split_leakage_free_and_weights(spark):
         group_split(df, "u", weights={"a": 50, "b": 49})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_group_split_null_key_yields_null_split(spark):
+    """A NULL group key cannot be assigned leakage-free — the row gets
+    an explicit NULL split (docstring contract), it does not silently
+    land in some bucket."""
+    from rspl_spark.operators.curation import group_split
+
+    df = spark.createDataFrame(
+        [("u1", 1), (None, 2), ("u2", 3)], "u string, i long"
+    )
+    out = group_split(df, "u").collect()
+    assert len(out) == 3  # no rows vanish
+    by_key = {r["i"]: r["split"] for r in out}
+    assert by_key[2] is None
+    assert by_key[1] is not None and by_key[3] is not None
+
+
+def test_cdf_match_rejects_output_column_collision(spark):
+    """Pre-existing pct_rank/out_col columns raise instead of being
+    silently clobbered; rank_col renames the rank output."""
+    import pytest
+
+    from rspl_spark.operators.curation import cdf_match
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 9.0), ("a", 2.0, 9.0)], "g string, v double, pct_rank double"
+    )
+    with pytest.raises(ValueError, match="pct_rank"):
+        cdf_match(df, ["g"], "v")
+    out = cdf_match(df, ["g"], "v", rank_col="v_rank")
+    assert "v_rank" in out.columns and out.count() == 2
+    df2 = spark.createDataFrame([("a", 1.0)], "g string, calibrated double")
+    with pytest.raises(ValueError, match="calibrated"):
+        cdf_match(df2, ["g"], "g")

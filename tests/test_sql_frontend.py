@@ -179,3 +179,48 @@ def test_sql_call_group_split(spark):
     )
     out = sql_call(spark, "CALL group_split(df => 'sqlcall_gs', group_col => 'u', weights => 'a:50,b:50')")
     assert {r["split"] for r in out.select("split").distinct().collect()} == {"a", "b"}
+
+def test_sql_call_comma_inside_aggregate_parses(spark):
+    """Top-level-comma splitting: an aggregate containing a comma
+    ('c:covar_samp(v,v)') is ONE aggs item; unbalanced parens still
+    fail loudly."""
+    import datetime as dt
+
+    import pytest
+
+    from rspl_spark.sql_frontend import _colmap, _cols, sql_call
+
+    assert _cols("a,corr(x,y),b") == ["a", "corr(x,y)", "b"]
+    assert _colmap("c:corr(a,b),m:min(v)") == {"c": "corr(a,b)", "m": "min(v)"}
+    with pytest.raises(ValueError, match="unbalanced"):
+        _cols("corr(a,b")
+    with pytest.raises(ValueError, match="unbalanced"):
+        _cols("corr a,b)")
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(hours=h), float(h)) for h in (0, 1, 2)]
+    spark.createDataFrame(
+        rows, "k long, ts timestamp, v double"
+    ).createOrReplaceTempView("sqlcall_corr")
+    out = sql_call(spark, """
+        CALL resample(df => 'sqlcall_corr', keys => 'k', time_col => 'ts',
+                      step => '12 HOURS', aggs => 'c:covar_samp(v,v)',
+                      fills => 'c:null')
+    """)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["c"] == 1.0  # var of (0,1,2)
+
+
+def test_sql_call_pagerank_coerces_tol_string(spark):
+    """A quoted tol literal reaches pagerank as float, not str."""
+    from rspl_spark.sql_frontend import sql_call
+
+    spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    ).createOrReplaceTempView("sqlcall_tol_edges")
+    out = sql_call(spark, """
+        CALL pagerank(df => 'sqlcall_tol_edges', n_iter => 5, tol => '0.5')
+    """)
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    assert set(ranks) == {1, 2}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9

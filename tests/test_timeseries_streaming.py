@@ -417,3 +417,64 @@ def test_transition_pairs_stream_crosses_batch_boundaries(spark):
         )
     # b->c spans the first batch boundary; c->NULL emits; NULL->d drops
     assert got == [("a", "b"), ("b", "c"), ("c", None)]
+
+
+def test_transition_pairs_stream_frontier_ties_and_redelivery(spark):
+    """The stored (ts, tiebreak) position orders frontier-timestamp ties
+    across micro-batches: exact re-delivery of an already-seen row is
+    deduped, an out-of-order tie BEHIND the stored tiebreak drops, and
+    a tie AHEAD of it processes — batch parity without the caller
+    contract."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from rspl_spark.streaming import transition_pairs_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = t0 + dt.timedelta(hours=1)
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def chunk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "event_id"]),
+            schema,
+        )
+
+    chunks = [
+        chunk([(1, t0, "a", 1), (1, t1, "b", 2)]),
+        chunk(
+            [
+                (1, t1, "b", 2),   # exact re-delivery -> deduped
+                (1, t1, "x", 1),   # tie behind stored tiebreak -> dropped
+                (1, t1, "c", 3),   # tie ahead of stored tiebreak -> pairs
+            ]
+        ),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        out = transition_pairs_stream(
+            file_stream(spark, tmp, schema),
+            "user_id", "ts", "event_type", tiebreak_cols=["event_id"],
+        )
+        run_to_memory_sink(out, "t_trans_tie", timeout_s=180)
+        got = sorted(
+            (r["prev_state"], r["state"])
+            for r in spark.table("t_trans_tie").collect()
+        )
+    assert got == [("a", "b"), ("b", "c")]
+
+
+def test_transition_pairs_stream_rejects_unsupported_tiebreak_type(spark):
+    import pytest
+
+    from rspl_spark.streaming import transition_pairs_stream
+
+    df = spark.createDataFrame(
+        [(1, None, "a", [1])],
+        "user_id long, ts timestamp, event_type string, arr array<long>",
+    )
+    with pytest.raises(ValueError, match="unsupported type"):
+        transition_pairs_stream(
+            df, "user_id", "ts", "event_type", tiebreak_cols=["arr"]
+        )
