@@ -374,6 +374,139 @@ def analytics(df: DataFrame) -> AnalyticsFrame:
     return AnalyticsFrame(df)
 
 
+class StreamAnalyticsFrame:
+    """The STREAMING twins of the analytic families as fluent methods
+    over a streaming DataFrame — mirror of :class:`AnalyticsFrame`, so
+    the batch operator and its incremental form read identically:
+    ``analytics(df).ewma(...)`` ↔ ``stream_analytics(s).ewma(...)``.
+
+    Methods returning a streaming DataFrame wrap it for chaining with
+    any further stream transformation; ``.df`` unwraps; unknown
+    attributes delegate to the underlying DataFrame (``writeStream``
+    ends the chain the same way ``collect`` does on the batch facade).
+    ``merge_into_agg_store`` is terminal: it STARTS the query and
+    returns the StreamingQuery handle.
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def __getattr__(self, name):
+        if name == "df" or name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self.df, name)
+
+    def _wrap(self, df: DataFrame) -> "StreamAnalyticsFrame":
+        return StreamAnalyticsFrame(df)
+
+    # ---------------------------------------------- time-series twins
+    def gapfill(self, key_col: str, time_col: str, step: str,
+                fills: dict[str, str], mark_gaps: bool = True,
+                max_gap_buckets: int | None = 100_000):
+        """Incremental dense-grid gap fill (streaming/timeseries.py);
+        streamable fills only (locf/zero/null)."""
+        from rspl_spark.streaming.timeseries import gapfill_stream
+
+        return self._wrap(gapfill_stream(
+            self.df, key_col, time_col, step, fills, mark_gaps=mark_gaps,
+            max_gap_buckets=max_gap_buckets,
+        ))
+
+    def ewma(self, key_col: str, time_col: str, value_col: str,
+             window: int = 16, out_col: str = "ewma"):
+        """Exact-replay trailing-window EWMA (streaming/timeseries.py)."""
+        from rspl_spark.streaming.timeseries import ewma_stream
+
+        return self._wrap(ewma_stream(
+            self.df, key_col, time_col, value_col, window=window,
+            out_col=out_col,
+        ))
+
+    def rolling_median(self, key_col: str, time_col: str, value_col: str,
+                       n_buckets: int = 7, out_col: str = "rmedian"):
+        """Exact trailing-window median (streaming/timeseries.py)."""
+        from rspl_spark.streaming.timeseries import rolling_median_stream
+
+        return self._wrap(rolling_median_stream(
+            self.df, key_col, time_col, value_col, n_buckets=n_buckets,
+            out_col=out_col,
+        ))
+
+    def transition_pairs(self, key_col: str, ts_col: str, state_col: str,
+                         tiebreak_cols: list[str] | None = None):
+        """Streaming Markov transition pairs; aggregate the drained
+        pairs for the matrix (streaming/timeseries.py)."""
+        from rspl_spark.streaming.timeseries import transition_pairs_stream
+
+        return self._wrap(transition_pairs_stream(
+            self.df, key_col, ts_col, state_col, tiebreak_cols=tiebreak_cols,
+        ))
+
+    # ------------------------------------------------- behavior twins
+    def funnel(self, stages: list[str], user_col: str = "user_id",
+               ts_col: str = "ts", type_col: str = "event_type"):
+        """Incremental ordered funnel (streaming/analytics.py)."""
+        from rspl_spark.streaming.analytics import streaming_funnel
+
+        return self._wrap(streaming_funnel(
+            self.df, stages, user_col=user_col, ts_col=ts_col,
+            type_col=type_col,
+        ))
+
+    # --------------------------------------------------- sketch twins
+    def hll(self, key_col: str, group_cols: tuple[str, ...] = ()):
+        """Live HLL registers, bounded state (streaming/analytics.py);
+        drain complete-mode and feed ``hll_estimate``."""
+        from rspl_spark.streaming.analytics import streaming_hll
+
+        return self._wrap(streaming_hll(self.df, key_col, group_cols=group_cols))
+
+    def cms(self, key_col: str, w: int = 64, d: int = 3,
+            weight_col: str | None = None):
+        """Live count-min sketch cells (streaming/analytics.py)."""
+        from rspl_spark.streaming.analytics import streaming_cms
+
+        return self._wrap(streaming_cms(
+            self.df, key_col, w=w, d=d, weight_col=weight_col,
+        ))
+
+    def hist(self, col: str, lo: float, hi: float, nbins: int = 256,
+             group_cols: tuple[str, ...] = ()):
+        """Live fixed-range histogram bins (streaming/analytics.py);
+        feed ``hist_estimate_from_bins`` for quantiles."""
+        from rspl_spark.streaming.analytics import streaming_hist
+
+        return self._wrap(streaming_hist(
+            self.df, col, lo, hi, nbins=nbins, group_cols=group_cols,
+        ))
+
+    def bloom(self, key_col: str, m_bits: int = 1 << 14, k: int = 3):
+        """Live Bloom membership words (streaming/analytics.py)."""
+        from rspl_spark.streaming.analytics import streaming_bloom
+
+        return self._wrap(streaming_bloom(self.df, key_col, m_bits=m_bits, k=k))
+
+    # ------------------------------------------------ terminal starts
+    def merge_into_agg_store(self, store: str, keys: list[str],
+                             measures: dict[str, tuple[str, str]],
+                             checkpoint: str | None = None,
+                             trigger_available_now: bool = True):
+        """START folding this stream into a persisted agg store,
+        exactly-once per (checkpoint, batch); returns the
+        StreamingQuery (streaming/analytics.py)."""
+        from rspl_spark.streaming.analytics import stream_merge_into_agg_store
+
+        return stream_merge_into_agg_store(
+            self.df, store, keys, measures, checkpoint=checkpoint,
+            trigger_available_now=trigger_available_now,
+        )
+
+
+def stream_analytics(df: DataFrame) -> StreamAnalyticsFrame:
+    """Wrap a STREAMING ``df`` in the streaming-twin facade."""
+    return StreamAnalyticsFrame(df)
+
+
 def _length_preserving(sp: StreamProcessor) -> bool:
     """True only for terms that emit exactly one output per input in
     order (pure map chains; alternate of two pure maps) — the terms

@@ -112,6 +112,7 @@ def merge_increment(
     keys: list[str],
     measures: dict[str, tuple[str, str]],
     n_buckets: int = 8,
+    props: dict[str, str] | None = None,
 ) -> None:
     """Fold an increment into the store: aggregate the increment alone,
     full-outer-join it to the store on the keys, merge partials
@@ -125,24 +126,54 @@ def merge_increment(
     group, but an eqNullSafe join key compiles to (coalesce, isnull)
     expressions that defeat bucket alignment, so the handful of groups
     with a null key take a separate null-safe-joined path and union in.
+
+    ``props`` are table properties stamped onto the rewritten store IN
+    THE SAME SWAP — data and properties become visible atomically at
+    the catalog rename, which is what lets a caller record "increment X
+    is folded in" with no window where the data committed but the
+    record didn't (the streaming exactly-once guard rides on this).
     """
     n_buckets = _table_buckets(spark, store) or n_buckets
     merged = merged_view(
         spark, new_df, store, keys, measures, n_buckets, resolve_buckets=False
     )
-    _rewrite_swap(spark, merged, store, keys, n_buckets)
+    _rewrite_swap(spark, merged, store, keys, n_buckets, props=props)
+
+
+def table_property(spark: SparkSession, table: str, key: str) -> str | None:
+    """Read one table property (None when absent or table missing)."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if r["key"] == key:
+            return r["value"]
+    return None
 
 
 def _rewrite_swap(
-    spark: SparkSession, df: DataFrame, store: str, keys: list[str], n_buckets: int
+    spark: SparkSession,
+    df: DataFrame,
+    store: str,
+    keys: list[str],
+    n_buckets: int,
+    props: dict[str, str] | None = None,
 ) -> None:
     """Materialize ``df`` (whose plan reads ``store``) to a versioned
     tmp table BEFORE touching the store, then swap the catalog entry
-    and reap the superseded directory."""
+    and reap the superseded directory. ``props`` are set on the tmp
+    table pre-swap so they commit atomically with the data."""
     old_path = _table_location(spark, store)
     tmp_name = f"{store}__merge_{uuid.uuid4().hex[:8]}"
     tmp_path = f"{_store_path(store)}.__v_{uuid.uuid4().hex[:8]}"
     _write_bucketed(df, tmp_name, tmp_path, keys, n_buckets)
+    if props:
+        kv = ", ".join(
+            f"'{k}' = '{str(v).replace(chr(39), chr(39) * 2)}'"
+            for k, v in props.items()
+        )
+        spark.sql(f"ALTER TABLE {tmp_name} SET TBLPROPERTIES ({kv})")
     spark.sql(f"DROP TABLE {store}")
     try:
         spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {store}")

@@ -20,6 +20,33 @@ shuffle order — a different IEEE addition order, absorbed by the same
 in-query rounding every float gate uses (the registry-wide determinism
 rule), not a bit-exactness claim. Full value-hash oracles, not
 rows-only checks.
+
+The ADVERSARIAL gates (``q_stream_late_data``,
+``q_session_window_append``) deliberately break the in-order contract
+— a stale chunk scheduled last, an append-mode stream cut off at the
+final watermark — so the one semantic rspl has no analog for (Spark's
+event-time watermark DROPPING late data / closing sessions; arrival
+order is truth in the reference, overeager_receivers.rs:41-49) gets
+full oracle evidence. Their oracles REPLAY Spark's documented drop
+rule, pinned empirically (and by tests/test_streaming_extra.py):
+
+- the watermark is ``floor_ms(max event time seen) − delay`` — event
+  time stats accumulate in MILLISECONDS, so the max is ms-floored;
+- late-record FILTERING in micro-batch N uses the watermark in effect
+  DURING batch N−1 (one batch behind state eviction — Spark's
+  WatermarkPropagator late-events/eviction split), i.e. the
+  ms-floored max over batches 0..N−2 minus the delay;
+- a row is dropped iff its event time <= that bound (non-strict), and
+  an append-mode aggregation emits/evicts a group iff its window end
+  <= the eviction watermark (equality emits);
+- the late filter is a row-level predicate on the watermarked column
+  and applies whatever the dedup key set is; what REQUIRES the
+  event-time column among the dedup keys is state EVICTION (without
+  it the seen-keys state grows forever).
+
+The events table's timestamps are all whole microseconds (no sub-µs
+component), so Spark's µs timestamps and DuckDB's ns timestamps agree
+exactly on every <=/> comparison against an ms-floored bound.
 """
 
 from __future__ import annotations
@@ -236,6 +263,55 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_stream_oracle() -> str:
+    """The BATCH histogram-quantile oracle builder, reused verbatim:
+    identical bins ⇒ identical interpolation ⇒ identical estimates."""
+    from rspl_spark.operators.sketches import hist_quantiles_sql
+
+    ctes = hist_quantiles_sql("events", "value", (0.5, 0.95, 0.99), ())
+    return f"""
+WITH {ctes}
+SELECT q, est FROM hq ORDER BY q
+"""
+
+
+@query(
+    "q_hist_stream",
+    oracle=None,  # installed below — needs the batch oracle builder
+    tags=("llm", "sketch", "streaming"),
+)
+def q_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fixed-range histogram quantiles: the sketch trio's
+    QUANTILE leg crossing the batch/stream boundary (HLL and CMS
+    crossed in r11; this was the leg whose data-derived [lo, hi] range
+    needs a second pass a stream cannot take). The caller pins the
+    axis up front — here the exact range the batch operator would
+    derive, read once from the static table — after which bin counts
+    are a NATIVE streaming aggregation (groupBy bin count — integer,
+    exactly mergeable, <= nbins state rows forever), complete mode;
+    the drained bins equal the batch bins cell for cell, so the
+    interpolated estimates reuse the batch histogram oracle verbatim."""
+    from rspl_spark.operators.sketches import hist_estimate_from_bins
+    from rspl_spark.streaming.analytics import streaming_hist
+
+    qs = (0.5, 0.95, 0.99)
+    nbins = 256
+    ev = load(spark, sf_dir, "events").select("value", "ts", "event_id")
+    lo, hi = ev.agg(
+        F.min(F.col("value").cast("double")),
+        F.max(F.col("value").cast("double")),
+    ).collect()[0]
+    stream, tmp = _ordered_stream(
+        ev,
+        ["ts", "event_id"],
+        "value double, ts timestamp, event_id long",
+    )
+    bins = streaming_hist(stream, "value", float(lo), float(hi), nbins)
+    got = _drain(bins, "t_q_hist_stream", [tmp], output_mode="complete")
+    est = hist_estimate_from_bins(got, float(lo), float(hi), nbins, qs=qs)
+    return est.orderBy("q")
+
+
 def _install_stream_sketch_oracles() -> None:
     """The streaming sketch gates' oracles ARE the batch oracles (same
     registers/cells ⇒ same estimates); installed after definition
@@ -245,9 +321,134 @@ def _install_stream_sketch_oracles() -> None:
 
     REGISTRY["q_hll_stream"].oracle = _hll_day_oracle()
     REGISTRY["q_cms_stream"].oracle = _CMS_ORACLE
+    REGISTRY["q_hist_stream"].oracle = _hist_stream_oracle()
 
 
 _install_stream_sketch_oracles()
+
+
+_LATE_DATA_ORACLE = """
+WITH wm AS (
+  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 48 HOUR AS w
+  FROM events WHERE event_id % 5 <> 0
+)
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE event_id % 5 <> 0
+UNION ALL
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+FROM events e, wm WHERE e.event_id % 5 = 0 AND e.ts > wm.w
+ORDER BY event_id
+"""
+
+
+@query(
+    "q_stream_late_data",
+    oracle=_LATE_DATA_ORACLE,
+    tags=("llm", "dedup", "streaming"),
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADVERSARIAL late-data gate: watermark EVICTION finally observed
+    dropping rows, with an oracle that replays the drop rule.
+
+    Every fifth event is withheld and delivered as a STALE chunk after
+    the rest of the table has streamed through in order — by then the
+    watermark has advanced to (ms-floored max in-order event time − 48
+    hours), so stale rows at or below that bound are DROPPED by
+    ``withWatermark + dropDuplicates`` and stale rows above it (the
+    last two days' worth) survive: the chunk straddles the watermark, so
+    the oracle must genuinely compute it (module docstring pins the
+    exact rule: ms floor, non-strict <=, one-batch filter lag). A tiny
+    buffer chunk re-delivering the in-order maximum row sits between
+    the main prefix and the stale chunk purely to absorb that
+    one-batch lag — it is itself deduplicated, contributing no rows.
+
+    This is the ONE place engine semantics deliberately deviate from
+    the reference: rspl treats arrival order as truth
+    (src/streams/overeager_receivers.rs:41-49 — a channel write IS the
+    next element), while Spark ranks event time above arrival time and
+    drops what arrives too far behind it; the oracle makes that
+    deviation exact instead of folklore."""
+    from rspl_spark.streaming.sources import append_chunk
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    main = e.where(F.col("event_id") % 5 != 0)
+    stale = e.where(F.col("event_id") % 5 == 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
+
+    tmp = tempfile.mkdtemp(prefix="rspl_sq_late_")
+    write_sorted_chunks(main, tmp, ["ts", "event_id"], 3)
+    # the late-filter watermark for batch N is the eviction watermark of
+    # batch N-1 = max event time over batches 0..N-2: one buffer batch
+    # makes the stale batch see the FULL in-order prefix's maximum
+    buf = main.orderBy(F.desc("ts"), F.desc("event_id")).limit(1)
+    append_chunk(buf, tmp, "buffer_chunk")
+    append_chunk(stale, tmp, "stale_chunk")
+    stream = file_stream(spark, tmp, schema)
+    deduped = stream.withWatermark("ts", "48 hours").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    got = _drain(deduped, "t_q_late_data", [tmp])
+    return got.orderBy("event_id")
+
+
+_SESSION_APPEND_ORACLE = _SESSION_ORACLE.replace(
+    ") sessions\nORDER BY",
+    ") sessions\nWHERE sess_end <= (SELECT date_trunc('milliseconds', max(ts))"
+    " - INTERVAL 30 MINUTE FROM events)\nORDER BY",
+)
+assert "WHERE sess_end" in _SESSION_APPEND_ORACLE  # replace() found its anchor
+
+
+@query(
+    "q_session_window_append",
+    oracle=_SESSION_APPEND_ORACLE,
+    tags=("window", "streaming"),
+)
+def q_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode session windows: session CLOSURE via watermark,
+    the production path q_session_window_stream's complete mode never
+    exercises. A session only emits once the eviction watermark
+    (ms-floored max event time − 30 min) passes its end — so the
+    drained result is the batch sessionization MINUS the trailing
+    sessions the stream can never prove closed, and the oracle is the
+    batch session oracle with exactly that filter appended (equality
+    emits: end == watermark is closed, pinned by test).
+
+    The watermark delay EQUALS the session gap, which is what makes
+    eviction provably safe on an in-order replay: any future row has
+    event time >= the watermark + delay >= (evicted end) + gap, so it
+    could never have merged into an evicted session — closure loses
+    only the tail, never a merge. (A delay shorter than the gap could
+    evict a session a future in-order row would still extend.)"""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    stream, tmp = _ordered_stream(
+        e,
+        ["ts", "event_id"],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    got = _drain(agg, "t_q_session_append", [tmp], output_mode="append")
+    return got.orderBy("user_id", "sess_start")
 
 
 _SSJOIN_ORACLE = """

@@ -27,6 +27,47 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 _FUNNEL_STATE = StructType([StructField("reached_ns", ArrayType(LongType()))])
 
 
+_BATCH_PROP = "rspl.stream.last_batch"
+_IDENT_PROP = "rspl.stream.identity"
+
+
+def merge_stream_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    store: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    identity: str,
+) -> bool:
+    """Fold ONE micro-batch into the store, exactly once: skip if the
+    store's table properties already record this (identity, batch_id)
+    as merged — the replay of a committed batch after a crash between
+    merge and checkpoint commit. Data and the merged-batch record swap
+    in atomically (``merge_increment(props=...)``), so there is no
+    window where one is visible without the other. Returns True when
+    the batch was folded, False when it was skipped as already merged.
+
+    ``identity`` names the batch-id lineage (the checkpoint path): batch
+    ids only mean "same batch" within one checkpoint, so a run against a
+    FRESH checkpoint resets the guard rather than wrongly skipping
+    batch 0. Single-writer contract, like every store mutation here.
+    """
+    from rspl_spark.operators.agg_store import merge_increment, table_property
+
+    if (
+        table_property(spark, store, _IDENT_PROP) == identity
+        and (last := table_property(spark, store, _BATCH_PROP)) is not None
+        and batch_id <= int(last)
+    ):
+        return False
+    merge_increment(
+        spark, batch_df, store, keys, measures,
+        props={_IDENT_PROP: identity, _BATCH_PROP: str(batch_id)},
+    )
+    return True
+
+
 def stream_merge_into_agg_store(
     stream_df: DataFrame,
     store: str,
@@ -44,18 +85,25 @@ def stream_merge_into_agg_store(
     global streaming agg holds ALL group state in the state store
     forever and can only emit in complete/update mode; the store merge
     keeps Spark's streaming state empty (the store IS the state, shared
-    with batch jobs and queryable by anything at any time). Exactly-once
-    caveat: merge_increment is not idempotent, so a batch replayed after
-    a crash between the merge and the checkpoint commit double-counts —
-    the documented trade of side-effecting sinks; the batch recompute is
-    the repair path. Returns the started StreamingQuery.
+    with batch jobs and queryable by anything at any time).
+
+    Exactly-once: the store's table properties record the last merged
+    (checkpoint, batch_id), committed atomically with the merged data
+    in the same catalog swap — a batch replayed after a crash between
+    the merge and the checkpoint commit is recognized and SKIPPED
+    (:func:`merge_stream_batch`), closing the double-count window a
+    bare side-effecting sink has. Returns the started StreamingQuery.
     """
-    from rspl_spark.operators.agg_store import merge_increment
+
+    identity = checkpoint or ""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_increment(batch_df.sparkSession, batch_df, store, keys, measures)
+        merge_stream_batch(
+            batch_df.sparkSession, batch_df, batch_id, store, keys,
+            measures, identity,
+        )
 
     writer = stream_df.writeStream.foreachBatch(fold).outputMode("append")
     if checkpoint:

@@ -71,6 +71,24 @@ def write_sorted_chunks(
         os.utime(os.path.join(out_dir, f), (base + i, base + i))
 
 
+def append_chunk(df: DataFrame, out_dir: str, name: str) -> None:
+    """Write ``df`` as ONE additional chunk ordered AFTER every chunk
+    already in ``out_dir`` (all new files get mtime = current max + 1,
+    so the file source replays it as the next micro-batch). The device
+    the adversarial gates use to schedule a stale / out-of-order chunk
+    behind an in-order :func:`write_sorted_chunks` prefix."""
+    latest = 0.0
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            latest = max(latest, os.path.getmtime(os.path.join(root, f)))
+    path = os.path.join(out_dir, name)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    t = max(latest, time.time()) + 1.0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (t, t))
+
+
 def file_stream(spark: SparkSession, in_dir: str, schema: str) -> DataFrame:
     """One-file-per-micro-batch streaming read of chunk dirs."""
     return (

@@ -293,3 +293,81 @@ def test_analytics_consolidate_records(spark):
         .collect()[0]
     )
     assert (r["k"], r["name"], r["score"]) == ("a", "Ann", 1.0)
+
+
+def test_stream_analytics_twins_mirror_batch(spark):
+    """The streaming facade wires the twins: ewma through
+    stream_analytics equals ewma through analytics on the same finite
+    prefix, and the wrapped result still chains/delegates."""
+    import datetime as dt
+    import tempfile
+
+    from rspl_spark.api import analytics, stream_analytics
+    from rspl_spark.streaming.sources import (
+        file_stream,
+        run_to_memory_sink,
+        write_stream_chunks,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "k string, ts timestamp, v double"
+    rows = [("a", t0 + dt.timedelta(hours=h), float(h * h)) for h in range(6)]
+    df = spark.createDataFrame(rows, schema)
+    chunks = [
+        spark.createDataFrame(rows[:3], schema),
+        spark.createDataFrame(rows[3:], schema),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, chunks)
+        out = stream_analytics(file_stream(spark, tmp, schema)).ewma(
+            "k", "ts", "v", window=4
+        )
+        run_to_memory_sink(out, "t_api_ewma_stream", timeout_s=180)
+    got = {
+        (r["k"], r["ts"]): r["ewma"]
+        for r in spark.table("t_api_ewma_stream").collect()
+    }
+    want = {
+        (r["k"], r["ts"]): round(r["ewma"], 6)
+        for r in analytics(df).ewma(["k"], "ts", "v", window=4).collect()
+    }
+    assert got == want
+
+
+def test_stream_analytics_sketch_and_funnel(spark):
+    """hll/hist are native streaming aggs through the facade (complete
+    mode); funnel drains per-user progress rows."""
+    import datetime as dt
+    import tempfile
+
+    from rspl_spark.api import stream_analytics
+    from rspl_spark.streaming.sources import (
+        file_stream,
+        run_to_memory_sink,
+        write_stream_chunks,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "u string, ts timestamp, event_type string, v double"
+    rows = [
+        ("u1", t0, "click", 1.0),
+        ("u1", t0 + dt.timedelta(minutes=1), "purchase", 2.0),
+        ("u2", t0 + dt.timedelta(minutes=2), "click", 3.0),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(
+            spark, tmp, [spark.createDataFrame(rows, schema)]
+        )
+        bins = stream_analytics(file_stream(spark, tmp, schema)).hist(
+            "v", 0.0, 4.0, nbins=4
+        )
+        run_to_memory_sink(bins, "t_api_hist_stream", timeout_s=180,
+                           output_mode="complete")
+        fun = stream_analytics(file_stream(spark, tmp, schema)).funnel(
+            ["click", "purchase"], user_col="u"
+        )
+        run_to_memory_sink(fun, "t_api_funnel_stream", timeout_s=180)
+    hist = {(r["bin"], r["cnt"]) for r in spark.table("t_api_hist_stream").collect()}
+    assert hist == {(1, 1), (2, 1), (3, 1)}  # 1.0, 2.0, 3.0 with width 1
+    fun = {r["user"]: r["n_reached"] for r in spark.table("t_api_funnel_stream").collect()}
+    assert fun == {"u1": 2, "u2": 1}

@@ -702,3 +702,49 @@ def test_streaming_quality_audit_counters_match_batch(spark):
         )
         assert q.awaitTermination(180)
     assert acc == want and want["value_small"][1] > 100
+
+
+def test_stream_merge_batch_replay_is_idempotent(spark):
+    """Crash-replay contract: re-invoking the foreachBatch fold with an
+    already-merged (identity, batch_id) leaves the store unchanged
+    (skipped); the next batch_id folds; a different identity (a fresh
+    checkpoint's batch-0) resets the guard instead of wrongly skipping."""
+    from rspl_spark.operators import agg_store as A
+    from rspl_spark.streaming.analytics import merge_stream_batch
+
+    schema = "event_type string, event_id long, value double"
+    measures = {"n": ("event_id", "count"), "total": ("value", "sum")}
+    store = "aggstore_idem_t"
+    seed = spark.createDataFrame([("a", 1, 1.0), ("b", 2, 2.0)], schema)
+    A.create_agg_store(spark, seed, store, ["event_type"], measures, overwrite=True)
+    batch = spark.createDataFrame([("a", 3, 10.0)], schema)
+
+    def snap():
+        return {
+            r["event_type"]: (r["n"], round(r["total"], 6))
+            for r in A.read_final(spark, store).collect()
+        }
+
+    try:
+        assert merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, "ck1"
+        )
+        after_fold = snap()
+        assert after_fold["a"] == (2, 11.0)
+        # crash-replay of the committed batch: skipped, store unchanged
+        assert not merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, "ck1"
+        )
+        assert snap() == after_fold
+        # the NEXT batch id folds normally
+        assert merge_stream_batch(
+            spark, batch, 1, store, ["event_type"], measures, "ck1"
+        )
+        assert snap()["a"] == (3, 21.0)
+        # a fresh checkpoint lineage restarts ids at 0 — must NOT skip
+        assert merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, "ck2"
+        )
+        assert snap()["a"] == (4, 31.0)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_idem_t")
