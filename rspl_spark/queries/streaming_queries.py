@@ -397,6 +397,60 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("event_id")
 
 
+_UPDATE_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id,
+         CASE WHEN day(ts) <= 10 THEN 0
+              WHEN day(ts) <= 20 THEN 1
+              ELSE 2 END AS chunk
+  FROM events
+),
+touched AS (SELECT DISTINCT user_id, chunk FROM c)
+SELECT t.user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM touched t JOIN c ON c.user_id = t.user_id AND c.chunk <= t.chunk
+GROUP BY t.user_id, t.chunk
+ORDER BY t.user_id, n_events
+"""
+
+
+@query(
+    "q_stream_update_mode",
+    oracle=_UPDATE_MODE_ORACLE,
+    tags=("aggregation", "streaming"),
+)
+def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode, the third and last emission mode, oracle'd:
+    each micro-batch re-emits exactly the groups it CHANGED, with their
+    new running value — so the drained sink holds one row per (group,
+    micro-batch that touched it), the "live per-key ticker" contract
+    (complete re-emits everything, append only finals; update is the
+    mode dashboards actually subscribe to).
+
+    What makes the oracle possible is DETERMINISTIC chunking: the three
+    micro-batches are day-of-month predicates (<=10, 11-20, >20), not
+    range-partition samples — so SQL can reconstruct which batch
+    touched which user and replay every emission as a prefix aggregate:
+    (user, cumulative count through chunk k) for each chunk k the user
+    appears in. A windowless count needs no watermark, so this is pure
+    emission-mode semantics: no drops, no eviction, order-insensitive
+    state folds (set-union prefixes), bit-exact integer outputs."""
+    from rspl_spark.streaming.sources import append_chunk, file_stream
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.dayofmonth("ts")
+    tmp = tempfile.mkdtemp(prefix="rspl_sq_upd_")
+    for i, cond in enumerate(
+        [day <= 10, (day > 10) & (day <= 20), day > 20]
+    ):
+        append_chunk(e.where(cond), tmp, f"chunk_{i}")
+    stream = file_stream(spark, tmp, "user_id long, ts timestamp")
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    got = _drain(agg, "t_q_upd_mode", [tmp], output_mode="update")
+    return got.orderBy("user_id", "n_events")
+
+
 _SESSION_APPEND_ORACLE = _SESSION_ORACLE.replace(
     ") sessions\nORDER BY",
     ") sessions\nWHERE sess_end <= (SELECT date_trunc('milliseconds', max(ts))"
@@ -525,3 +579,225 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = _drain(joined, "t_q_ssjoin", [tmp_c, tmp_p])
     return got.orderBy("click_id", "purchase_id")
+
+
+_SS_LEFT_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id cu, ts cts, event_id cid FROM events
+  WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id pu, ts pts, event_id pid FROM events
+  WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT date_trunc('milliseconds',
+                    LEAST((SELECT max(cts) FROM c), (SELECT max(pts) FROM p)))
+         - INTERVAL 1 HOUR AS w
+)
+SELECT cu AS user_id, cid AS click_id, pid AS purchase_id,
+       cts AS click_ts, pts AS purchase_ts
+FROM c JOIN p
+  ON cu = pu AND pts >= cts AND pts <= cts + INTERVAL 6 HOUR
+UNION ALL
+SELECT c.cu AS user_id, c.cid AS click_id, NULL AS purchase_id,
+       c.cts AS click_ts, NULL AS purchase_ts
+FROM c, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE pu = c.cu AND pts >= c.cts
+          AND pts <= c.cts + INTERVAL 6 HOUR
+      )
+  AND c.cts <= wm.w - INTERVAL 6 HOUR - INTERVAL 1 MILLISECOND
+ORDER BY click_id, purchase_id
+"""
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle=_SS_LEFT_JOIN_ORACLE,
+    tags=("join", "streaming"),
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the second
+    adversarial-semantics gate: NULL-padded rows exist only because
+    state EVICTION proves a click can never match, so every null row is
+    watermark behavior made visible (the inner gate q_stream_stream_join
+    can never observe eviction; here eviction IS the output).
+
+    The oracle replays the pinned emission rule (probed empirically,
+    same discipline as q_stream_late_data): a never-matched click
+    null-emits iff
+    ``click_ts <= floor_ms(min(max click_ts, max purchase_ts))
+    − delay − window − 1 ms``
+    — the global watermark is the MIN over both inputs' watermarks
+    (Spark's default multiple-watermark policy), the join-condition
+    upper bound (6 h) extends the click's state lifetime, and Spark
+    subtracts ONE MILLISECOND converting the eviction comparison to a
+    strict bound. Unmatched clicks fresher than that are absent: the
+    stream cannot yet prove they will never match — the honest
+    difference from a batch LEFT JOIN, carried into the oracle rather
+    than papered over. Matches equal the batch interval join exactly
+    (in-order chunks make match-eviction lossless, module docstring).
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    s_c, tmp_c = _ordered_stream(
+        clicks,
+        ["click_ts", "click_id"],
+        "c_user long, click_ts timestamp, click_id long",
+    )
+    s_p, tmp_p = _ordered_stream(
+        purchases,
+        ["purchase_ts", "purchase_id"],
+        "p_user long, purchase_ts timestamp, purchase_id long",
+    )
+    joined = (
+        s_c.withWatermark("click_ts", "1 hour")
+        .join(
+            s_p.withWatermark("purchase_ts", "1 hour"),
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+            ),
+            "left_outer",
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+        )
+    )
+    got = _drain(joined, "t_q_ss_left_join", [tmp_c, tmp_p])
+    return got.orderBy("click_id", "purchase_id")
+
+
+_WITHIN_WM_DEDUP_ORACLE = """
+WITH dup AS (
+  SELECT event_id, ts, user_id, value FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 30 MINUTE AS ts, user_id, value
+  FROM events WHERE event_id % 4 = 0
+)
+SELECT event_id, min(ts) AS ts,
+       min(user_id) AS user_id, min(value) AS value
+FROM dup GROUP BY event_id
+ORDER BY event_id
+"""
+
+
+@query(
+    "q_stream_dedup_within_wm",
+    oracle=_WITHIN_WM_DEDUP_ORACLE,
+    tags=("llm", "dedup", "streaming"),
+)
+def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: dedup on a key set WITHOUT
+    the event-time column, yet with bounded state — the operator
+    ``q_stream_dedup`` cannot express (there, bounded state REQUIRES
+    the event-time key, so two deliveries of one logical record with
+    different timestamps are different keys). Here every fourth event
+    is re-delivered 30 minutes LATER in event time under the same
+    event_id; the first arrival wins and the retry is absorbed because
+    the pair lies within the 48-hour dedup horizon. In-order chunks
+    make "first arrival" = minimum event time, so the oracle is a
+    min-per-key collapse — the at-least-once-ingest-with-jitter
+    contract (retries carry fresh timestamps) that a plain DISTINCT or
+    (id, ts)-keyed dedup both get wrong."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    retry = e.where(F.col("event_id") % 4 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+    )
+    dup = e.unionByName(retry)
+    stream, tmp = _ordered_stream(
+        dup,
+        ["ts", "event_id"],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    deduped = stream.withWatermark("ts", "48 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    got = _drain(deduped, "t_q_dedup_within", [tmp])
+    return got.orderBy("event_id")
+
+
+_CHAINED_STATEFUL_ORACLE = """
+WITH dup AS (
+  SELECT event_id, ts, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts, event_type, value FROM events WHERE event_id % 3 = 0
+),
+dedup AS (SELECT DISTINCT event_id, ts, event_type, value FROM dup),
+wm AS (
+  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w FROM dup
+)
+SELECT event_type,
+       time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM dedup, wm
+GROUP BY event_type, win_start
+HAVING win_start + INTERVAL 6 HOUR <= (SELECT w FROM wm)
+ORDER BY event_type, win_start
+"""
+
+
+@query(
+    "q_stream_chained_stateful",
+    oracle=_CHAINED_STATEFUL_ORACLE,
+    tags=("aggregation", "dedup", "streaming"),
+)
+def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query —
+    watermarked dropDuplicates feeding a tumbling-window aggregation in
+    append mode. Every gate so far exercises one stateful operator at
+    a time; real pipelines compose them (dedup at ingest, aggregate
+    behind it), and the composition is where watermark PROPAGATION
+    between operators lives. Oracle = batch DISTINCT → 6-hour window
+    counts, filtered to windows the final watermark closed (end <=
+    ms-floored max event time − 1 h, the append-emission rule pinned by
+    q_session_window_append / test_session_append_emits_on_watermark_
+    equality); the dedup stage drops nothing on in-order chunks
+    (q_stream_dedup's argument), so every emitted window count is the
+    deduplicated truth."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    dup = e.unionAll(e.where(F.col("event_id") % 3 == 0))
+    stream, tmp = _ordered_stream(
+        dup,
+        ["ts", "event_id"],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id", "ts"])
+        .groupBy(F.window("ts", "6 hours"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("win_start"),
+            "n",
+            "total",
+        )
+    )
+    got = _drain(out, "t_q_chained", [tmp])
+    return got.orderBy("event_type", "win_start")

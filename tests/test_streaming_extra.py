@@ -916,3 +916,29 @@ def test_session_append_emits_on_watermark_equality(spark):
     assert [(r["u"], str(r["en"])) for r in got] == [
         ("u_exact", "2024-01-01 11:30:00")
     ]
+
+
+def test_append_chunk_orders_after_existing(spark):
+    """append_chunk schedules its file strictly after every chunk
+    already in the dir (mtime contract the adversarial gates rely on),
+    and the stream replays it as the final micro-batch."""
+    import os
+
+    from rspl_spark.streaming.sources import append_chunk, write_sorted_chunks
+
+    df = spark.createDataFrame([(i,) for i in range(30)], "v long")
+    extra = spark.createDataFrame([(99,)], "v long")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_sorted_chunks(df, tmp, ["v"], 3)
+        append_chunk(extra, tmp, "tail_chunk")
+        tail_mt = max(
+            os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(tmp, "tail_chunk"))
+            for f in fs
+        )
+        rest_mt = max(
+            os.path.getmtime(os.path.join(tmp, f))
+            for f in os.listdir(tmp)
+            if f.startswith("part-")
+        )
+        assert tail_mt > rest_mt
