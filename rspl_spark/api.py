@@ -335,13 +335,14 @@ class AnalyticsFrame:
 
     def cdf_match(self, group_cols: list[str], value_col: str,
                   n_grid: int = 1000, out_col: str = "calibrated",
-                  reference_df: DataFrame | None = None):
+                  reference_df: DataFrame | None = None,
+                  rank_col: str = "pct_rank"):
         """Cross-source score calibration by CDF matching (curation.py)."""
         from rspl_spark.operators.curation import cdf_match
 
         return self._wrap(cdf_match(
             self.df, group_cols, value_col, n_grid=n_grid, out_col=out_col,
-            reference_df=reference_df,
+            reference_df=reference_df, rank_col=rank_col,
         ))
 
     # ------------------------------------------- rolling-sketch family

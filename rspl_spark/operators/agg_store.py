@@ -140,16 +140,29 @@ def merge_increment(
     _rewrite_swap(spark, merged, store, keys, n_buckets, props=props)
 
 
+def table_properties(spark: SparkSession, table: str) -> dict[str, str] | None:
+    """All table properties as a dict (None only when the table does
+    not exist — any OTHER failure propagates, because a guard that
+    reads a transient metastore error as "no properties" would re-merge
+    an already-committed batch)."""
+    if not spark.catalog.tableExists(table):
+        return None
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"]: r["value"] for r in rows}
+
+
 def table_property(spark: SparkSession, table: str, key: str) -> str | None:
     """Read one table property (None when absent or table missing)."""
-    try:
-        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    except Exception:
-        return None
-    for r in rows:
-        if r["key"] == key:
-            return r["value"]
-    return None
+    props = table_properties(spark, table)
+    return None if props is None else props.get(key)
+
+
+def _sql_str(v: str) -> str:
+    """Escape a value for a single-quoted Spark SQL string literal
+    (backslash is an escape character there, so it must double too —
+    a Windows checkpoint path must round-trip byte-identical or the
+    exactly-once identity comparison never matches again)."""
+    return str(v).replace("\\", "\\\\").replace("'", "''")
 
 
 def _rewrite_swap(
@@ -163,15 +176,24 @@ def _rewrite_swap(
     """Materialize ``df`` (whose plan reads ``store``) to a versioned
     tmp table BEFORE touching the store, then swap the catalog entry
     and reap the superseded directory. ``props`` are set on the tmp
-    table pre-swap so they commit atomically with the data."""
+    table pre-swap so they commit atomically with the data; the
+    store's existing ``rspl.`` properties are CARRIED FORWARD (new
+    values win) so a prop-less batch rewrite — daily merge, retract,
+    compaction — cannot wipe the streaming exactly-once record."""
     old_path = _table_location(spark, store)
+    carried = {
+        k: v
+        for k, v in (table_properties(spark, store) or {}).items()
+        if k.startswith("rspl.")
+    }
+    merged_props = {**carried, **(props or {})}
     tmp_name = f"{store}__merge_{uuid.uuid4().hex[:8]}"
     tmp_path = f"{_store_path(store)}.__v_{uuid.uuid4().hex[:8]}"
     _write_bucketed(df, tmp_name, tmp_path, keys, n_buckets)
-    if props:
+    if merged_props:
         kv = ", ".join(
-            f"'{k}' = '{str(v).replace(chr(39), chr(39) * 2)}'"
-            for k, v in props.items()
+            f"'{_sql_str(k)}' = '{_sql_str(v)}'"
+            for k, v in merged_props.items()
         )
         spark.sql(f"ALTER TABLE {tmp_name} SET TBLPROPERTIES ({kv})")
     spark.sql(f"DROP TABLE {store}")

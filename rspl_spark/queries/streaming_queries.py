@@ -750,7 +750,7 @@ SELECT event_type,
        time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 2) AS total
-FROM dedup, wm
+FROM dedup
 GROUP BY event_type, win_start
 HAVING win_start + INTERVAL 6 HOUR <= (SELECT w FROM wm)
 ORDER BY event_type, win_start

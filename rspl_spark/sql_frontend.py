@@ -248,13 +248,15 @@ def _proc_group_split(spark, df, group_col, weights=None, out_col="split"):
 
 
 def _proc_cdf_match(spark, df, group_cols, value_col, n_grid=1000,
-                    out_col="calibrated", reference=None):
+                    out_col="calibrated", reference=None,
+                    rank_col="pct_rank"):
     from rspl_spark.operators.curation import cdf_match
 
     return cdf_match(
         df, _cols(group_cols), value_col, n_grid=int(n_grid),
         out_col=out_col,
         reference_df=spark.table(reference) if reference else None,
+        rank_col=rank_col,
     )
 
 

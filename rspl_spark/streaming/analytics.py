@@ -18,6 +18,8 @@ stage) — O(users × stages) total, bounded, no growth with event volume.
 
 from __future__ import annotations
 
+import uuid
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,11 +55,13 @@ def merge_stream_batch(
     FRESH checkpoint resets the guard rather than wrongly skipping
     batch 0. Single-writer contract, like every store mutation here.
     """
-    from rspl_spark.operators.agg_store import merge_increment, table_property
+    from rspl_spark.operators.agg_store import merge_increment, table_properties
 
+    props = table_properties(spark, store) or {}
+    last = props.get(_BATCH_PROP)
     if (
-        table_property(spark, store, _IDENT_PROP) == identity
-        and (last := table_property(spark, store, _BATCH_PROP)) is not None
+        props.get(_IDENT_PROP) == identity
+        and last is not None
         and batch_id <= int(last)
     ):
         return False
@@ -92,10 +96,15 @@ def stream_merge_into_agg_store(
     in the same catalog swap — a batch replayed after a crash between
     the merge and the checkpoint commit is recognized and SKIPPED
     (:func:`merge_stream_batch`), closing the double-count window a
-    bare side-effecting sink has. Returns the started StreamingQuery.
+    bare side-effecting sink has. Without a ``checkpoint`` the identity
+    is a fresh UUID per call: within-run retries still dedup, while a
+    LATER no-checkpoint run (whose batch ids restart at 0 with genuinely
+    new data) never collides with a previous run's record — a shared
+    sentinel there would silently skip real batches. Returns the
+    started StreamingQuery.
     """
 
-    identity = checkpoint or ""
+    identity = checkpoint or f"run-{uuid.uuid4().hex}"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -748,3 +748,73 @@ def test_stream_merge_batch_replay_is_idempotent(spark):
         assert snap()["a"] == (4, 31.0)
     finally:
         spark.sql("DROP TABLE IF EXISTS aggstore_idem_t")
+
+
+def test_stream_merge_guard_survives_propless_rewrites(spark):
+    """The exactly-once record must survive everything else that
+    rewrites the store: a prop-less batch merge_increment between a
+    streaming fold and its crash-replay carries the rspl.* properties
+    forward, so the replay is STILL skipped; property values with
+    backslashes/quotes round-trip byte-identical."""
+    from rspl_spark.operators import agg_store as A
+    from rspl_spark.streaming.analytics import merge_stream_batch
+
+    schema = "event_type string, event_id long, value double"
+    measures = {"n": ("event_id", "count"), "total": ("value", "sum")}
+    store = "aggstore_carry_t"
+    seed = spark.createDataFrame([("a", 1, 1.0)], schema)
+    A.create_agg_store(spark, seed, store, ["event_type"], measures, overwrite=True)
+    batch = spark.createDataFrame([("a", 2, 10.0)], schema)
+    ident = r"C:\ckpt\it's here"  # adversarial: backslashes + quote
+    try:
+        assert merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, ident
+        )
+        # identity round-trips exactly through SQL-literal escaping
+        assert A.table_property(spark, store, "rspl.stream.identity") == ident
+        # a prop-less BATCH rewrite of the same store...
+        A.merge_increment(
+            spark, spark.createDataFrame([("b", 3, 5.0)], schema),
+            store, ["event_type"], measures,
+        )
+        # ...must not wipe the streaming record: crash-replay still skips
+        assert A.table_property(spark, store, "rspl.stream.identity") == ident
+        assert not merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, ident
+        )
+        got = {
+            r["event_type"]: r["n"]
+            for r in A.read_final(spark, store).collect()
+        }
+        assert got == {"a": 2, "b": 1}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_carry_t")
+
+
+def test_stream_merge_no_checkpoint_runs_do_not_collide(spark):
+    """Two separate no-checkpoint streaming runs both restart batch ids
+    at 0 with genuinely new data — the per-call UUID identity must NOT
+    skip the second run's batches (a shared sentinel identity would)."""
+    from rspl_spark.operators import agg_store as A
+    from rspl_spark.streaming.analytics import stream_merge_into_agg_store
+
+    schema = "event_type string, event_id long, value double"
+    measures = {"n": ("event_id", "count"), "total": ("value", "sum")}
+    store = "aggstore_nockpt_t"
+    seed = spark.createDataFrame([("a", 1, 1.0)], schema)
+    A.create_agg_store(spark, seed, store, ["event_type"], measures, overwrite=True)
+    try:
+        for i in (2, 3):  # two independent runs, batch ids 0.. each
+            with tempfile.TemporaryDirectory() as tmp:
+                spark.createDataFrame(
+                    [("a", i, float(i))], schema
+                ).coalesce(1).write.parquet(f"{tmp}/d")
+                stream = file_stream(spark, f"{tmp}/d", schema)
+                q = stream_merge_into_agg_store(
+                    stream, store, ["event_type"], measures, checkpoint=None
+                )
+                assert q.awaitTermination(120)
+        got = A.read_final(spark, store).collect()[0]
+        assert (got["n"], round(got["total"], 6)) == (3, 6.0)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_nockpt_t")
