@@ -2719,6 +2719,38 @@ ORDER BY est DESC, token LIMIT 10
 """
 
 
+_TOPK_EXACT_ORACLE = """
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token LIMIT 20
+"""
+
+
+@query(
+    "q_cms_topk_exact", oracle=_TOPK_EXACT_ORACLE, tags=("llm", "text", "sketch")
+)
+def q_cms_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-prefiltered EXACT top-k heavy hitters, promoted from
+    test-only to a full oracle gate: the oracle is the NAIVE exact
+    aggregate (GROUP BY every token, ORDER BY count) precisely because
+    the operator's claim is bit-exactness while never shuffling the
+    full vocabulary — one wide-sketch pass seeds a provably-lossless
+    count threshold, so the exact-count exchange only ever carries
+    plausible heavy hitters (operators/sketches.py:702). Tie-break
+    (n desc, token asc) is pinned by both sides."""
+    from rspl_spark.operators.sketches import cms_topk_exact
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return cms_topk_exact(tok, "token", k=20)
+
+
 @query("q_heavy_hitters_cms", oracle=_CMS_ORACLE, tags=("llm", "text", "sketch"))
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rspl_spark.operators.sketches import cms_estimate, cms_sketch

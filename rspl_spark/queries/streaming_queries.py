@@ -312,16 +312,62 @@ def q_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy("q")
 
 
+@query(
+    "q_bloom_stream",
+    oracle=None,  # installed below — reuses the batch Bloom oracle
+    tags=("llm", "sketch", "streaming"),
+)
+def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom filter: the mergeable-sketch family's MEMBERSHIP
+    leg crossing the batch/stream boundary (HLL=distinct, CMS=frequency,
+    histogram=quantile crossed in r11/r12; this completes the set). The
+    (word, bits) table is a NATIVE streaming aggregation — groupBy word,
+    BIT_OR of the per-row masks — so the state store holds at most
+    ceil(m_bits/60) rows FOREVER regardless of stream length, complete
+    mode; BIT_OR is idempotent and order-free, so the drained filter
+    equals the batch ``bloom_build`` word for word and the membership
+    probe reuses the batch ``q_bloom_membership`` oracle verbatim
+    (same no-false-negative contract as the reference's finite-prefix
+    observation: every inserted key probes 1)."""
+    from rspl_spark.operators.sketches import bloom_probe
+    from rspl_spark.queries.llm_ops import _BLOOM_K, _BLOOM_M
+    from rspl_spark.streaming.analytics import streaming_bloom
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    stream, tmp = _ordered_stream(
+        c, ["c_custkey"], "c_custkey long, c_name string"
+    )
+    sketch_stream = streaming_bloom(stream, "c_name", m_bits=_BLOOM_M, k=_BLOOM_K)
+    sketch = _drain(
+        sketch_stream, "t_q_bloom_stream", [tmp], output_mode="complete"
+    )
+    s = load(spark, sf_dir, "supplier")
+    probes = s.select(F.col("s_name").alias("probe")).unionAll(
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_name").alias("probe"))
+    )
+    return (
+        bloom_probe(sketch, probes, "probe", m_bits=_BLOOM_M, k=_BLOOM_K)
+        .orderBy("probe")
+    )
+
+
 def _install_stream_sketch_oracles() -> None:
     """The streaming sketch gates' oracles ARE the batch oracles (same
     registers/cells ⇒ same estimates); installed after definition
     because the oracle builders live with the batch gates."""
     from rspl_spark.queries import REGISTRY
-    from rspl_spark.queries.llm_ops import _CMS_ORACLE, _hll_day_oracle
+    from rspl_spark.queries.llm_ops import (
+        _CMS_ORACLE,
+        _bloom_oracle,
+        _hll_day_oracle,
+    )
 
     REGISTRY["q_hll_stream"].oracle = _hll_day_oracle()
     REGISTRY["q_cms_stream"].oracle = _CMS_ORACLE
     REGISTRY["q_hist_stream"].oracle = _hist_stream_oracle()
+    REGISTRY["q_bloom_stream"].oracle = _bloom_oracle()
 
 
 _install_stream_sketch_oracles()

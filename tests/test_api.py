@@ -371,3 +371,49 @@ def test_stream_analytics_sketch_and_funnel(spark):
     assert hist == {(1, 1), (2, 1), (3, 1)}  # 1.0, 2.0, 3.0 with width 1
     fun = {r["user"]: r["n_reached"] for r in spark.table("t_api_funnel_stream").collect()}
     assert fun == {"u1": 2, "u2": 1}
+
+
+def test_stream_analytics_bloom_equals_batch_word_for_word(spark):
+    """The drained streaming Bloom filter must equal batch bloom_build
+    bit-for-bit (BIT_OR is order-free and idempotent), even when the
+    same keys arrive across SEPARATE micro-batches — the exactness
+    claim q_bloom_stream's oracle reuse rests on."""
+    import tempfile
+
+    from rspl_spark.api import stream_analytics
+    from rspl_spark.operators.sketches import bloom_build, bloom_probe
+    from rspl_spark.streaming.sources import (
+        file_stream,
+        run_to_memory_sink,
+        write_stream_chunks,
+    )
+
+    schema = "key string"
+    keys = [(f"k{i:03d}",) for i in range(60)]
+    batch = spark.createDataFrame(keys, schema)
+    with tempfile.TemporaryDirectory() as tmp:
+        # chunk 1 repeats half of chunk 0's keys: the state-store BIT_OR
+        # must absorb re-insertion exactly like the batch aggregate
+        write_stream_chunks(
+            spark,
+            tmp,
+            [
+                spark.createDataFrame(keys[:40], schema),
+                spark.createDataFrame(keys[20:], schema),
+            ],
+        )
+        sk = stream_analytics(file_stream(spark, tmp, schema)).bloom(
+            "key", m_bits=1 << 10, k=3
+        )
+        run_to_memory_sink(sk, "t_api_bloom_stream", timeout_s=180,
+                           output_mode="complete")
+    got = {(r["word"], r["bits"]) for r in spark.table("t_api_bloom_stream").collect()}
+    want = {
+        (r["word"], r["bits"])
+        for r in bloom_build(batch, "key", m_bits=1 << 10, k=3).collect()
+    }
+    assert got == want
+    members = bloom_probe(
+        spark.table("t_api_bloom_stream"), batch, "key", m_bits=1 << 10, k=3
+    )
+    assert members.filter(F.col("member") == 0).count() == 0  # no false negatives
