@@ -113,6 +113,7 @@ def merge_increment(
     measures: dict[str, tuple[str, str]],
     n_buckets: int = 8,
     props: dict[str, str] | None = None,
+    known_props: dict[str, str] | None = None,
 ) -> None:
     """Fold an increment into the store: aggregate the increment alone,
     full-outer-join it to the store on the keys, merge partials
@@ -132,12 +133,17 @@ def merge_increment(
     the catalog rename, which is what lets a caller record "increment X
     is folded in" with no window where the data committed but the
     record didn't (the streaming exactly-once guard rides on this).
+    ``known_props``: the store's current properties if the caller
+    already read them, saving the swap's own re-read.
     """
     n_buckets = _table_buckets(spark, store) or n_buckets
     merged = merged_view(
         spark, new_df, store, keys, measures, n_buckets, resolve_buckets=False
     )
-    _rewrite_swap(spark, merged, store, keys, n_buckets, props=props)
+    _rewrite_swap(
+        spark, merged, store, keys, n_buckets, props=props,
+        known_props=known_props,
+    )
 
 
 def table_properties(spark: SparkSession, table: str) -> dict[str, str] | None:
@@ -165,6 +171,17 @@ def _sql_str(v: str) -> str:
     return str(v).replace("\\", "\\\\").replace("'", "''")
 
 
+def _set_table_props(
+    spark: SparkSession, table: str, props: dict[str, str]
+) -> None:
+    if not props:
+        return
+    kv = ", ".join(
+        f"'{_sql_str(k)}' = '{_sql_str(v)}'" for k, v in props.items()
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
 def _rewrite_swap(
     spark: SparkSession,
     df: DataFrame,
@@ -172,6 +189,7 @@ def _rewrite_swap(
     keys: list[str],
     n_buckets: int,
     props: dict[str, str] | None = None,
+    known_props: dict[str, str] | None = None,
 ) -> None:
     """Materialize ``df`` (whose plan reads ``store``) to a versioned
     tmp table BEFORE touching the store, then swap the catalog entry
@@ -179,32 +197,34 @@ def _rewrite_swap(
     table pre-swap so they commit atomically with the data; the
     store's existing ``rspl.`` properties are CARRIED FORWARD (new
     values win) so a prop-less batch rewrite — daily merge, retract,
-    compaction — cannot wipe the streaming exactly-once record."""
+    compaction — cannot wipe the streaming exactly-once record.
+    ``known_props`` lets a caller that already read the store's
+    properties (the per-batch streaming guard) skip the second
+    metastore round trip."""
     old_path = _table_location(spark, store)
-    carried = {
-        k: v
-        for k, v in (table_properties(spark, store) or {}).items()
-        if k.startswith("rspl.")
-    }
+    existing = (
+        known_props
+        if known_props is not None
+        else (table_properties(spark, store) or {})
+    )
+    carried = {k: v for k, v in existing.items() if k.startswith("rspl.")}
     merged_props = {**carried, **(props or {})}
     tmp_name = f"{store}__merge_{uuid.uuid4().hex[:8]}"
     tmp_path = f"{_store_path(store)}.__v_{uuid.uuid4().hex[:8]}"
     _write_bucketed(df, tmp_name, tmp_path, keys, n_buckets)
-    if merged_props:
-        kv = ", ".join(
-            f"'{_sql_str(k)}' = '{_sql_str(v)}'"
-            for k, v in merged_props.items()
-        )
-        spark.sql(f"ALTER TABLE {tmp_name} SET TBLPROPERTIES ({kv})")
+    _set_table_props(spark, tmp_name, merged_props)
     spark.sql(f"DROP TABLE {store}")
     try:
         spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {store}")
     except Exception:
         # close the DROP→RENAME window: re-register the ORIGINAL data
-        # under the store name so the table never vanishes; the merged
-        # tmp table stays behind for inspection
+        # under the store name so the table never vanishes — WITH its
+        # original rspl.* properties (the exactly-once record must
+        # survive the recovery, or a replayed batch double-counts);
+        # the merged tmp table stays behind for inspection
         if old_path:
             _register_bucketed_at(spark, store, old_path, keys, n_buckets)
+            _set_table_props(spark, store, carried)
         raise
     if old_path and os.path.isdir(old_path):
         shutil.rmtree(old_path, ignore_errors=True)

@@ -680,6 +680,11 @@ def cdf_match(
     """
     if n_grid < 1:
         raise ValueError("cdf_match: n_grid must be >= 1")
+    if rank_col == out_col:
+        raise ValueError(
+            f"cdf_match: rank_col and out_col are both {out_col!r} — the"
+            " calibrated value would silently overwrite the rank"
+        )
     for c in (rank_col, out_col):
         if c in df.columns:
             raise ValueError(

@@ -414,7 +414,11 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     next element), while Spark ranks event time above arrival time and
     drops what arrives too far behind it; the oracle makes that
     deviation exact instead of folklore."""
-    from rspl_spark.streaming.sources import append_chunk
+    from rspl_spark.streaming.sources import (
+        append_chunk,
+        file_stream,
+        write_sorted_chunks,
+    )
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -425,8 +429,6 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp, user_id long,"
         " event_type string, value double"
     )
-    from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
-
     tmp = tempfile.mkdtemp(prefix="rspl_sq_late_")
     write_sorted_chunks(main, tmp, ["ts", "event_id"], 3)
     # the late-filter watermark for batch N is the eviction watermark of

@@ -88,14 +88,27 @@ def register_stream_processor(
 def _cols(v: str) -> list[str]:
     """'a,b,c' → ['a', 'b', 'c'] — splitting on TOP-LEVEL commas only,
     so an aggregate expression containing a comma
-    (``aggs => 'c:corr(a,b)'``) stays one item. Unbalanced parentheses
-    fail loudly (a silently misparsed aggregate is worse than none)."""
+    (``aggs => 'c:corr(a,b)'``) stays one item. Parens and commas
+    inside SQL string literals are literal text — ``'),('`` inside a
+    ``string_agg`` separator must neither unbalance the depth count
+    nor split the item (a doubled quote inside a literal toggles the
+    state twice, which nets out correctly). Unbalanced parentheses or
+    an unterminated quote fail loudly (a silently misparsed aggregate
+    is worse than none)."""
     s = str(v)
     items: list[str] = []
     buf: list[str] = []
     depth = 0
+    quote: str | None = None  # the open string-literal delimiter, if any
     for ch in s:
-        if ch == "(":
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            buf.append(ch)
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -106,6 +119,8 @@ def _cols(v: str) -> list[str]:
             buf = []
         else:
             buf.append(ch)
+    if quote is not None:
+        raise ValueError(f"unterminated {quote} string in list literal {s!r}")
     if depth != 0:
         raise ValueError(f"unbalanced '(' in list literal {s!r}")
     items.append("".join(buf))

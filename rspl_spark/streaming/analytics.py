@@ -50,10 +50,11 @@ def merge_stream_batch(
     window where one is visible without the other. Returns True when
     the batch was folded, False when it was skipped as already merged.
 
-    ``identity`` names the batch-id lineage (the checkpoint path): batch
-    ids only mean "same batch" within one checkpoint, so a run against a
-    FRESH checkpoint resets the guard rather than wrongly skipping
-    batch 0. Single-writer contract, like every store mutation here.
+    ``identity`` names the batch-id lineage (the checkpoint's embedded
+    UUID marker, :func:`_checkpoint_identity`): batch ids only mean
+    "same batch" within one checkpoint STATE, so a fresh or wiped
+    checkpoint resets the guard rather than wrongly skipping batch 0.
+    Single-writer contract, like every store mutation here.
     """
     from rspl_spark.operators.agg_store import merge_increment, table_properties
 
@@ -68,8 +69,44 @@ def merge_stream_batch(
     merge_increment(
         spark, batch_df, store, keys, measures,
         props={_IDENT_PROP: identity, _BATCH_PROP: str(batch_id)},
+        known_props=props,
     )
     return True
+
+
+def _checkpoint_identity(spark, checkpoint: str) -> str:
+    """The batch-id lineage identity for a checkpointed stream: a UUID
+    marker stored INSIDE the checkpoint directory, so the identity
+    lives and dies with the checkpoint STATE rather than its path.
+    A restart against an intact checkpoint reads the same marker (its
+    replayed batch ids are genuinely the same batches — skip is
+    correct); wiping the checkpoint to reprocess destroys the marker
+    with the offsets, so the next run mints a fresh identity and the
+    guard resets instead of silently skipping the new run's batches
+    0..N, which restart at 0 over genuinely new data (keying on the
+    PATH would conflate those two runs). Goes through the Hadoop
+    FileSystem API, so it works on any scheme the checkpoint itself
+    works on (file://, hdfs://, s3a://), not just the local disk."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint, "rspl-identity")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(path), "UTF-8")
+        )
+        try:
+            marker = reader.readLine()
+        finally:
+            reader.close()
+        if marker:
+            return marker.strip()
+    marker = f"ck-{uuid.uuid4().hex}"
+    out = fs.create(path, False)  # fail if raced — single-writer contract
+    try:
+        out.write(bytearray(marker.encode("utf-8")))
+    finally:
+        out.close()
+    return marker
 
 
 def stream_merge_into_agg_store(
@@ -96,15 +133,22 @@ def stream_merge_into_agg_store(
     in the same catalog swap — a batch replayed after a crash between
     the merge and the checkpoint commit is recognized and SKIPPED
     (:func:`merge_stream_batch`), closing the double-count window a
-    bare side-effecting sink has. Without a ``checkpoint`` the identity
-    is a fresh UUID per call: within-run retries still dedup, while a
-    LATER no-checkpoint run (whose batch ids restart at 0 with genuinely
-    new data) never collides with a previous run's record — a shared
-    sentinel there would silently skip real batches. Returns the
-    started StreamingQuery.
+    bare side-effecting sink has. The identity is a UUID marker stored
+    INSIDE the checkpoint directory (:func:`_checkpoint_identity`):
+    restarting against an intact checkpoint keeps the identity (replays
+    skip), while wiping the checkpoint to reprocess destroys the marker
+    with the offsets, so the new run's batches — whose ids restart at 0
+    over genuinely new data — are never wrongly skipped. Without a
+    ``checkpoint`` the identity is a fresh UUID per call: within-run
+    retries still dedup, and a later no-checkpoint run never collides
+    with a previous run's record. Returns the started StreamingQuery.
     """
 
-    identity = checkpoint or f"run-{uuid.uuid4().hex}"
+    identity = (
+        _checkpoint_identity(stream_df.sparkSession, checkpoint)
+        if checkpoint
+        else f"run-{uuid.uuid4().hex}"
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -428,6 +428,9 @@ def test_cdf_match_rank_alignment(spark):
     assert cal[("a", 1.0)] == 1.0
     with pytest.raises(ValueError, match="n_grid"):
         cdf_match(df, ["g"], "v", n_grid=0)
+    # rank_col == out_col would silently overwrite the rank — reject
+    with pytest.raises(ValueError, match="rank_col and out_col"):
+        cdf_match(df, ["g"], "v", rank_col="score", out_col="score")
 
 
 def test_cdf_match_external_reference_and_singleton(spark):

@@ -196,6 +196,15 @@ def test_sql_call_comma_inside_aggregate_parses(spark):
         _cols("corr(a,b")
     with pytest.raises(ValueError, match="unbalanced"):
         _cols("corr a,b)")
+    # parens/commas INSIDE string literals are literal text, not syntax
+    assert _cols("s:string_agg(v, '),(')") == ["s:string_agg(v, '),(')"]
+    assert _cols("c:count_if(contains(s, '('))") == [
+        "c:count_if(contains(s, '('))"
+    ]
+    assert _cols('''a,concat(x, "y,z"),b''') == ["a", 'concat(x, "y,z")', "b"]
+    assert _cols("s:rtrim(v, 'it''s')") == ["s:rtrim(v, 'it''s')"]  # '' escape
+    with pytest.raises(ValueError, match="unterminated"):
+        _cols("s:substr(v, 'oops)")
 
     t0 = dt.datetime(2024, 1, 1)
     rows = [(1, t0 + dt.timedelta(hours=h), float(h)) for h in (0, 1, 2)]

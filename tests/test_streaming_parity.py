@@ -818,3 +818,99 @@ def test_stream_merge_no_checkpoint_runs_do_not_collide(spark):
         assert (got["n"], round(got["total"], 6)) == (3, 6.0)
     finally:
         spark.sql("DROP TABLE IF EXISTS aggstore_nockpt_t")
+
+
+def test_checkpoint_identity_resets_on_wipe(spark):
+    """The exactly-once identity must live and die with the checkpoint
+    STATE, not its path: a restart against an intact checkpoint reads
+    the same marker (replays skip), but wiping the checkpoint to
+    reprocess mints a fresh identity — a path-keyed identity would
+    silently skip the new run's batches 0..N (data loss)."""
+    import shutil
+
+    from rspl_spark.operators import agg_store as A
+    from rspl_spark.streaming.analytics import (
+        _checkpoint_identity,
+        merge_stream_batch,
+    )
+
+    schema = "event_type string, event_id long, value double"
+    measures = {"n": ("event_id", "count"), "total": ("value", "sum")}
+    store = "aggstore_ckwipe_t"
+    seed = spark.createDataFrame([("a", 1, 1.0)], schema)
+    A.create_agg_store(spark, seed, store, ["event_type"], measures, overwrite=True)
+    batch = spark.createDataFrame([("a", 2, 10.0)], schema)
+    ck = tempfile.mkdtemp(prefix="rspl_ckwipe_")
+    try:
+        ident = _checkpoint_identity(spark, ck)
+        # intact checkpoint → stable identity across restarts
+        assert _checkpoint_identity(spark, ck) == ident
+        assert merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, ident
+        )
+        assert not merge_stream_batch(  # crash-replay: skipped
+            spark, batch, 0, store, ["event_type"], measures, ident
+        )
+        # wipe-and-reprocess: offsets AND marker gone → fresh identity,
+        # and the new run's batch 0 (new data, restarted ids) must fold
+        shutil.rmtree(ck)
+        ident2 = _checkpoint_identity(spark, ck)
+        assert ident2 != ident
+        assert merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, ident2
+        )
+        got = A.read_final(spark, store).collect()[0]
+        assert (got["n"], round(got["total"], 6)) == (3, 21.0)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS aggstore_ckwipe_t")
+
+
+def test_rewrite_swap_recovery_restores_exactly_once_props(spark):
+    """If the swap's RENAME fails after DROP, the recovery re-registers
+    the original data — and must restore the original rspl.* properties
+    with it, or the crash-replayed streaming batch re-merges (the
+    double count the guard exists to prevent)."""
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from rspl_spark.operators import agg_store as A
+    from rspl_spark.streaming.analytics import merge_stream_batch
+
+    schema = "event_type string, event_id long, value double"
+    measures = {"n": ("event_id", "count"), "total": ("value", "sum")}
+    store = "aggstore_recover_t"
+    seed = spark.createDataFrame([("a", 1, 1.0)], schema)
+    A.create_agg_store(spark, seed, store, ["event_type"], measures, overwrite=True)
+    batch = spark.createDataFrame([("a", 2, 10.0)], schema)
+    try:
+        assert merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, "ck-recover"
+        )
+        before = A.read_final(spark, store).collect()
+
+        orig_sql = spark.sql
+
+        def failing(q, *a, **kw):
+            if "RENAME TO" in q:
+                raise RuntimeError("injected rename failure")
+            return orig_sql(q, *a, **kw)
+
+        with mock.patch.object(spark, "sql", side_effect=failing):
+            with _pytest.raises(RuntimeError, match="injected"):
+                A.merge_increment(
+                    spark, spark.createDataFrame([("b", 3, 5.0)], schema),
+                    store, ["event_type"], measures,
+                )
+        # the store survived the failed swap with data AND record intact
+        assert spark.catalog.tableExists(store)
+        assert A.table_property(spark, store, "rspl.stream.identity") == "ck-recover"
+        assert A.table_property(spark, store, "rspl.stream.last_batch") == "0"
+        assert A.read_final(spark, store).collect() == before
+        # …so the crash-replayed batch is STILL skipped
+        assert not merge_stream_batch(
+            spark, batch, 0, store, ["event_type"], measures, "ck-recover"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aggstore_recover_t")
