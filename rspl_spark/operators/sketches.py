@@ -746,8 +746,6 @@ def cms_topk_exact(
     longs) broadcasts. Cost moves from shuffle-bound to scan-bound —
     exactly what a 1000-executor cluster scales out.
     """
-    from rspl_spark.operators.dedup import portable_hash
-
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = occurrences.sparkSession
@@ -761,9 +759,16 @@ def cms_topk_exact(
         ]
     )
     occ = occurrences.filter(F.col(key_col).isNotNull())
+    # internal bucketing uses xxhash64 on the NATIVE key, not the
+    # md5 portable hash: this sketch is never replayed by an oracle —
+    # correctness only needs the all-of-a-key-in-one-cell upper-bound
+    # property, which any deterministic hash gives — and md5-per-row
+    # (plus a string cast) was the dominant cost of both scans
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(w)).cast("long")
     sketch = (
-        cms_sketch(occ, key_col, w=w, d=1)
-        .select("bucket", "c")
+        occ.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint()
     )
     cells = sorted((r["c"] for r in sketch.collect()), reverse=True)
@@ -771,7 +776,6 @@ def cms_topk_exact(
         return spark.createDataFrame([], out_schema)
     threshold = cells[k - 1] if len(cells) >= k else cells[-1]
 
-    bucket = _fields(portable_hash(F.col(key_col).cast("string")), 1, w)[0]
     annotated = occ.select(F.col(key_col), bucket.alias("bucket")).join(
         F.broadcast(sketch), "bucket"
     )
