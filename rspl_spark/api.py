@@ -369,6 +369,14 @@ class AnalyticsFrame:
             window_buckets=window_buckets, qs=qs, nbins=nbins,
         ))
 
+    def topk_exact(self, key_col: str, k: int, w: int = 1 << 16):
+        """EXACT top-k heavy hitters of ``key_col`` by occurrence count,
+        CMS-prefiltered so the exchange never carries the full
+        distinct-key vocabulary (sketches.py)."""
+        from rspl_spark.operators.sketches import cms_topk_exact
+
+        return self._wrap(cms_topk_exact(self.df, key_col, k, w=w))
+
 
 def analytics(df: DataFrame) -> AnalyticsFrame:
     """Wrap ``df`` in the analytic-operator facade (see module doc)."""

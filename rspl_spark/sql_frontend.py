@@ -286,6 +286,12 @@ def _proc_consolidate(spark, df, key_cols, priority, value_cols=None,
     )
 
 
+def _proc_topk_exact(spark, df, key_col, k, w=1 << 16):
+    from rspl_spark.operators.sketches import cms_topk_exact
+
+    return cms_topk_exact(df, key_col, int(k), w=int(w))
+
+
 #: procedure name → fn(spark, df, **kwargs). ``df`` is the resolved
 #: table argument (every procedure's first parameter, passed as
 #: ``df => '<view name>'``); other table args stay view-name strings
@@ -307,6 +313,7 @@ PROCEDURES: dict[str, Callable] = {
     "consolidate_records": _proc_consolidate,
     "rolling_distinct_hll": _proc_rolling_distinct,
     "rolling_hist_quantiles": _proc_rolling_quantiles,
+    "topk_exact": _proc_topk_exact,
 }
 
 

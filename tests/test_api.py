@@ -417,3 +417,14 @@ def test_stream_analytics_bloom_equals_batch_word_for_word(spark):
         spark.table("t_api_bloom_stream"), batch, "key", m_bits=1 << 10, k=3
     )
     assert members.filter(F.col("member") == 0).count() == 0  # no false negatives
+
+
+def test_analytics_topk_exact(spark):
+    """topk_exact through the facade returns the exact (key, n) top-k
+    in (n desc, key asc) order."""
+    from rspl_spark.api import analytics
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [tuple(r) for r in analytics(df).topk_exact("k", 3).collect()]
+    assert got == [("a", 5), ("b", 3), ("c", 3)]

@@ -233,3 +233,17 @@ def test_sql_call_pagerank_coerces_tol_string(spark):
     ranks = {r["node"]: r["rank"] for r in out.collect()}
     assert set(ranks) == {1, 2}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_sql_call_topk_exact(spark):
+    """CALL topk_exact resolves the view and coerces k/w."""
+    from rspl_spark.sql_frontend import sql_call
+
+    rows = [("x",)] * 4 + [("y",)] * 2 + [("z",)] * 1
+    spark.createDataFrame(rows, "term string").createOrReplaceTempView(
+        "sqlcall_topk"
+    )
+    out = sql_call(
+        spark, "CALL topk_exact(df => 'sqlcall_topk', key_col => 'term', k => '2')"
+    )
+    assert [tuple(r) for r in out.collect()] == [("x", 4), ("y", 2)]
