@@ -312,6 +312,55 @@ def q_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy("q")
 
 
+_STREAM_STATIC_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       c.c_mktsegment AS segment
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey AND c.c_custkey < 100
+ORDER BY e.event_id
+"""
+
+
+@query(
+    "q_stream_static_join",
+    oracle=_STREAM_STATIC_ORACLE,
+    tags=("join", "streaming"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT OUTER dimension enrichment — the single most
+    common streaming pattern at scale (events enriched against a
+    broadcast dimension), previously only test-level evidence (the
+    semantic-dedup store probe). STATELESS: the static side joins
+    against every micro-batch with no state store at all, so append
+    mode needs no watermark and the finite prefix equals the batch
+    join row for row — including the NULL rows, because the dimension
+    is PRUNED (custkey < 100) so a slice of users deliberately has no
+    match and the outer semantics are observed, not vacuous. The dim
+    side is broadcast (dimension tables never shuffle the stream at
+    any scale)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stream, tmp = _ordered_stream(
+        e,
+        ["ts", "event_id"],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    )
+    enriched = stream.join(
+        F.broadcast(dim),
+        stream["user_id"] == dim["c_custkey"],
+        "left_outer",
+    ).select("event_id", "user_id", "event_type", "value", "segment")
+    got = _drain(enriched, "t_q_stream_static_join", [tmp])
+    return got.orderBy("event_id")
+
+
 @query(
     "q_bloom_stream",
     oracle=None,  # installed below — reuses the batch Bloom oracle
