@@ -312,6 +312,80 @@ def q_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy("q")
 
 
+_STREAM_MERGE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "q_stream_merge_store",
+    oracle=_STREAM_MERGE_ORACLE,
+    tags=("agg", "streaming"),
+)
+def q_stream_merge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once streaming agg-store merge end-to-end, as a full
+    oracle gate (previously pytest-only): a store seeded from a quarter
+    of the events is maintained by ``stream_merge_into_agg_store`` over
+    a 3-chunk replay of the rest — each micro-batch folds into the
+    persisted bucketed store via foreachBatch + catalog swap, with the
+    (checkpoint-identity, batch_id) record committed atomically with
+    the data — and the drained store must equal the one-shot batch
+    aggregate of ALL events. Integer measures (count + summed cents)
+    make the fold order-free, so this is bit-exact, not
+    rounding-absorbed. The store IS the streaming state (Spark's state
+    store stays empty): the 100 TB form of a continuously-maintained
+    rollup that batch jobs and ad-hoc queries read mid-stream."""
+    from rspl_spark.operators.agg_store import create_agg_store, read_final
+    from rspl_spark.streaming.analytics import stream_merge_into_agg_store
+    from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
+
+    store = f"q_stream_merge_store_{uuid.uuid4().hex[:8]}"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    measures = {"n": ("event_id", "count"), "cents": ("cents", "sum")}
+    seed = ev.where(F.col("event_id") % 4 == 0)
+    rest = ev.where(F.col("event_id") % 4 != 0)
+    tmp = tempfile.mkdtemp(prefix="rspl_sq_merge_")
+    ck = tempfile.mkdtemp(prefix="rspl_sq_merge_ck_")
+    try:
+        create_agg_store(
+            spark, seed, store, ["event_type"], measures, overwrite=True
+        )
+        write_sorted_chunks(rest, tmp, ["ts", "event_id"], 3)
+        stream = file_stream(
+            spark,
+            tmp,
+            "event_id long, ts timestamp, event_type string, cents long",
+        )
+        q = stream_merge_into_agg_store(
+            stream, store, ["event_type"], measures, checkpoint=ck
+        )
+        assert q.awaitTermination(300), "stream merge did not finish"
+        out = (
+            read_final(spark, store)
+            .select("event_type", "n", "cents")
+            .orderBy("event_type")
+        )
+        # materialize the (num-event-types)-row result before the store
+        # is dropped — a bounded driver read, same class as a collect()
+        # on a drained memory sink
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 _STREAM_STATIC_ORACLE = """
 SELECT e.event_id, e.user_id, e.event_type, e.value,
        c.c_mktsegment AS segment
