@@ -194,6 +194,10 @@ def streaming_funnel(
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             batch = pd.concat(chunks, ignore_index=True)
+            # NULL timestamps can't advance a funnel: the batch oracle's
+            # min-over-when ignores them, and unguarded NaT becomes
+            # int64 min, falsely advancing the stage with a garbage ts
+            batch = batch[batch[ts_col].notna()]
             # total ts order within the batch; ties don't matter (strict >)
             batch = batch.sort_values(ts_col, kind="mergesort")
             ts_ns = batch[ts_col].astype("int64").tolist()
@@ -300,9 +304,10 @@ def streaming_hist(
     """Streaming fixed-range histogram: live quantile sketching over an
     unbounded stream with at most nbins state rows per group
     (out-of-range values clamp into the edge bins 0 / nbins-1; NULLs
-    are filtered before binning, matching batch hist_quantiles'
-    COUNT(col) semantics — without the filter a nullable column would
-    carry a phantom NULL-bin state row and skew sink-side quantiles).
+    AND NaNs are filtered before binning — NULL to match batch
+    hist_quantiles' COUNT(col) semantics, NaN because floor(NaN)
+    silently lands in bin 0 and deflates low quantiles with junk
+    readings; neither is a measurement).
 
     The batch :func:`~rspl_spark.operators.sketches.hist_quantiles`
     derives [lo, hi] from the data — a second pass a stream cannot
@@ -315,15 +320,16 @@ def streaming_hist(
     if hi <= lo:
         raise ValueError("streaming_hist: hi must exceed lo")
     width = (hi - lo) / float(nbins)
+    c = F.col(col).cast("double")
     bin_ = F.greatest(
         F.lit(0),
         F.least(
             F.lit(nbins - 1),
-            F.floor((F.col(col).cast("double") - lo) / width).cast("int"),
+            F.floor((c - lo) / width).cast("int"),
         ),
     )
     return (
-        stream_df.filter(F.col(col).isNotNull())
+        stream_df.filter(c.isNotNull() & ~F.isnan(c))
         .select(*group_cols, bin_.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -423,11 +429,16 @@ def stream_cms_with_live_estimate(
     number."""
     from rspl_spark.operators.sketches import cms_estimate
 
+    # probe-key frame typed from the INPUT stream, not hardcoded
+    # string: numeric probe keys against a numeric key_col would
+    # crash createDataFrame inside the running query otherwise
+    key_t = stream_df.schema[key_col].dataType.simpleString()
+
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         keys_df = batch_df.sparkSession.createDataFrame(
-            [(k,) for k in probe_keys], f"{key_col} string"
+            [(k,) for k in probe_keys], f"`{key_col}` {key_t}"
         )
         cms_estimate(batch_df, keys_df, key_col, w=w, d=d).coalesce(1).write.mode(
             "overwrite"

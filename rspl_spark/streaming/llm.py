@@ -122,9 +122,18 @@ def streaming_lsh_dedup(
             horizon = now - ttl_ms
             seen = [e for e in seen if e[2] > horizon]
         pairs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            for row in pdf.itertuples(index=False):
+        # concat ALL Arrow chunks then sort ONCE: a bucket's micro-batch
+        # may span several chunks in no guaranteed order, and per-chunk
+        # sorting makes cap eviction (and hence the emitted pair set)
+        # depend on chunk arrival order instead of doc_id order
+        chunks = [p for p in pdfs if len(p)]
+        batch = (
+            pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            if chunks
+            else pd.DataFrame()
+        )
+        if len(batch):
+            for row in batch.itertuples(index=False):
                 new_sig = tuple(getattr(row, f"mh{j}") for j in range(_N))
                 for entry in seen:
                     old_id, old_sig = entry[0], entry[1]
@@ -253,7 +262,15 @@ def streaming_token_packing(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # NULL text counts 0 tokens explicitly: size(split(NULL)) is NULL
+    # under ANSI (NaN in the pandas batch — int(NaN) kills the query)
+    # and -1 under legacy (silently corrupts every later bin's running
+    # sum); neither is a token count
+    nt = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
+    )
     rows = docs.select(source_col, id_col, nt.alias("nt"))
     # schema derived from the input, not hardcoded — a string or int id
     # passes through with its real type instead of silently miscasting
@@ -482,9 +499,16 @@ def streaming_semantic_dedup(
             horizon = now - ttl_ms
             seen = [e for e in seen if e[3] > horizon]
         pairs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("vec_id")
-            for row in pdf.itertuples(index=False):
+        # concat-then-sort once, same cross-chunk ordering hazard as the
+        # LSH bucket state above
+        chunks = [p for p in pdfs if len(p)]
+        batch = (
+            pd.concat(chunks, ignore_index=True).sort_values("vec_id")
+            if chunks
+            else pd.DataFrame()
+        )
+        if len(batch):
+            for row in batch.itertuples(index=False):
                 v = np.asarray(row.emb, dtype=np.float64)
                 nr = float(row.nrm)
                 for oid, ov, onrm, _ts in seen:

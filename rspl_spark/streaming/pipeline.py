@@ -62,7 +62,14 @@ def curate_stream(
         .withColumn("bucket", F.pmod(F.hash("h"), F.lit(n_hash_buckets)))
     )
 
-    out_schema = f"`{id_col}` long, `{text_col}` string, quality double, pred_lang string"
+    # id type derived from the input, not hardcoded long: the id_col
+    # parameter invites string doc ids, which a `long` output schema
+    # would crash on at Arrow conversion inside the running query
+    id_t = docs.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_t}, `{text_col}` string, quality double,"
+        " pred_lang string"
+    )
 
     def dedup(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         seen: set = pickle.loads(state.get[0]) if state.exists else set()
@@ -74,19 +81,20 @@ def curate_stream(
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             batch = pd.concat(chunks, ignore_index=True).sort_values(id_col)
+            # positional access (column order pinned by the select in
+            # `scored`): itertuples+getattr breaks on column names that
+            # aren't valid Python identifiers
+            cols = list(batch.columns)
+            i_id, i_txt = cols.index(id_col), cols.index(text_col)
+            i_q, i_l, i_h = (
+                cols.index("quality"), cols.index("pred_lang"), cols.index("h")
+            )
             for r in batch.itertuples(index=False):
-                h = getattr(r, "h")
+                h = r[i_h]
                 if h in seen:
                     continue
                 seen.add(h)
-                rows.append(
-                    (
-                        getattr(r, id_col),
-                        getattr(r, text_col),
-                        getattr(r, "quality"),
-                        getattr(r, "pred_lang"),
-                    )
-                )
+                rows.append((r[i_id], r[i_txt], r[i_q], r[i_l]))
         state.update((cloudpickle.dumps(seen),))
         if rows:
             yield pd.DataFrame(rows, columns=[id_col, text_col, "quality", "pred_lang"])

@@ -110,6 +110,7 @@ def kafka_stream(
     key_col: str = "key",
     seq_col: str = "seq",
     value_col: str = "value",
+    seed_path: str | None = None,
 ) -> DataFrame:
     """Kafka-backed rspl channel (config-level wiring; no broker ships in
     this container, so only the option plumbing is smoke-testable — the
@@ -146,7 +147,8 @@ def kafka_stream(
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return decode_kafka_records(
-        reader.load(), value_schema, seed_df, key_col, seq_col, value_col
+        reader.load(), value_schema, seed_df, key_col, seq_col, value_col,
+        seed_path=seed_path,
     )
 
 
@@ -157,6 +159,7 @@ def decode_kafka_records(
     key_col: str = "key",
     seq_col: str = "seq",
     value_col: str = "value",
+    seed_path: str | None = None,
 ) -> DataFrame:
     """Kafka-record frame (binary ``value`` + broker metadata) → rspl
     stream frame (key, seq, value) with the seed unioned ahead. Split
@@ -173,19 +176,33 @@ def decode_kafka_records(
             # seed into a one-shot file stream first (written once to a
             # session-lifetime temp dir). Callers keep the natural API:
             # the seed is whatever little batch frame they built.
-            seed_df = _batch_as_stream(seed_df)
+            seed_df = _batch_as_stream(seed_df, path=seed_path)
         parsed = seed_df.unionByName(parsed)
     return parsed
 
 
-def _batch_as_stream(df: DataFrame) -> DataFrame:
+def _batch_as_stream(df: DataFrame, path: str | None = None) -> DataFrame:
     """Materialize a (small) batch frame and re-read it as a streaming
-    source — the standard device for prepending finite rows to a stream."""
+    source — the standard device for prepending finite rows to a stream.
+
+    A CHECKPOINTED query must pass a stable ``path``: the checkpoint's
+    file-source offsets reference the seed by its location, so a fresh
+    mkdtemp on restart would present the seed as brand-new data and
+    deliver it a second time mid-stream (corrupting seq-ordered FSM
+    state whose first decision the seed drives). With a stable path the
+    seed is written once and restarts re-read the already-committed
+    file; without one (ad-hoc, uncheckpointed runs) a temp dir is fine."""
+    import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="rspl_seed_")
-    df.coalesce(1).write.mode("overwrite").parquet(d)
-    return df.sparkSession.readStream.schema(df.schema).parquet(d)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="rspl_seed_")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+    elif not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df.sparkSession.readStream.schema(df.schema).parquet(path)
 
 
 def seeded_batch_stream(seed_df: DataFrame, stream_df: DataFrame) -> DataFrame:

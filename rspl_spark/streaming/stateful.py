@@ -71,10 +71,21 @@ def run_mealy_stream_tws(
       starts only when the previous one has been delivered
       (``worker_free`` carried in state).
 
+    The two modes are MUTUALLY EXCLUSIVE (one per-key timer namespace;
+    an idle timer and capability timers would be indistinguishable when
+    they expire) — passing both raises rather than silently ignoring
+    ``timeout_ms``.
+
     Requires google.protobuf + the RocksDB state store; see
     rspl_spark.streaming.tws_runtime (enable_tws_runtime() must run
     before SparkSession creation; the RocksDB conf is applied here).
     """
+    if timeout_ms is not None and timeout_capability is not None:
+        raise ValueError(
+            "run_mealy_stream_tws: timeout_ms (idle sentinel) and"
+            " timeout_capability (per-output feedback) are mutually"
+            " exclusive — they share the key's timer namespace"
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -113,7 +124,15 @@ def run_mealy_stream_tws(
             for v in outs:
                 dur = timeout_capability(v)
                 if dur is not None:
-                    worker_free = max(worker_free, now_ms) + int(dur)
+                    # timers are ms-granular and registerTimer collapses
+                    # duplicates: two deliveries scheduled for the same
+                    # expiry (dur=0, or sub-ms durations truncating to 0)
+                    # would lose a feedback event, so each delivery lands
+                    # at least 1ms after the previous one
+                    worker_free = max(
+                        max(worker_free, now_ms) + int(dur),
+                        worker_free + 1,
+                    )
                     self._handle.registerTimer(worker_free)
             return worker_free
 

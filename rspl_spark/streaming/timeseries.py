@@ -181,7 +181,11 @@ def gapfill_stream(
                 out_v.append(row)
                 out_gap.append(False)
                 last_ns, last_vals = t, row
-        state.update((last_ns, last_vals))
+        # a batch of only NULL-timestamp rows leaves no frontier: keep
+        # the state ABSENT rather than storing (None, None), which the
+        # next batch's list(last_vals) would crash on
+        if last_ns is not None:
+            state.update((last_ns, last_vals))
         if out_t:
             data = {
                 key_col: [str(key[0])] * len(out_t),

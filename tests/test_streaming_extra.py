@@ -942,3 +942,81 @@ def test_append_chunk_orders_after_existing(spark):
             if f.startswith("part-")
         )
         assert tail_mt > rest_mt
+
+
+def test_streaming_token_packing_null_text_counts_zero(spark):
+    """Review fix: a NULL text row is 0 tokens — unguarded, ANSI
+    size(split(NULL)) is NULL -> NaN -> int(NaN) kills the query (and
+    legacy -1 silently corrupts every later bin's running sum)."""
+    from rspl_spark.streaming.llm import streaming_token_packing
+
+    c1 = spark.createDataFrame(
+        [("a", 0, "w x y z"), ("a", 1, None), ("a", 2, "w x y z"),
+         ("a", 3, "w x y z")],
+        "source string, doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1])
+        stream = file_stream(
+            spark, tmp, "source string, doc_id long, text string"
+        )
+        q = (
+            streaming_token_packing(stream, budget=10)
+            .writeStream.format("memory")
+            .queryName("t_spack_null")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["nt"], r["bin"])
+        for r in spark.table("t_spack_null").collect()
+    }
+    # cum 0,4,4,8 -> bins 0,0,0,0 ; doc 3 ends cum=12 (next doc would bin 1)
+    assert got == {0: (4, 0), 1: (0, 0), 2: (4, 0), 3: (4, 0)}
+
+
+def test_curate_stream_string_doc_ids(spark):
+    """Review fix: the output id column's type is derived from the
+    input (a string doc_id crashed the hardcoded `long` schema at Arrow
+    conversion inside the running query)."""
+    from rspl_spark.streaming.pipeline import curate_stream
+
+    good = ("the data pipeline reads the rows and is writing the output "
+            "of the large table scan with the filter and the join " * 3)
+    c1 = spark.createDataFrame(
+        [("doc-a", good), ("doc-b", good)], "doc_id string, text string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, tmp, [c1])
+        stream = file_stream(spark, tmp, "doc_id string, text string")
+        curated = curate_stream(stream, min_quality=0.3, keep_langs=("en",))
+        q = (
+            curated.writeStream.format("memory")
+            .queryName("t_curate_strid")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.table("t_curate_strid").collect())
+    assert kept == ["doc-a"]  # doc-b is an exact duplicate -> dropped
+
+
+def test_tws_rejects_both_feedback_modes(spark):
+    """Review fix: timeout_ms + timeout_capability share the key's timer
+    namespace; passing both raises instead of silently dropping the idle
+    sentinel."""
+    import pytest as _pytest
+
+    from rspl_spark.dsl import map_sp
+    from rspl_spark.streaming import run_mealy_stream_tws
+
+    df = spark.createDataFrame([("k", 0, 1)], "key string, seq long, value long")
+    with _pytest.raises(ValueError, match="mutually"):
+        run_mealy_stream_tws(
+            df, lambda: map_sp(lambda v: v), "long",
+            timeout_ms=1000, timeout_event=-1,
+            timeout_capability=lambda v: 10,
+        )

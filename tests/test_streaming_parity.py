@@ -914,3 +914,58 @@ def test_rewrite_swap_recovery_restores_exactly_once_props(spark):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS aggstore_recover_t")
+
+
+def test_streaming_funnel_ignores_null_timestamps(spark):
+    """Review fix: a NULL-ts event of the next expected stage must NOT
+    advance the funnel (NaT -> int64 min falsely advanced it with a
+    garbage timestamp any later event trivially exceeds); the batch
+    q_funnel's min-over-when ignores NULL ts the same way."""
+    import pandas as pd
+
+    from rspl_spark.streaming.analytics import streaming_funnel
+    from rspl_spark.streaming.sources import run_to_memory_sink
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": ["u1", "u1"],
+            "ts": [pd.NaT, pd.Timestamp("2024-01-01 01:00:00")],
+            "event_type": ["click", "purchase"],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        from rspl_spark.streaming import file_stream, write_stream_chunks
+
+        schema = "user_id string, ts timestamp, event_type string"
+        write_stream_chunks(spark, tmp, [spark.createDataFrame(pdf, schema)])
+        out = streaming_funnel(
+            file_stream(spark, tmp, schema), ["click", "purchase"]
+        )
+        run_to_memory_sink(out, "t_funnel_nullts", timeout_s=180)
+    rows = spark.table("t_funnel_nullts").collect()
+    # the NULL-ts click is ignored: purchase can't advance stage 1 either
+    assert len(rows) == 1 and rows[0]["n_reached"] == 0
+
+
+def test_stream_cms_live_estimate_numeric_probe_keys(spark):
+    """Review fix: the probe-key frame's type is derived from the input
+    stream (hardcoded `string` crashed createDataFrame inside the
+    running query for numeric keys)."""
+    import os
+    import tempfile
+
+    from rspl_spark.streaming.analytics import stream_cms_with_live_estimate
+
+    chunks = [
+        spark.createDataFrame([(i,) for i in [1, 1, 2, 3]], "uid long"),
+        spark.createDataFrame([(i,) for i in [1, 2, 2, 2]], "uid long"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(spark, os.path.join(tmp, "in"), chunks)
+        stream = file_stream(spark, os.path.join(tmp, "in"), "uid long")
+        est_path = os.path.join(tmp, "est")
+        q = stream_cms_with_live_estimate(stream, "uid", [1, 2, 9], est_path)
+        assert q.awaitTermination(180)
+        got = {(r["uid"], r["est"]) for r in spark.read.parquet(est_path).collect()}
+    # CMS over-estimates only on collisions; tiny domain -> exact here
+    assert got == {(1, 3), (2, 4), (9, 0)}

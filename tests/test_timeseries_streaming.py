@@ -478,3 +478,38 @@ def test_transition_pairs_stream_rejects_unsupported_tiebreak_type(spark):
         transition_pairs_stream(
             df, "user_id", "ts", "event_type", tiebreak_cols=["arr"]
         )
+
+
+def test_gapfill_stream_null_only_first_batch(spark):
+    """Review fix: a key whose FIRST micro-batch holds only NULL
+    timestamps must leave its state ABSENT — storing (None, None) made
+    the next batch crash on list(None) — and then gapfill normally."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    c0 = pd.DataFrame(
+        {"user_id": [1, 1], "bts": [pd.NaT, pd.NaT], "v": [9.0, 8.0]}
+    )
+    c1 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "bts": [t0, t0 + dt.timedelta(hours=12)],
+            "v": [1.0, 2.0],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(
+            spark,
+            tmp,
+            [spark.createDataFrame(c0, _SCHEMA), spark.createDataFrame(c1, _SCHEMA)],
+        )
+        out = gapfill_stream(
+            file_stream(spark, tmp, _SCHEMA),
+            "user_id", "bts", "6 hours", {"v": "locf"},
+        )
+        run_to_memory_sink(out, "t_gap_natfirst", timeout_s=180)
+        rows = spark.table("t_gap_natfirst").orderBy("bts").collect()
+    assert [r["v"] for r in rows] == [1.0, 1.0, 2.0]  # 0h, 6h locf gap, 12h
+    assert [bool(r["is_gap"]) for r in rows] == [False, True, False]
