@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,7 +44,14 @@ def _props(spark: SparkSession, name: str) -> dict[str, str]:
 
 
 def _set_props(spark: SparkSession, name: str, props: dict[str, str]) -> None:
-    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    # _sql_str: a quoted value (tag="client's batch") must not break the
+    # ALTER statement — especially on the compaction recovery path,
+    # which re-sets ALL props to restore the pre-failure state
+    from rspl_spark.operators.agg_store import _sql_str
+
+    kv = ", ".join(
+        f"'{_sql_str(k)}'='{_sql_str(v)}'" for k, v in props.items()
+    )
     spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
 
 
@@ -234,8 +242,14 @@ def compact_index(spark: SparkSession, name: str) -> int:
     ver = uuid.uuid4().hex[:8]
     tmp_name = f"{name}__compact_{ver}"
     tmp_path = f"{_warehouse_path(spark, name)}.__v_{ver}"
+    # preserve the layout the index was created with (recorded at
+    # create time) — a hardcoded 32 shrank big indexes and ballooned
+    # small ones on every compaction
+    n_parts = int(props.get(f"{kind}.n_partitions", "32"))
     writer = (
-        live.repartition(32, *part_keys) if part_keys else live.repartition(32)
+        live.repartition(n_parts, *part_keys)
+        if part_keys
+        else live.repartition(n_parts)
     ).write.mode("overwrite").format("parquet").option("path", tmp_path)
     writer.saveAsTable(tmp_name)
     n = spark.table(tmp_name).count()
@@ -273,13 +287,8 @@ def _fresh_table_path(spark: SparkSession, name: str) -> str:
     """A clean on-disk location for a (re)built index table, derived
     from the session's configured warehouse (NOT this module's file
     location): a session pointed elsewhere must get its index there."""
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:") :]
-    path = os.path.join(os.path.abspath(warehouse), name.lower())
+    path = _warehouse_path(spark, name)
     if os.path.isdir(path):
-        import shutil
-
         shutil.rmtree(path, ignore_errors=True)
     return path
 
@@ -314,6 +323,12 @@ def create_pq_index(
     path = _fresh_table_path(spark, name)
     cbs = pq_fit(df, vec_col=vec_col, id_col=id_col, m=m, k=k, iters=iters)
     enc = pq_encode(df, cbs, vec_col=vec_col, id_col=id_col)
+    if id_col != "vec_id":
+        # the persisted table's id column is ALWAYS vec_id — the
+        # tombstone machinery (live_rows/delete_keys) joins on it, and
+        # IVF/SRP already normalize via unit_prep; a caller id name
+        # surviving to disk broke every PQ delete/compact/probe
+        enc = enc.withColumnRenamed(id_col, "vec_id")
     (
         enc.repartition(n_partitions)
         .write.mode("overwrite")
@@ -332,6 +347,7 @@ def create_pq_index(
             "pq.iters": str(iters),
             "pq.base_rows": str(base_rows),
             "pq.appended_rows": "0",
+            "pq.n_partitions": str(n_partitions),
             "pq.tag": tag,
         },
     )
@@ -370,7 +386,10 @@ def append_pq_index(
     # per daily append would dwarf the append itself at a large index.
     # localCheckpoint materializes the (increment-sized) encoding once
     # for both the count and the write.
-    enc = pq_encode(new_vecs, cbs, vec_col=vec_col, id_col=id_col).localCheckpoint()
+    enc = pq_encode(new_vecs, cbs, vec_col=vec_col, id_col=id_col)
+    if id_col != "vec_id":
+        enc = enc.withColumnRenamed(id_col, "vec_id")  # stored name, always
+    enc = enc.localCheckpoint()
     n = enc.count()
     enc.write.mode("append").format("parquet").saveAsTable(name)
     props = _props(spark, name)
@@ -528,6 +547,7 @@ def create_ivf_index(
             "ivf.iters": str(iters),
             "ivf.base_rows": str(base_rows),
             "ivf.appended_rows": "0",
+            "ivf.n_partitions": str(n_partitions),
             "ivf.tag": tag,
         },
     )
@@ -748,6 +768,7 @@ def create_srp_index(
             "srp.dim": str(dim),
             "srp.base_rows": str(base_rows),
             "srp.appended_rows": "0",
+            "srp.n_partitions": str(n_partitions),
             "srp.tag": tag,
         },
     )

@@ -110,12 +110,29 @@ def create_signature_store(
         if not overwrite:
             return name
         spark.sql(f"DROP TABLE {name}")
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(repo_root, "spark-warehouse", name.lower())
+    path = _warehouse_path(spark, name)
     # a complete layout from an earlier session (same deterministic
     # signatures, plus any appended increments — which a persistent store
     # WANTS) re-registers metadata-only instead of recomputing; its
-    # tombstones (if any) are preserved and re-registered lazily
+    # tombstones (if any) are preserved and re-registered lazily.
+    # The on-disk layout's OWN (n_buckets, n_bands) — recorded at write
+    # time — are validated first: registering 8-bucket files as a
+    # 16-bucket table would make bucketed joins trust false hash
+    # placement and silently miss near-dup pairs.
+    meta_path = os.path.join(path, "_rspl_meta.json")
+    if not overwrite and os.path.isfile(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta.get("n_buckets"), meta.get("n_bands")) != (n_buckets, n_bands):
+            raise ValueError(
+                f"create_signature_store({name!r}): on-disk layout was "
+                f"written with n_buckets={meta.get('n_buckets')}, "
+                f"n_bands={meta.get('n_bands')} but this call asks for "
+                f"n_buckets={n_buckets}, n_bands={n_bands}; pass the "
+                "stored values or overwrite=True to rebuild"
+            )
     if not overwrite and register_external_bucketed(spark, name, path, "bucket", n_buckets):
         return name
     # fresh build = fresh membership: stale tombstones (catalog OR a
@@ -136,6 +153,10 @@ def create_signature_store(
         .option("path", path)
         .saveAsTable(name)
     )
+    import json
+
+    with open(os.path.join(path, "_rspl_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "n_bands": n_bands}, f)
     return name
 
 
@@ -162,6 +183,12 @@ def append_increment(
     check is one semi-join against the broadcast metadata-sized
     tombstone sidecar, never a pass over the store.
     """
+    from rspl_spark.operators.agg_store import _table_buckets
+
+    # the store's ACTUAL bucket count governs the append, like
+    # compact_store: a caller-supplied mismatch either fails the write
+    # or silently mis-places rows for the zero-exchange probe
+    n_buckets = _table_buckets(spark, store) or n_buckets
     dead = _tombstones(spark, store)
     if dead is not None:
         hit = (
@@ -192,10 +219,16 @@ def _deleted_name(store: str) -> str:
 
 
 def _warehouse_path(spark: SparkSession, table: str) -> str:
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:") :]
-    return os.path.join(os.path.abspath(warehouse), table.lower())
+    """Pinned under the REPO warehouse dir — the same place
+    create_signature_store pins the store itself. Sidecars and
+    compaction tmp dirs must live and die WITH the store's location: a
+    session whose spark.sql.warehouse.dir points elsewhere would
+    otherwise write the compacted data (and read tombstones) under a
+    different root, orphaning the store's pinned directory."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "spark-warehouse", table.lower())
 
 
 def _tombstones(spark: SparkSession, store: str) -> DataFrame | None:

@@ -112,11 +112,30 @@ def scd2_merge(
     """Merge a batch of new snapshots into an existing SCD2 dimension.
 
     Contract: ``scd2_merge(scd2_build(H1), H2) ≡ scd2_build(H1 ∪ H2)``
-    for histories split on ts (the oracle-gated property) — and for
-    late/out-of-order batches the affected keys' histories are
-    re-stitched from their stored versions plus the batch, so the result
-    is still the full-history build. A batch row at a ts that already
-    has a stored version wins over the stored row.
+    for histories split on ts (the oracle-gated property). Late /
+    out-of-order batches re-stitch the affected keys' histories from
+    their STORED VERSIONS plus the batch — exact with respect to the
+    dimension's own version history, which is the operational SCD2
+    semantics, but NOT always the full-raw-history build, because the
+    dimension is lossy in two documented ways:
+
+    - ``scd2_build`` collapses unchanged snapshots, so a late row
+      inserted BEFORE a collapsed snapshot cannot re-create the
+      attr-flips the dropped snapshot would have caused (the evidence
+      is gone from the dimension). H1 = {A@t1, A@t3} stores one
+      version; merging a late B@t2 yields B current, where the full
+      build of {A@t1, B@t2, A@t3} would end on A.
+    - stored versions carry no ``order_cols`` values (the dimension
+      never persists them), so a batch row at a ts that already has a
+      stored version ALWAYS wins — replay-as-upsert semantics. Across
+      SEPARATE merges, same-ts conflicts resolve by merge recency, not
+      by the order value; ``order_cols`` ranks rows only within one
+      call's batch.
+
+    When late data may interleave with collapsed history and full
+    raw-history fidelity matters, rebuild from the event log
+    (``scd2_build`` over the full history) — the same backstop
+    discipline as ``dedup_store``'s batch path.
 
     Only keys present in the batch are touched: everything else passes
     through by anti join (broadcast the batch key set when it is

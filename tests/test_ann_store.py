@@ -430,3 +430,72 @@ def test_tombstones_survive_catalog_loss(spark, emb):
     finally:
         _drop(spark, name)
         spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")
+
+
+def test_pq_custom_id_col_normalized_for_tombstones(spark, emb):
+    """Review fix: a PQ index built with a non-default id_col persists
+    its id column AS vec_id (like IVF/SRP via unit_prep), so the
+    tombstone path (delete/probe/compact joins on vec_id) works."""
+    from rspl_spark.operators.ann_store import compact_index, delete_keys
+
+    name = "pqidx_test_idcol"
+    _drop(spark, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")
+    docs = emb.withColumnRenamed("vec_id", "doc_id")
+    try:
+        create_pq_index(spark, docs, name, id_col="doc_id", overwrite=True)
+        assert "vec_id" in spark.table(name).columns  # normalized on disk
+        victim = docs.select("doc_id").first()["doc_id"]
+        assert delete_keys(spark, name, [victim]) == 1
+        q = [r["embedding"] for r in docs.limit(1).collect()]
+        hits = pq_index_topk(spark, name, [(0, list(q[0]))], topk=5).collect()
+        assert all(r["vec_id"] != victim for r in hits)
+        n = compact_index(spark, name)
+        assert n == docs.count() - 1
+        # append with the custom id name keeps working post-compact
+        extra = docs.filter(F.col("doc_id") == victim)
+        assert append_pq_index(spark, extra, name, id_col="doc_id") == 1
+    finally:
+        _drop(spark, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")
+
+
+def test_index_props_escape_quotes_and_compact_keeps_layout(spark, emb):
+    """Review fixes: a quoted tag value survives the SET TBLPROPERTIES
+    round-trip (unescaped, it aborted the append AFTER data was
+    written); compaction rewrites with the layout the index was created
+    with instead of a hardcoded 32 partitions."""
+    import glob as _glob
+
+    from rspl_spark.operators.ann_store import (
+        _props,
+        _warehouse_path,
+        compact_index,
+        delete_keys,
+    )
+
+    name = "pqidx_test_quote"
+    _drop(spark, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")
+    try:
+        create_pq_index(
+            spark, emb, name, overwrite=True, tag="client's batch",
+            n_partitions=4,
+        )
+        assert pq_index_tag(spark, name) == "client's batch"
+        assert append_pq_index(spark, emb.limit(3), name, tag="it's v2") == 3
+        assert pq_index_tag(spark, name) == "it's v2"
+        victim = emb.select("vec_id").first()["vec_id"]
+        delete_keys(spark, name, [victim])
+        compact_index(spark, name)
+        props = _props(spark, name)
+        assert props["pq.n_partitions"] == "4"
+        assert props["pq.tag"] == "it's v2"  # survived the recovery-path re-set
+        files = _glob.glob(f"{_warehouse_path(spark, name)}*/**/*.parquet",
+                           recursive=True) + _glob.glob(
+            f"{_warehouse_path(spark, name)}*/*.parquet")
+        # compacted layout: 4 partitions, not 32
+        assert 0 < len({f for f in files}) <= 8
+    finally:
+        _drop(spark, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}__deleted")

@@ -347,3 +347,38 @@ def test_reaper_spares_data_when_live_location_unknown(spark, docs, monkeypatch)
     finally:
         shutil.rmtree(stale, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {store}")
+
+
+def test_reregister_validates_stored_layout(spark, docs):
+    """Review fix: re-registering an on-disk store with a DIFFERENT
+    (n_buckets, n_bands) than it was written with raises instead of
+    silently trusting false bucket placement; the matching layout
+    re-registers metadata-only, and appends resolve the store's ACTUAL
+    bucket count regardless of the caller's parameter."""
+    import os
+
+    from rspl_spark.operators.agg_store import _table_buckets
+    from rspl_spark.operators.dedup_store import _warehouse_path
+
+    name = "sigstore_layout_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    d = docs.limit(50)
+    try:
+        create_signature_store(spark, d, name, n_buckets=4, n_bands=4,
+                               overwrite=True)
+        assert os.path.isfile(
+            os.path.join(_warehouse_path(spark, name), "_rspl_meta.json")
+        )
+        # simulate a fresh catalog: drop the table, keep the files
+        spark.sql(f"DROP TABLE {name}")
+        with pytest.raises(ValueError, match="on-disk layout"):
+            create_signature_store(spark, d, name, n_buckets=16, n_bands=8)
+        # the written layout re-registers fine
+        create_signature_store(spark, d, name, n_buckets=4, n_bands=4)
+        assert _table_buckets(spark, name) == 4
+        # append with the DEFAULT (wrong) n_buckets resolves the store's
+        # real bucket count instead of failing or mis-placing rows
+        append_increment(spark, docs.limit(60).subtract(d), name, n_bands=4)
+        assert _table_buckets(spark, name) == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

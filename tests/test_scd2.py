@@ -152,3 +152,30 @@ def test_scd2_interval_invariants_on_events(spark):
             assert t1 == f2, (k, v1)      # contiguous, no gap/overlap
             assert a1 != a2, (k, v1)      # change capture collapsed no-ops
         assert vs[-1][3] is None
+
+
+def test_merge_lossiness_documented_behaviors(spark):
+    """Review finding pinned as DOCUMENTED behavior (the dimension is
+    lossy; see scd2_merge's docstring): (1) a late row inserted before
+    a COLLAPSED unchanged snapshot cannot re-create the flip the
+    dropped snapshot would have caused; (2) stored versions carry no
+    order values, so across separate merges a same-ts batch row always
+    wins regardless of order_cols. Neither equals the full-raw-history
+    build — the event-log rebuild is the backstop."""
+    # (1) collapsed snapshot: H1 = {A@1, A@3} -> one stored version
+    dim = _build(spark, [("a", "A", 1, 1), ("a", "A", 3, 2)])
+    assert len(dim.collect()) == 1
+    late = spark.createDataFrame([("a", "B", 2, 3)], SCHEMA)
+    merged = scd2_merge(dim, late, ["k"], ["attr"], "ts", order_cols=["seq"])
+    cur = [r["attr"] for r in merged.filter("is_current").collect()]
+    assert cur == ["B"]  # version-history result (full build would end on A)
+    full = _build(spark, [("a", "A", 1, 1), ("a", "A", 3, 2), ("a", "B", 2, 3)])
+    assert [r["attr"] for r in full.filter("is_current").collect()] == ["A"]
+
+    # (2) same-ts across merges: batch wins though its seq is LOWER
+    dim2 = _build(spark, [("b", "A", 1, 100)])
+    b2 = spark.createDataFrame([("b", "B", 1, 50)], SCHEMA)
+    m2 = scd2_merge(dim2, b2, ["k"], ["attr"], "ts", order_cols=["seq"])
+    assert [r["attr"] for r in m2.collect()] == ["B"]  # upsert semantics
+    full2 = _build(spark, [("b", "A", 1, 100), ("b", "B", 1, 50)])
+    assert [r["attr"] for r in full2.collect()] == ["A"]  # seq 100 wins
