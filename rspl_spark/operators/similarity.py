@@ -77,25 +77,35 @@ def kmeans_fit(
     # session); the entry pins df so its id() cannot be reused by a
     # successor DataFrame after GC (which would alias the key).
     spark = df.sparkSession
-    fit_df = df
-    if sample_frac is not None and 0 < sample_frac < 1.0:
-        # deterministic hash-sample: md5(id) as a uniform draw in [0, 1M)
-        draw = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("kmfit:"), F.col(id_col).cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1000000
-        )
-        sampled = df.filter(draw < int(sample_frac * 1000000))
-        # init needs k vectors; a too-small sample falls back to full
-        if sampled.limit(k).count() >= k:
-            fit_df = sampled
+
+    def _fit_frame() -> DataFrame:
+        # resolved LAZILY, only when an iteration actually runs: the
+        # sample-size probe is a Spark job, and a trajectory-cache HIT
+        # must stay a pure dict lookup (the cache exists precisely to
+        # avoid per-call jobs)
+        if sample_frac is not None and 0 < sample_frac < 1.0:
+            # deterministic hash-sample: md5(id) as a uniform draw in [0, 1M)
+            draw = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit("kmfit:"), F.col(id_col).cast("string"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000000
+            )
+            sampled = df.filter(draw < int(sample_frac * 1000000))
+            # init needs k vectors; a too-small sample falls back to full
+            if sampled.limit(k).count() >= k:
+                return sampled
+        return df
+
+    fit_df = None
     cache: dict = getattr(spark, "_rspl_kmeans_cache", None)
     if cache is None:
         cache = {}
@@ -109,6 +119,7 @@ def kmeans_fit(
         # pin inputs without limit in a long-lived session
         while len(cache) >= 8:
             cache.pop(next(iter(cache)))
+        fit_df = _fit_frame()
         init_rows = fit_df.orderBy(id_col).limit(k).select(vec_col).collect()
         traj = [[[float(x) for x in r[vec_col]] for r in init_rows]]
         cache[key] = (df, traj)
@@ -116,6 +127,8 @@ def kmeans_fit(
         return [list(c) for c in traj[iters]]
 
     centroids = [list(c) for c in traj[-1]]
+    if fit_df is None and len(traj) - 1 < iters:
+        fit_df = _fit_frame()
     for _ in range(len(traj) - 1, iters):
         C = np.asarray(centroids, dtype=np.float64)
         k_, d_ = C.shape
@@ -160,7 +173,8 @@ def kmeans_fit(
 def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin_{c} ||v - c||² as a single codegen'd expression: an array of
     (dist, cid) structs reduced with array_min (struct ordering is
-    lexicographic → min dist, ties to lowest cid)."""
+    lexicographic → min dist, ties to lowest cid). Returns the winning
+    STRUCT; callers read .getField("cid") / .getField("dist")."""
     entries = []
     for ci, c in enumerate(centroids):
         carr = F.array(*[F.lit(x) for x in c])
@@ -170,7 +184,7 @@ def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
             lambda s, v: s + v,
         )
         entries.append(F.struct(dist.alias("dist"), F.lit(ci).alias("cid")))
-    return F.array_min(F.array(*entries)).getField("cid")
+    return F.array_min(F.array(*entries))
 
 
 def _nearest_centroid_arrow(centroids: list[list[float]]):
@@ -225,16 +239,7 @@ def kmeans_assign(
             F.round(best.getField("dist2"), 6).alias("dist2"),
         )
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    entries = []
-    for ci, c in enumerate(centroids):
-        carr = F.array(*[F.lit(x) for x in c])
-        dist = F.aggregate(
-            F.zip_with(dbl, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-        entries.append(F.struct(dist.alias("dist"), F.lit(ci).alias("cid")))
-    best = F.array_min(F.array(*entries))
+    best = _nearest_centroid_expr(dbl, centroids)
     return df.select(
         id_col,
         best.getField("cid").alias("cid"),
@@ -331,7 +336,10 @@ def cell_cosine_pairs(
     codebook-sizing contract (k chosen so corpus/k cells are bounded;
     sub-block skewed cells by salting the cell key before this op).
     """
-    out_schema = f"{id_col}_a long, {id_col}_b long, raw_score double"
+    # id type derived from the input, not hardcoded long: a string
+    # doc id would fail (or an int32 silently widen) at Arrow conversion
+    id_t = prepped.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}_a` {id_t}, `{id_col}_b` {id_t}, raw_score double"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -411,7 +419,10 @@ def cell_cosine_pairs_blocked(
         cell_col, id_col, emb_col, nrm_col, "_blk",
         F.col("_g.bi").alias("_bi"), F.col("_g.bj").alias("_bj"),
     )
-    out_schema = f"{id_col}_a long, {id_col}_b long, raw_score double"
+    # id type derived from the input, not hardcoded long: a string
+    # doc id would fail (or an int32 silently widen) at Arrow conversion
+    id_t = prepped.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}_a` {id_t}, `{id_col}_b` {id_t}, raw_score double"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -465,8 +476,12 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     null — the same "undefined similarity" answer as cosine_expr's
     NULLIF guard, so the two kernels stay interchangeable (a raw 0/0
     would emit NaN, which silently poisons averages and comparisons)."""
-    ma = np.stack(a.to_numpy())
-    mb = np.stack(b.to_numpy())
+    # float64 like every sibling kernel (cosine_expr casts to double,
+    # the arrow/kmeans/pq kernels .astype(np.float64)): an array<float>
+    # column scored in float32 disagrees with cosine_expr at the 6th
+    # decimal, breaking the documented kernel interchangeability
+    ma = np.stack(a.to_numpy()).astype(np.float64)
+    mb = np.stack(b.to_numpy()).astype(np.float64)
     dots = np.einsum("ij,ij->i", ma, mb)
     norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
     zero = norms == 0

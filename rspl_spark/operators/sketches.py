@@ -49,6 +49,12 @@ def cms_sketch(
     from rspl_spark.operators.dedup import portable_hash
 
     wcol = F.col(weight_col) if weight_col else F.lit(1)
+    # NULL/zero/negative weights are excluded (like pagerank's w > 0
+    # filter): a negative weight would let cells sum BELOW the true
+    # positive mass and cms_estimate's min-over-rows would undershoot,
+    # silently voiding the sketch's one-sided error guarantee
+    if weight_col:
+        df = df.filter(F.col(weight_col) > 0)
     # hash in a CHILD projection: one md5 per key, referenced d times.
     # Inlining portable_hash into the d array slots is NOT CSE'd by
     # codegen (measured 3x the md5 cost at 27.5M tokens, DEVNOTES r6);
@@ -186,8 +192,11 @@ def hll_estimate(
     # shiftleft() in the DSL only takes a literal shift; expr() allows
     # the per-register column shift (all integer math, exact)
     term = F.expr(f"shiftleft(cast(1 as bigint), cast({wbits + 1} - mj as int))")
+    # coalesce: with NO touched registers (empty table, global agg)
+    # F.sum is NULL and the estimate would go NULL instead of 0.0 —
+    # the linear-counting branch with v = m gives the correct 0
     agg = registers.groupBy(*group_cols).agg(
-        F.sum(term).cast("long").alias("s_touched"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("s_touched"),
         F.count(F.lit(1)).cast("long").alias("n_touched"),
     )
     # empty registers contribute 2^(wbits+1) each (M_j = 0)
@@ -852,7 +861,11 @@ def hll_intersect_estimate(
             f"shiftleft(cast(1 as bigint), cast({wbits + 1} - {mj} as int))"
         )
         touched = F.count(F.col(mj))
-        s = F.sum(term) + (F.lit(m) - touched) * F.lit(1 << (wbits + 1)).cast("long")
+        # coalesce: an EMPTY side (every mj NULL) must estimate 0.0 via
+        # linear counting, not propagate a NULL sum into s/raw/est
+        s = F.coalesce(F.sum(term), F.lit(0).cast("long")) + (
+            F.lit(m) - touched
+        ) * F.lit(1 << (wbits + 1)).cast("long")
         return s, (F.lit(m) - touched).cast("double")
 
     def _est(s, v):

@@ -320,3 +320,18 @@ def test_personalized_pagerank_rejects_negative_weights(spark):
     bad = spark.createDataFrame([(1, 2.0), (2, -1.0)], "node long, w double")
     with pytest.raises(ValueError, match="positive"):
         pagerank(e, reset_df=bad)
+
+
+def test_khop_null_endpoints_dropped(spark):
+    """Review fix: NULL edge endpoints are not nodes — unguarded, a
+    NULL dst was re-added at EVERY hop (the visited anti-join on
+    'node' can never match NULL == NULL)."""
+    from rspl_spark.operators.graph import khop_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, None), (2, None)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    out = khop_distances(edges, srcs, max_hops=3)
+    rows = {(r["node"], r["dist"]) for r in out.collect()}
+    assert rows == {(1, 0), (2, 1)}  # no NULL node rows at any distance

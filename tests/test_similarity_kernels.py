@@ -370,3 +370,38 @@ def test_int8_topk_k_validation(spark):
     e = load(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="k must be <= candidates"):
         int8_topk(e, e.limit(1), k=10, candidates=5)
+
+
+def test_cosine_pandas_float32_matches_expr(spark):
+    """Review fix: cosine_pandas casts to float64 like its siblings, so
+    an array<float> column scores identically (to round-6) under both
+    kernels — the documented interchangeability."""
+    rows = [([0.1234567, 0.7654321, 0.3333333], [0.9999999, 0.0000001, 0.5])]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = df.select(
+        F.round(cosine_pandas("a", "b"), 6).alias("p"),
+        F.round(cosine_expr("a", "b"), 6).alias("e"),
+    ).collect()[0]
+    assert got["p"] == got["e"]
+
+
+def test_cell_cosine_pairs_string_ids(spark):
+    """Review fix: the pair schema derives the id type from the input
+    (hardcoded long crashed string doc ids at Arrow conversion)."""
+    from rspl_spark.operators.similarity import cell_cosine_pairs, unit_prep
+
+    rows = [
+        ("doc-a", [1.0, 0.0]),
+        ("doc-b", [1.0, 0.0]),
+        ("doc-c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    prep = unit_prep(df, "doc_id", "emb", "nrm", id_col="doc_id").withColumn(
+        "cid", F.lit(0)
+    )
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"], round(r["raw_score"], 6))
+        for r in cell_cosine_pairs(prep, id_col="doc_id").collect()
+    }
+    assert ("doc-a", "doc-b", 1.0) in pairs
+    assert len(pairs) == 3

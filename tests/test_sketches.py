@@ -400,3 +400,46 @@ def test_cms_topk_exact_preserves_native_key_type(spark):
     empty = cms_topk_exact(occ.filter("item IS NULL"), "item", k=3)
     assert dict(empty.dtypes) == {"item": "bigint", "n": "bigint"}
     assert empty.count() == 0
+
+
+def test_hll_empty_inputs_estimate_zero_not_null(spark):
+    """Review fix: an empty register table (global agg) and an empty
+    intersect side must estimate 0.0 via linear counting — unguarded,
+    the NULL F.sum propagated into a NULL estimate."""
+    from rspl_spark.operators.sketches import (
+        hll_estimate,
+        hll_intersect_estimate,
+        hll_registers,
+    )
+
+    empty = spark.createDataFrame([], "k string")
+    regs = hll_registers(empty, "k")
+    row = hll_estimate(regs).collect()[0]
+    assert row["approx_distinct"] == 0.0
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "A") for i in range(200)], "k string, flag string"
+    )
+    r = hll_intersect_estimate(
+        df, "k", F.col("flag") == "A", F.col("flag") == "B"
+    ).collect()[0]
+    assert r["est_b"] == 0.0  # empty side: 0.0, not NULL
+    assert r["est_a"] > 0
+    assert abs(r["est_intersect"]) < 1e-9  # a + 0 - union(=a)
+
+
+def test_cms_weighted_excludes_nonpositive_weights(spark):
+    """Review fix: NULL/zero/negative weights are excluded (documented),
+    preserving the sketch's one-sided never-undershoot guarantee."""
+    from rspl_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", -3), ("b", 2), ("b", None), ("c", 0)],
+        "k string, w int",
+    )
+    sk = cms_sketch(df, "k", w=64, d=3, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    est = {r["k"]: r["est"] for r in cms_estimate(sk, keys, "k").collect()}
+    assert est["a"] >= 5  # the -3 row did NOT subtract
+    assert est["b"] >= 2
+    assert est["c"] >= 0
