@@ -94,8 +94,14 @@ def transition_matrix(
     """
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
+    # NULL states are NOT states: dropped up front so their neighbors
+    # become adjacent ([A, NULL, B] contributes A->B). Unfiltered, the
+    # lag-NULL first-event marker conflates with a NULL state —
+    # transitions OUT of NULL vanished while transitions INTO it were
+    # kept, leaking p-mass into a NULL pseudo-state
     pairs = (
-        df.withColumn("prev_state", F.lag(F.col(state_col)).over(w))
+        df.filter(F.col(state_col).isNotNull())
+        .withColumn("prev_state", F.lag(F.col(state_col)).over(w))
         .where(F.col("prev_state").isNotNull())
         .select("prev_state", F.col(state_col).alias("state"))
     )

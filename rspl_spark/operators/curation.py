@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rspl_spark.operators.dedup import portable_hash
+from rspl_spark.operators.timeseries import _bt as _ts_bt
 
 SAMPLE_MOD = 1_000_000
 
@@ -53,7 +54,10 @@ def chunk_tokens(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text behaves like empty text (one empty chunk) — unguarded
+    # it produced a garbage (NULL chunk_text, NULL n_chunk_tokens) row;
+    # same coalesce discipline as pii_scrub/line_dedup
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
     piece = F.col("_start")  # 1-based token offset of this chunk
@@ -222,10 +226,19 @@ def temperature_weights(
     ``_TEMP_ORACLE``); a weight landing on a .0005 boundary can no
     longer round differently across engines.
     """
+    # NULL-source rows are EXCLUDED: no weight can be assigned to an
+    # unnamed source, and a single NULL would crash the sorted() below
     counts = {
         r[source_col]: r["n"]
-        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in df.filter(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
+    if not counts:
+        raise ValueError(
+            "temperature_weights: no non-NULL sources in the input"
+        )
     n_total = sum(counts.values())
     denom = sum(c**tau for _, c in sorted(counts.items()))
     return {
@@ -268,6 +281,11 @@ def quality_quantile_cut(
     exact percentile buffers each group's values on one reducer); the
     testdata gate uses the exact form so DuckDB can replay it.
     """
+    if "score" in df.columns:
+        raise ValueError(
+            "quality_quantile_cut: input already has a 'score' column "
+            "(the output carries the computed score there); rename it"
+        )
     scored = df.withColumn("_score", score_col)
     cuts = scored.groupBy(group_col).agg(
         F.percentile("_score", 1.0 - keep_frac).alias("_cut")
@@ -297,13 +315,17 @@ def scrub_text(
     t = F.regexp_replace(t, URL_RE, "<URL>")
     t = F.regexp_replace(t, LONG_DIGITS_RE, "<NUM>")
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    # URL count runs against the EMAIL-SCRUBBED text (pii_scrub's
+    # counting discipline): an email embedded in a URL must not bump
+    # both counters for one redacted span
+    after_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
     return df.select(
         id_col,
         t.alias("clean_text"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
+        F.size(F.regexp_extract_all(after_email, F.lit(URL_RE), 0))
         .cast("long")
         .alias("n_urls"),
     )
@@ -390,10 +412,19 @@ def thin_hot_keys(
     u = sample_hash(
         F.lit("thin"), F.col(key_col).cast("string"), F.col(id_col).cast("string")
     )
+    # eqNullSafe: a USING join can never match a NULL key, so a
+    # NULL-keyed flood (missing user id — exactly the dirty-data flood
+    # this op guards against) would pass through entirely unthinned.
+    # sample_hash is already NULL-safe (concat_ws skips NULLs).
+    hot = hot.withColumnRenamed(key_col, "_hot_key")
     return (
-        df.join(F.broadcast(hot), key_col, "left")
+        df.join(
+            F.broadcast(hot),
+            F.col(key_col).eqNullSafe(F.col("_hot_key")),
+            "left",
+        )
         .filter(F.col("_n").isNull() | (u < keep))
-        .drop("_n")
+        .drop("_hot_key", "_n")
     )
 
 
@@ -556,7 +587,19 @@ def winsorize(
         .groupBy(*group_cols)
         .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
     )
-    out = df.join(F.broadcast(bounds), group_cols, "left")
+    # eqNullSafe join: NULL is a group (the window partitions it like
+    # any other), but a USING join can never match it back — NULL-group
+    # outliers would pass through unclipped with NULL clip flags
+    b = bounds
+    for c in group_cols:
+        b = b.withColumnRenamed(c, f"_b_{c}")
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+        cond = e if cond is None else (cond & e)
+    out = df.join(F.broadcast(b), cond, "left").drop(
+        *[f"_b_{c}" for c in group_cols]
+    )
     clipped = F.when(v.isNull(), F.lit(None)).otherwise(
         F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
     )
@@ -697,7 +740,8 @@ def cdf_match(
     qs = [i / n_grid for i in range(n_grid + 1)]
     grid_vals = ref.agg(
         F.expr(
-            f"percentile(`{value_col}`, array({', '.join(repr(q) for q in qs)}))"
+            f"percentile({_ts_bt(value_col)},"
+            f" array({', '.join(repr(q) for q in qs)}))"
         ).alias("_grid")
     ).collect()[0]["_grid"]
     if grid_vals is None or any(v is None for v in grid_vals):

@@ -437,9 +437,16 @@ def bigram_lm_score(
         .select(
             id_col,
             (
-                -F.log(
-                    (F.coalesce(F.col("n2"), F.lit(0)) + F.lit(1.0))
-                    / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vs"))
+                # vs = 0 (EMPTY training slice) must yield NULL, not
+                # -log(1/0) = -Infinity for every bigram — all docs
+                # tying at -inf makes a downstream quality cut keep or
+                # drop everything arbitrarily; NULL says "no model"
+                F.when(
+                    F.col("vs") > 0,
+                    -F.log(
+                        (F.coalesce(F.col("n2"), F.lit(0)) + F.lit(1.0))
+                        / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vs"))
+                    ),
                 )
             ).alias("nll"),
         )

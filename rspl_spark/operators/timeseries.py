@@ -251,7 +251,8 @@ def ewma(
 
     NULL contract: ``collect_list`` drops NULL values, so a NULL bucket
     SHRINKS the window (the remaining values' weights renormalize over
-    a shorter list) rather than contributing zero. An oracle replaying
+    a shorter list) rather than contributing zero; a frame holding ONLY
+    NULLs yields NULL. An oracle replaying
     this must filter NULLs symmetrically (DuckDB ``LIST()`` keeps
     them); run :func:`gapfill` first — its contract guarantees a dense,
     LOCF-carried grid — or pre-filter NULL rows.
@@ -279,7 +280,12 @@ def ewma(
     )
     num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
     denom = F.lit(2.0) - F.lit(2.0) * F.element_at(pw, n + 1)
-    return df.withColumn(out_col, F.round(num / denom, 6))
+    # an ALL-NULL frame (n = 0: e.g. a key's first bucket is NULL) must
+    # yield NULL, not crash — unguarded, sequence(1, 0) descends and
+    # element_at hits an invalid index, killing the job
+    return df.withColumn(
+        out_col, F.when(n > 0, F.round(num / denom, 6))
+    )
 
 
 def rolling_median(

@@ -59,6 +59,7 @@ WITH pairs AS (
            PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
          event_type AS state
   FROM events
+  WHERE event_type IS NOT NULL  -- NULL states dropped, like the operator
 )
 SELECT prev_state, state, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(CAST(COUNT(*) AS DOUBLE)

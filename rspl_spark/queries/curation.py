@@ -335,7 +335,7 @@ SELECT doc_id,
            '{C.LONG_DIGITS_RE}', '<NUM>', 'g'),
          '\\s+', ' ', 'g')) AS clean_text,
        CAST(LEN(REGEXP_EXTRACT_ALL(noisy, '{C.EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(LEN(REGEXP_EXTRACT_ALL(noisy, '{C.URL_RE}')) AS BIGINT) AS n_urls
+       CAST(LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(noisy, '{C.EMAIL_RE}', '<EMAIL>', 'g'), '{C.URL_RE}')) AS BIGINT) AS n_urls
 FROM (SELECT doc_id, {_INJECT_SQL} AS noisy FROM documents) t
 ORDER BY doc_id
 """

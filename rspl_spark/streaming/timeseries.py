@@ -517,9 +517,11 @@ def transition_pairs_stream(
         out_s: list[str] = []
         if chunks:
             batch = pd.concat(chunks, ignore_index=True)
-            batch = batch[batch[ts_col].notna()].sort_values(
-                [ts_col, *tiebreaks], kind="mergesort"
-            )
+            # NULL states are not states (batch transition_matrix drops
+            # them the same way, so neighbors become adjacent)
+            batch = batch[
+                batch[ts_col].notna() & batch[state_col].notna()
+            ].sort_values([ts_col, *tiebreaks], kind="mergesort")
             ts_ns = batch[ts_col].astype("int64").tolist()
             sts = batch[state_col].tolist()
             tb_rows = (

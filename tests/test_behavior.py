@@ -277,3 +277,27 @@ def test_rolling_quantiles_hist_plan_no_rescan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 0
+
+
+def test_transition_matrix_drops_null_states_consistently(spark):
+    """Review fix: NULL states are not states — [A, NULL, B] yields the
+    A->B transition (neighbors become adjacent), never an asymmetric
+    matrix where A->NULL is kept but NULL->B vanishes."""
+    import datetime as dt
+
+    from rspl_spark.operators.behavior import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("u", t0, "A"),
+            ("u", t0 + dt.timedelta(minutes=1), None),
+            ("u", t0 + dt.timedelta(minutes=2), "B"),
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    got = {
+        (r["prev_state"], r["state"]): r["n"]
+        for r in transition_matrix(df, "user_id", "ts", "event_type").collect()
+    }
+    assert got == {("A", "B"): 1}

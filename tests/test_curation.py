@@ -518,3 +518,88 @@ def test_cdf_match_rejects_output_column_collision(spark):
     df2 = spark.createDataFrame([("a", 1.0)], "g string, calibrated double")
     with pytest.raises(ValueError, match="calibrated"):
         cdf_match(df2, ["g"], "g")
+
+
+# ---------------------------------------------------------------------------
+# review fixes: NULL/dirty-data robustness
+
+
+def test_thin_hot_keys_thins_null_keys(spark):
+    """Review fix: a NULL-keyed flood must be thinned like any hot key
+    (the USING join could never match NULL, so it passed untouched)."""
+    rows = [Row(user_id=None, doc_id=i) for i in range(20)] + [
+        Row(user_id=1, doc_id=100 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    out = C.thin_hot_keys(df, "user_id", max_rows_per_key=2, id_col="doc_id")
+    by_key = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_key.get(1, 0) < 20
+    assert by_key.get(None, 0) < 20  # NULL key thinned too
+
+
+def test_temperature_weights_excludes_null_sources(spark):
+    """Review fix: a NULL source row must not crash the driver-side
+    sorted(); NULL sources are excluded from the weight computation."""
+    df = spark.createDataFrame(
+        [Row(source="a", doc_id=0), Row(source=None, doc_id=1),
+         Row(source="a", doc_id=2), Row(source="b", doc_id=3)]
+    )
+    w = C.temperature_weights(df, 0.5)
+    assert set(w) == {"a", "b"}
+    with pytest.raises(ValueError, match="no non-NULL sources"):
+        C.temperature_weights(df.filter(F.col("source").isNull()), 0.5)
+
+
+def test_quality_quantile_cut_rejects_existing_score_column(spark):
+    """Review fix: a pre-existing 'score' column would silently
+    duplicate (AMBIGUOUS_REFERENCE downstream); raise instead."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, grp="a", score=1.0), Row(doc_id=1, grp="a", score=2.0)]
+    )
+    with pytest.raises(ValueError, match="'score' column"):
+        C.quality_quantile_cut(df, F.col("score") * 1.0, "grp", 0.5)
+
+
+def test_winsorize_clips_null_group(spark):
+    """Review fix: NULL is a group — its bounds must join back
+    (eqNullSafe) so outliers clip and the flags are 0/1, not NULL."""
+    rows = [Row(g=None, v=float(x)) for x in [1, 2, 3, 4, 100]] + [
+        Row(g="a", v=float(x)) for x in [1, 2, 3, 4, 100]
+    ]
+    out = C.winsorize(
+        spark.createDataFrame(rows), "v", ["g"], alpha_num=1, alpha_den=4
+    ).collect()
+    for grp in (None, "a"):
+        vals = sorted(r["clipped"] for r in out if r["g"] == grp)
+        assert vals[-1] < 100.0  # outlier clipped in BOTH groups
+        flags = {r["clip_hi"] for r in out if r["g"] == grp}
+        assert flags <= {0, 1} and 1 in flags
+
+
+def test_chunk_tokens_null_text_like_empty(spark):
+    """Review fix: NULL text chunks like empty text (one empty chunk),
+    never a NULL chunk_text / NULL n_chunk_tokens garbage row."""
+    df = spark.createDataFrame([Row(doc_id=1, text=None), Row(doc_id=2, text="")])
+    rows = C.chunk_tokens(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["chunk_text"] is not None
+        assert r["n_chunk_tokens"] is not None
+
+
+def test_scrub_text_email_inside_url_counts_once(spark):
+    """Review fix: an email embedded in a URL increments n_emails only
+    (URL count runs on the email-scrubbed text) — one span, one redaction
+    family per counter."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="see https://user@example.com/x now")]
+    )
+    r = C.scrub_text(df).collect()[0]
+    assert r["n_emails"] == 1
+    assert r["n_urls"] == 1  # the (rewritten) URL still counts as a URL
+    df2 = spark.createDataFrame([Row(doc_id=1, text="mail user@example.com")])
+    r2 = C.scrub_text(df2).collect()[0]
+    assert (r2["n_emails"], r2["n_urls"]) == (1, 0)

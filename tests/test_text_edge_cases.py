@@ -277,3 +277,19 @@ def test_bigram_kernel_java_whitespace_and_null_text_parity(spark):
     assert "x y z" in got      # NBSP token survived intact
     assert got.get("p q") == 1  # single-token doc edge case
     assert "" not in got             # NULL text did not fabricate a '' token
+
+
+def test_bigram_lm_empty_train_slice_scores_null(spark):
+    """Review fix: an empty training slice must score NULL ('no model'),
+    not -Infinity for every bigram (which makes a downstream quality
+    cut keep or drop everything arbitrarily)."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = bigram_lm_score(df, train_filter=F.col("lang") == "xx")
+    assert all(r["avg_nll"] is None for r in out.collect())

@@ -394,3 +394,21 @@ def test_resample_validates_fill_columns(spark):
 def test_resample_gate_scans_events_once(spark, ts_reg):
     plan = _executed_plan(ts_reg["q_resample"].fn(spark, SF))
     assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 1
+
+
+def test_ewma_all_null_frame_yields_null_not_crash(spark):
+    """Review fix: a key whose trailing frame holds only NULLs (e.g.
+    its first observation is NULL) must yield NULL — unguarded,
+    sequence(1, 0) descended and element_at killed the job."""
+    import datetime as dt
+
+    from rspl_spark.operators.timeseries import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", t0, None), ("k", t0 + dt.timedelta(hours=1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    rows = {r["ts"]: r["ewma"] for r in ewma(df, ["k"], "ts", "v").collect()}
+    assert rows[t0] is None  # all-NULL frame
+    assert rows[t0 + dt.timedelta(hours=1)] == 2.0  # NULL shrinks the window

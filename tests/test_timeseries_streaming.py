@@ -415,8 +415,11 @@ def test_transition_pairs_stream_crosses_batch_boundaries(spark):
             (r["prev_state"], r["state"])
             for r in spark.table("t_trans_cross").collect()
         )
-    # b->c spans the first batch boundary; c->NULL emits; NULL->d drops
-    assert got == [("a", "b"), ("b", "c"), ("c", None)]
+    # b->c spans the first batch boundary; the NULL state is dropped so
+    # its neighbors become adjacent: c->d ALSO spans a boundary (r12
+    # review fix — previously c->NULL emitted and NULL->d vanished,
+    # the asymmetry the batch operator now also rejects)
+    assert got == [("a", "b"), ("b", "c"), ("c", "d")]
 
 
 def test_transition_pairs_stream_frontier_ties_and_redelivery(spark):
