@@ -79,11 +79,18 @@ def with_hashed_shingles(
 ) -> DataFrame:
     """(id, sh): staged projections — token hashes materialized as a
     column between stages so md5 runs once per token (CollapseProject
-    keeps multi-use non-cheap producers separate)."""
+    keeps multi-use non-cheap producers separate).
+
+    NULL-text docs are EXCLUDED (no content, no shingles): their hash
+    array is NULL, which the minhash fold's least() would silently skip
+    — every contentless doc would share the INIT signature and
+    near-dup-match every other one."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     th = F.transform(toks, lambda t: portable_hash(t) % MERSENNE_P)
-    return df.select(id_col, th.alias("th")).select(
-        id_col, shingle_combine(F.col("th")).alias("sh")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, th.alias("th"))
+        .select(id_col, shingle_combine(F.col("th")).alias("sh"))
     )
 
 
@@ -149,6 +156,11 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    # NULL signatures (NULL/empty text -> every mh slot NULL) must not
+    # band: concat_ws SKIPS NULLs, so all such docs would share the ''
+    # band key in every band — m contentless docs producing m² bogus
+    # candidate pairs on a dirty corpus
+    sig = sig.filter(F.col("mh0").isNotNull())
     bands = sig.select(
         F.col(id_col).alias("doc_id"),
         *[f"mh{j}" for j in range(n_slots)],
@@ -185,9 +197,14 @@ def lsh_candidate_pairs(
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Content-hash grouping; keeper = min id. (hash, keeper_id, n_copies)."""
+    """Content-hash grouping; keeper = min id. (hash, keeper_id, n_copies).
+
+    NULL text rows are EXCLUDED: md5(NULL) is NULL and groupBy treats
+    NULLs as equal, so documents with MISSING content would otherwise
+    cluster as exact copies of each other and be deduplicated away."""
     return (
-        df.select(id_col, F.md5(F.col(text_col)).alias("h"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.md5(F.col(text_col)).alias("h"))
         .groupBy("h")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -502,8 +519,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     for i in range(32):
         bit = F.when(vote_bit(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         sh = bit if sh is None else sh + bit
+    # NULL text has NO signature: the all-NULL vote would otherwise
+    # collapse every contentless doc to simhash 0, clustering them with
+    # each other and any genuine signature-0 document
     return df.select(id_col, hs.alias("hs")).select(
-        id_col, sh.cast("long").alias("simhash")
+        id_col,
+        F.when(F.col("hs").isNotNull(), sh).cast("long").alias("simhash"),
     )
 
 
@@ -579,6 +600,10 @@ def simhash_clusters(
     materialized. The cluster label is the component's minimum doc id.
     """
     sh = sig if sig is not None else simhash(df, text_col=text_col, id_col=id_col)
+    # NULL signatures (NULL text) are excluded from clustering — they
+    # would otherwise group as one NULL cluster (groupBy treats NULLs
+    # as equal) and then silently vanish in the final USING join
+    sh = sh.filter(F.col("simhash").isNotNull())
     sigs = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
     bands = sigs.select(
         "simhash",

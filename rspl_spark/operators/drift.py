@@ -58,7 +58,11 @@ def ks_statistic(
         v = F.least(
             F.floor((v - F.lit(mn)) * bins / F.lit(span)), F.lit(bins - 1)
         ).cast("double")
-    both = df.filter(in_a | in_b).select(
+    # NULL values are excluded, matching psi_bins (whose spine drops
+    # the NULL bin): counted, a NULL lands wherever the engine sorts it
+    # in the cumulative window (Spark NULLS FIRST, DuckDB NULLS LAST),
+    # making D depend on engine ordering instead of the data
+    both = df.filter((in_a | in_b) & F.col(value_col).isNotNull()).select(
         v.alias("_v"),
         in_a.cast("long").alias("_a"),
         in_b.cast("long").alias("_b"),
@@ -274,10 +278,19 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     because Σ_all R·C/n = n — so the full-grid statistic is computed
     from present cells alone. Plan-pinned single-scan.
     """
+    # collision-proof NULL level: non-NULL values carry a "v:" prefix,
+    # so the NULL sentinel can never merge with a genuine category
+    # whose string form is '∅'
+    def _lvl(c):
+        col = F.col(c).cast("string")
+        return F.when(col.isNull(), F.lit("∅")).otherwise(
+            F.concat(F.lit("v:"), col)
+        )
+
     cells = (
         df.select(
-            F.coalesce(F.col(col_a).cast("string"), F.lit("∅")).alias("_a"),
-            F.coalesce(F.col(col_b).cast("string"), F.lit("∅")).alias("_b"),
+            _lvl(col_a).alias("_a"),
+            _lvl(col_b).alias("_b"),
         )
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))

@@ -144,15 +144,22 @@ def fuzzy_self_join(
     )
 
 
-def positional_trigrams(s: Column) -> Column:
-    """Occurrence-tagged character 3-grams: each gram carries its
-    occurrence index within the row ('abc#0', 'abc#1', …), so a SET
-    intersection of these tokens equals the MULTISET gram intersection —
-    which is what the q-gram edit-distance lemma bounds."""
-    grams = F.transform(
+def raw_trigrams(s: Column) -> Column:
+    """Untagged character 3-grams of ``s`` as an array column."""
+    return F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1))),
         lambda i: s.substr(i, F.lit(3)),
     )
+
+
+def tag_occurrences(grams: Column) -> Column:
+    """Tag each gram with its occurrence index ('abc#0', 'abc#1', …).
+    Pass a MATERIALIZED column (a prior select's output), never the
+    gram-generating expression itself: subexpressions inside HOF
+    lambdas are not CSE'd (the measured-7x trap shingle_combine's
+    docstring documents), so an inlined generator would re-run the
+    substr chain once per element on top of the inherent O(L²)
+    prefix-count compares."""
     return F.transform(
         grams,
         lambda x, i: F.concat(
@@ -161,6 +168,16 @@ def positional_trigrams(s: Column) -> Column:
             F.size(F.filter(F.slice(grams, F.lit(1), i), lambda y: y == x)),
         ),
     )
+
+
+def positional_trigrams(s: Column) -> Column:
+    """Occurrence-tagged character 3-grams: each gram carries its
+    occurrence index within the row ('abc#0', 'abc#1', …), so a SET
+    intersection of these tokens equals the MULTISET gram intersection —
+    which is what the q-gram edit-distance lemma bounds. One-shot
+    convenience form; staged pipelines should materialize
+    :func:`raw_trigrams` in a select and tag in the NEXT select."""
+    return tag_occurrences(raw_trigrams(s))
 
 
 def edit_distance_self_join(
@@ -195,9 +212,19 @@ def edit_distance_self_join(
     base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).filter(
         F.col("s").isNotNull()
     )
+    # grams materialize in a child select so the occurrence-tagging
+    # lambda references a COLUMN, not the substr-generating expression
+    # (HOF lambdas get no CSE — re-running the generator per element
+    # was the dominant per-row cost)
     tg = base.select(
-        "id", "s", F.length("s").alias("ln"), positional_trigrams(F.col("s")).alias("toks")
+        "id", "s", F.length("s").alias("ln"), raw_trigrams(F.col("s")).alias("_g")
+    ).select(
+        "id", "s", "ln", tag_occurrences(F.col("_g")).alias("toks")
     )
+    # the trigram frame feeds the long side (vocab + ranks), the short
+    # side, AND the short-partner path — materialize ONCE (also reused
+    # by the build-time short-count guard below)
+    tg = tg.localCheckpoint()
     long_side = tg.filter(F.size("toks") >= prefix_n)
     short_side = tg.filter(F.size("toks") < prefix_n)
 

@@ -229,6 +229,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     n_channels, sample_rate, bits = fmt
     if n_channels < 1:
         raise ValueError("invalid channel count")
+    if sample_rate < 1:
+        # fail at DECODE like every other malformed field — unvalidated,
+        # a zero rate surfaced later as a ZeroDivisionError inside
+        # wav_features' duration computation, killing the task
+        raise ValueError(f"invalid sample rate {sample_rate}")
     if bits == 8:
         arr = np.frombuffer(data, dtype=np.uint8)
     elif bits == 16:
@@ -645,14 +650,19 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     (metadata-driven — touches only ``meta.n_frames``, never payload;
     the downstream decode of selected frames goes through
     extract_features). Demonstrates payload/metadata pruning."""
+    # zero-frame or unknown-length videos plan NOTHING: greatest's
+    # NULL-skipping made both cases yield [0] — a phantom frame index
+    # telling downstream decode to fetch a frame that does not exist
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter(
+            (F.col("kind") == "video") & (F.col("meta.n_frames") >= 1)
+        )
         .select(
             "media_id",
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                    F.col("meta.n_frames") - 1,
                     F.lit(every_n),
                 )
             ).alias("frame_idx"),

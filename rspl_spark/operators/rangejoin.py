@@ -32,6 +32,7 @@ def point_in_interval_pairs(
     start_ts: str = "start_ts",
     end_ts: str = "end_ts",
     bin_seconds: int = 3600,
+    max_bins_per_interval: int = 1 << 20,
 ) -> DataFrame:
     """Inner-join pairs: every (interval row, point row) with
     ``start_ts <= point_ts <= end_ts`` (inclusive bounds), produced via
@@ -42,7 +43,11 @@ def point_in_interval_pairs(
     a pair can only meet in that single bin — no dedup pass needed.
     Intervals with ``start > end`` are dropped (``F.sequence`` would
     otherwise generate a DESCENDING bin range and silently "match" the
-    reversed interval).
+    reversed interval). One DIRTY interval (end in year 9999) would
+    explode tens of millions of bin rows from a single input row —
+    ``max_bins_per_interval`` fails the query loudly instead (same
+    blowup discipline as ngram_jaccard_pairs' allow_quadratic); raise
+    ``bin_seconds`` or clean the interval if the span is genuine.
     """
     if bin_seconds <= 0:
         raise ValueError("bin_seconds must be positive")
@@ -52,9 +57,23 @@ def point_in_interval_pairs(
     pe = F.col(point_ts).cast("double")
     se, ee = F.col(start_ts).cast("double"), F.col(end_ts).cast("double")
     p = points.withColumn("_pbin", F.floor(pe / bin_seconds))
+    lo_bin, hi_bin = F.floor(se / bin_seconds), F.floor(ee / bin_seconds)
+    n_bins = hi_bin - lo_bin + 1
+    guarded_hi = F.when(n_bins <= max_bins_per_interval, hi_bin).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("point_in_interval_pairs: an interval spans "),
+                n_bins.cast("string"),
+                F.lit(
+                    f" bins > max_bins_per_interval={max_bins_per_interval};"
+                    " raise bin_seconds or clean the interval"
+                ),
+            )
+        ).cast("long")
+    )
     i = intervals.filter(se <= ee).withColumn(
         "_ibin",
-        F.explode(F.sequence(F.floor(se / bin_seconds), F.floor(ee / bin_seconds))),
+        F.explode(F.sequence(lo_bin, guarded_hi)),
     )
     return (
         i.join(p, F.col("_ibin") == F.col("_pbin"))

@@ -903,8 +903,10 @@ def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHI2_ORACLE = """
 WITH cells AS (
-  SELECT COALESCE(CAST(lang AS VARCHAR), '∅') AS a,
-         COALESCE(CAST(source AS VARCHAR), '∅') AS b,
+  SELECT CASE WHEN lang IS NULL THEN '∅'
+              ELSE 'v:' || CAST(lang AS VARCHAR) END AS a,
+         CASE WHEN source IS NULL THEN '∅'
+              ELSE 'v:' || CAST(source AS VARCHAR) END AS b,
          CAST(COUNT(*) AS BIGINT) AS o
   FROM documents GROUP BY 1, 2
 ),

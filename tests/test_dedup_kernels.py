@@ -58,3 +58,36 @@ def test_jaccard_candidates_canonicalized(spark):
     assert len(rows) == 1
     assert (rows[0]["doc_a"], rows[0]["doc_b"]) == (1, 2)
     assert rows[0]["jaccard"] < 1.0
+
+
+def test_null_text_not_clustered_as_duplicates(spark):
+    """Review fixes: NULL-text documents must not cluster with each
+    other — exact_dedup excludes them (md5(NULL) groups all of them
+    together), LSH banding drops NULL signatures (concat_ws turns
+    all-NULL slots into identical '' band keys), and simhash yields a
+    NULL signature (not 0) that simhash_clusters excludes."""
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+        simhash_clusters,
+    )
+
+    rows = [(1, None), (2, None), (3, "real text here"), (4, "real text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ex = exact_dedup(df).collect()
+    assert {(r["keeper_id"], r["n_copies"]) for r in ex} == {(3, 2)}
+
+    pairs = lsh_candidate_pairs(minhash_signatures(df)).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sh[1] is None and sh[2] is None and sh[3] == sh[4]
+
+    cl = simhash_clusters(df).collect()
+    assert {r["doc_id"] for r in cl} == {3, 4}  # NULL docs excluded
+    assert {r["cluster"] for r in cl} == {3}

@@ -556,3 +556,43 @@ def test_decode_png_rejects_corruption_and_unsupported():
     )
     with pytest.raises(ValueError, match="8-bit"):
         decode_png(p16)
+
+
+def test_decode_wav_rejects_zero_sample_rate():
+    """Review fix: a fuzzed fmt chunk with sample_rate=0 must fail at
+    decode (clean ValueError), not as ZeroDivisionError downstream."""
+    import struct
+
+    from rspl_spark.operators.multimodal import decode_wav
+
+    data = b"\x00\x01" * 4
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)  # PCM, 1ch, rate=0
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(wav)
+
+
+def test_frame_sample_plan_skips_zero_and_null_frame_counts(spark):
+    """Review fix: zero-frame / unknown-length videos plan nothing
+    (previously a phantom frame_idx 0 row)."""
+    from rspl_spark.operators.multimodal import frame_sample_plan
+
+    schema = (
+        "media_id long, kind string,"
+        " meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    rows = [
+        (1, "video", (1, 1, 25, None)),
+        (2, "video", (1, 1, 0, None)),
+        (3, "video", (1, 1, None, None)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r["media_id"], r["frame_idx"])
+        for r in frame_sample_plan(df, every_n=10).collect()
+    }
+    assert got == {(1, 0), (1, 10), (1, 20)}

@@ -96,3 +96,24 @@ def test_plan_has_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dirty_wide_interval_fails_loudly(spark):
+    """Review fix: a single corrupt interval spanning tens of millions
+    of bins must raise, not OOM the executor with one exploded row."""
+    import datetime as dt
+
+    pts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1), dt.datetime(9999, 1, 1))],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        point_in_interval_pairs(pts, iv, bin_seconds=3600).collect()
+    # a generous explicit cap admits the same interval
+    n = point_in_interval_pairs(
+        pts, iv, bin_seconds=3600, max_bins_per_interval=1 << 27
+    ).count()
+    assert n == 1
