@@ -66,6 +66,12 @@ def _load_uncached(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # produce TIMESTAMP_NTZ directly (truncated to micros). Request the
         # legacy form, then branch on what the reader actually returned so
         # both environments yield the same TimestampType column.
+        # DELIBERATELY session-wide and never restored: the returned
+        # DataFrame is lazy and its scan consults the conf at execution
+        # time, so a save/restore around this read would break the plan
+        # later. Side effect on OTHER reads in the session: any parquet
+        # with TIMESTAMP(NANOS) columns will read them as long nanos —
+        # convert as below if you read such files after calling load().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
@@ -88,6 +94,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql queries."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def repo_warehouse_path(table: str) -> str:
+    """The repo-pinned warehouse location for ``table`` — the ONE copy
+    of the rule (dedup_store and ensure_bucketed both pin here): the
+    session default spark.sql.warehouse.dir is CWD-relative, and a
+    driver launched elsewhere must not scatter table dirs outside the
+    repo."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo_root, "spark-warehouse", table.lower())
 
 
 def ensure_bucketed(
@@ -116,8 +132,7 @@ def ensure_bucketed(
         # session default spark.sql.warehouse.dir is CWD-relative, and a
         # driver process launched elsewhere must not scatter table dirs
         # outside the repo.
-        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        path = os.path.join(repo_root, "spark-warehouse", name.lower())
+        path = repo_warehouse_path(name)
         # The in-memory Derby catalog resets per session but the warehouse
         # directory persists. A COMPLETE leftover layout (same static
         # testdata, same writer spec) is re-registered as an external

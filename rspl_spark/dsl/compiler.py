@@ -116,6 +116,11 @@ def _compile_bind(sp: BindSP, df: DataFrame, value_col: str, seq_col: str) -> Da
     if not first:
         # Head never emits: the bound processor is never selected; the
         # output stream is empty (the reference would simply never Put).
+        # SCHEMA CAVEAT: this empty frame carries the INPUT value type —
+        # the non-empty path's type is whatever f's compiled plan emits,
+        # which cannot be known without a head value (bind IS
+        # data-dependent plan selection). Callers unioning against a
+        # fixed schema must cast the value column themselves.
         return df.filter(F.lit(False))
     row = first[0]
     rest = df.filter(F.col(seq_col) > row[seq_col])
@@ -186,14 +191,26 @@ def _compile_alternate_maps(
         raise CompileError(
             "alternate compiles only for pure map children — use the interpreter"
         )
+    if sp.sp1.expr_fn is None or sp.sp2.expr_fn is None:
+        # py_fn-only children are interpreter-only, same contract as the
+        # stateless path — the actionable CompileError, not a TypeError
+        # from calling None mid-compile
+        raise CompileError(
+            "alternate child has no expression form (py_fn-only) — use"
+            " the interpreter (to_df(out_type=...))"
+        )
+    # withColumn, not a 2-column select: pass-through columns (stream
+    # keys, metadata) survive exactly as the stateless compile path
+    # guarantees — the uniform output contract must not depend on which
+    # combinator the caller swapped in
     v = F.col(value_col)
     if dense_seq:
         rn = F.col(seq_col)
         out = F.when(rn % 2 == 0, sp.sp1.expr_fn(v)).otherwise(sp.sp2.expr_fn(v))
-        return df.select(F.col(seq_col), out.alias(value_col))
+        return df.withColumn(value_col, out)
     d = with_dense_ordinal(df, seq_col, "_ord")
     out = F.when(F.col("_ord") % 2 == 0, sp.sp1.expr_fn(v)).otherwise(sp.sp2.expr_fn(v))
-    return d.select(F.col(seq_col), out.alias(value_col))
+    return d.withColumn(value_col, out).drop("_ord")
 
 
 def generate_range(

@@ -47,7 +47,17 @@ def interpret_batch(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col, kind="mergesort")
         key = pdf[kcol].iloc[0]
-        outs = list(eval_sp(sp, pdf[value_col].tolist()))
+        vals = pdf[value_col]
+        if vals.isna().any():
+            # a NULL anywhere makes Arrow deliver the WHOLE integral
+            # column as float64, so the py_fn would silently see 1.0
+            # instead of 1 — per-batch type drift keyed on data
+            # dirtiness; an rspl stream value is never NULL, fail loudly
+            raise ValueError(
+                f"interpret_batch: NULL value in stream (key {key!r});"
+                " rspl streams carry values, filter NULL rows first"
+            )
+        outs = list(eval_sp(sp, vals.tolist()))
         return pd.DataFrame(
             {kcol: [key] * len(outs), seq_col: range(len(outs)), value_col: outs}
         )

@@ -40,6 +40,14 @@ def logreg_fit(
         *[f.cast("double").alias(f"x{i}") for i, f in enumerate(features)],
         label.cast("double").alias("y"),
     )
+    # a single NULL feature/label row would NaN the whole partition's
+    # gradient (X.T @ (y-p) propagates), silently yielding all-NaN
+    # weights and 0.5 scores everywhere — drop incomplete rows, the
+    # same treatment the oracle's CASE/SUM NULL semantics give them
+    cond = F.col("y").isNotNull()
+    for i in range(d):
+        cond = cond & F.col(f"x{i}").isNotNull()
+    feats = feats.filter(cond)
     w = np.zeros(d + 1, dtype=np.float64)
     for _ in range(iters):
         W = w.copy()

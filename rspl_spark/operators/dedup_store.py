@@ -225,10 +225,9 @@ def _warehouse_path(spark: SparkSession, table: str) -> str:
     session whose spark.sql.warehouse.dir points elsewhere would
     otherwise write the compacted data (and read tombstones) under a
     different root, orphaning the store's pinned directory."""
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    return os.path.join(repo_root, "spark-warehouse", table.lower())
+    from rspl_spark.catalog import repo_warehouse_path
+
+    return repo_warehouse_path(table)
 
 
 def _tombstones(spark: SparkSession, store: str) -> DataFrame | None:

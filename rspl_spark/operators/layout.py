@@ -81,9 +81,31 @@ def zorder_layout(
     partition + sort by it, and drop the helper column. Write the
     result with ``.write.parquet(...)``; the key orders the data, it is
     not stored."""
+    # normalize every layout column to an integer expression FIRST, so
+    # the driver-side stats are ints whatever the column type — the
+    # module's own motivating example is (order DATE, custkey), and
+    # int(datetime.date) raised before this normalization
+    by_name = dict(df.dtypes)
+    norm: dict[str, Column] = {}
+    for c in cols:
+        t = by_name[c]
+        col = F.col(c)
+        if t == "date":
+            norm[c] = F.unix_date(col)
+        elif t.startswith("timestamp"):
+            norm[c] = F.unix_micros(col)
+        elif t in ("tinyint", "smallint", "int", "bigint") or t.startswith(
+            ("decimal", "double", "float")
+        ):
+            norm[c] = col.cast("long")  # fractional types truncate
+        else:
+            raise ValueError(
+                f"zorder_layout: column {c!r} has non-orderable-to-int "
+                f"type {t}; cast it to a numeric/date/timestamp first"
+            )
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        aggs += [F.min(norm[c]).alias(f"mn_{c}"), F.max(norm[c]).alias(f"mx_{c}")]
     stats = df.agg(*aggs).first()
     for c in cols:
         if stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None:
@@ -96,7 +118,7 @@ def zorder_layout(
         "_zkey",
         zorder_key(
             [
-                bucketize(F.col(c), stats[f"mn_{c}"], stats[f"mx_{c}"], buckets)
+                bucketize(norm[c], stats[f"mn_{c}"], stats[f"mx_{c}"], buckets)
                 for c in cols
             ],
             bits,

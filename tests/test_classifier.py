@@ -87,3 +87,25 @@ def test_quality_classifier_training_reduces_loss(spark):
     ).agg(F.avg("ok"), F.avg("nll")).first()
     assert row[1] < math.log(2) - 1e-4  # strictly better than w=0
     assert row[0] >= min(majority, 0.55)
+
+
+def test_logreg_fit_drops_null_rows(spark):
+    """Review fix: a NULL feature/label row must not NaN the whole
+    gradient (all-NaN weights, 0.5 scores everywhere) — incomplete rows
+    are dropped, matching the oracle's CASE/SUM NULL semantics."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rspl_spark.operators.classifier import logreg_fit
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (0.0, 0.0), (None, 1.0), (2.0, None)] * 5,
+        "x double, y double",
+    )
+    w = logreg_fit(df, [F.col("x")], F.col("y"), iters=2)
+    assert all(math.isfinite(v) for v in w)
+    # same weights as fitting the clean subset directly
+    clean = df.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    w2 = logreg_fit(clean, [F.col("x")], F.col("y"), iters=2)
+    assert w == w2

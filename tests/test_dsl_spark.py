@@ -125,3 +125,53 @@ def test_interpreter_matches_compiler(spark):
     compiled = collect_values(compile_batch(sp, df))
     interpreted = collect_values(interpret_batch(sp, df, "long"))
     assert compiled == interpreted
+
+
+def test_alternate_maps_pyfn_only_child_raises_compile_error(spark):
+    """Review fix: a py_fn-only map child inside alternate raises the
+    actionable CompileError, not a TypeError from calling None."""
+    import pytest
+
+    from rspl_spark.dsl.compiler import CompileError
+    from rspl_spark.dsl.interpreter import to_stream_df
+
+    df = to_stream_df(spark, [1, 2, 3, 4])
+    sp = alternate(
+        map_sp(lambda v: v, py_fn=lambda v: v * 2), map_sp(lambda v: v + 1)
+    )
+    with pytest.raises(CompileError, match="interpreter"):
+        compile_batch(sp, df)
+
+
+def test_alternate_maps_preserves_passthrough_columns(spark):
+    """Review fix: the compiled alternate keeps pass-through columns
+    (stream keys, metadata), matching the stateless paths' uniform
+    output contract."""
+    df = spark.createDataFrame(
+        [(i, i * 10, f"m{i}") for i in range(6)],
+        "seq long, value long, tag string",
+    )
+    sp = alternate(map_sp(lambda v: v * 10), map_sp(lambda v: v + 1))
+    out = compile_batch(sp, df)
+    assert set(out.columns) == {"seq", "value", "tag"}
+    rows = {r["seq"]: (r["value"], r["tag"]) for r in out.collect()}
+    want = list(eval_sp(sp, [i * 10 for i in range(6)]))
+    for i in range(6):
+        assert rows[i] == (want[i], f"m{i}")
+
+
+def test_interpreter_rejects_null_stream_values(spark):
+    """Review fix: a NULL value makes Arrow deliver the whole integral
+    column as float64 (py_fn sees 1.0, not 1) — fail loudly instead of
+    silent per-batch type drift."""
+    import pytest
+
+    from rspl_spark.dsl.interpreter import interpret_batch, to_stream_df
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, None), (2, 3)], "seq long, value long"
+    )
+    with pytest.raises(Exception, match="NULL value in stream"):
+        interpret_batch(
+            map_sp(lambda v: v, py_fn=lambda v: v), df, out_type="long"
+        ).collect()

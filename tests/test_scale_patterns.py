@@ -385,3 +385,27 @@ def test_bucketize_degenerate_and_bounds(spark):
     vals2 = [r[0] for r in df2.select(bucketize(F.col("v"), 0, 100, 16)).collect()]
     # max value maps to the LAST bucket, never to `buckets`
     assert vals2 == [0, 15, 15]
+
+
+def test_zorder_layout_accepts_date_and_timestamp_columns(spark, tmp_path):
+    """Review fix: the module's own motivating example is (date, key) —
+    DATE/TIMESTAMP layout columns are normalized to ints for the stats
+    instead of crashing int(datetime.date)."""
+    import datetime as dt
+
+    from rspl_spark.operators.layout import zorder_layout
+
+    rows = [
+        (i % 50, dt.date(2024, 1, 1 + i % 28),
+         dt.datetime(2024, 1, 1, i % 24))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "custkey long, d date, ts timestamp")
+    out = zorder_layout(df, ["d", "custkey"], 4)
+    assert out.count() == 200 and "_zkey" not in out.columns
+    out2 = zorder_layout(df, ["ts", "custkey"], 4)
+    assert out2.count() == 200
+    import pytest
+
+    with pytest.raises(ValueError, match="non-orderable-to-int"):
+        zorder_layout(df.withColumn("s", F.lit("x")), ["s"], 4)
