@@ -152,6 +152,41 @@ def q_sql_tvf_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RCTE_BODY = """
+WITH RECURSIVE edges AS (
+  SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+  UNION ALL
+  SELECT n_nationkey, (n_nationkey * 2 + 3) % 25 FROM nation
+),
+reach(node, dist) AS (
+  SELECT CAST(0 AS INTEGER), 0
+  UNION ALL
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < 6
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@query("q_sql_recursive_bfs", oracle=_RCTE_BODY, tags=("sql", "graph"))
+def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (Spark 4's recursive CTE support) run
+    on BOTH engines over the identical statement: shortest-path BFS on
+    a deterministic 2-out-degree graph derived from the nation table
+    (edges i→i+1 and i→2i+3 mod 25, source 0, depth ≤ 6). The engine's
+    iterative-SQL surface gets direct oracle evidence — previously
+    recursion lived only on the DuckDB oracle side (the khop/FSM
+    oracles) while Spark ran DataFrame loops. Bounded by construction:
+    out-degree 2 and depth 6 keep the recursive working set ≤ 2^7 rows
+    whatever the scale factor (the plan is the demonstration — the
+    distributed form for corpus-scale graphs remains
+    operators/graph.py's checkpointed frontier loop)."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RCTE_BODY)
+
+
 # alternate (R7): emission-position round-robin — inherently sequential.
 # The oracle replays the Mealy machine with a RECURSIVE CTE (one
 # iteration per input row — bounded to the first 2000 events to keep the
