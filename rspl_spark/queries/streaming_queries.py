@@ -130,6 +130,55 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("user_id", "sess_start")
 
 
+@query(
+    "q_session_window_dynamic_stream",
+    oracle=None,  # installed below — reuses the batch dynamic-gap oracle
+    tags=("window", "streaming"),
+)
+def q_session_window_dynamic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``session_window`` with a DYNAMIC gap expression (the
+    inactivity window depends on the event: signups/purchases hold a
+    session open 60 minutes, everything else 15) — the dynamic-gap leg
+    crossing the batch/stream boundary; the fixed-gap crossing is
+    ``q_session_window_stream``. Complete mode over in-order chunks:
+    per-event gap durations merge in the state store exactly as the
+    batch aggregation merges them, so the drained table reuses the
+    batch ``q_sessionize_dynamic_gap`` oracle verbatim."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    stream, tmp = _ordered_stream(
+        e,
+        ["ts", "event_id"],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    gap = F.when(
+        F.col("event_type").isin("signup", "purchase"), F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    agg = (
+        stream.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+    got = _drain(agg, "t_q_session_dyn_stream", [tmp], output_mode="complete")
+    return got.orderBy("user_id", "sess_start")
+
+
+def _install_dynamic_session_oracle() -> None:
+    from rspl_spark.queries import REGISTRY
+    from rspl_spark.queries.relational2 import _DYN_SESSION_ORACLE
+
+    REGISTRY["q_session_window_dynamic_stream"].oracle = _DYN_SESSION_ORACLE
+
+
+_install_dynamic_session_oracle()
+
+
 _STREAM_DEDUP_ORACLE = """
 WITH dup AS (
   SELECT event_id, ts, user_id, event_type, value FROM events
