@@ -462,6 +462,17 @@ class StreamAnalyticsFrame:
             type_col=type_col,
         ))
 
+    def cohort_retention(self, user_col: str = "user_id",
+                         ts_col: str = "ts"):
+        """Incremental weekly cohort memberships — each (cohort, offset)
+        emitted once as it first appears (streaming/analytics.py);
+        aggregate the drain for the retention table."""
+        from rspl_spark.streaming.analytics import cohort_retention_stream
+
+        return self._wrap(cohort_retention_stream(
+            self.df, user_col=user_col, ts_col=ts_col,
+        ))
+
     # --------------------------------------------------- sketch twins
     def hll(self, key_col: str, group_cols: tuple[str, ...] = ()):
         """Live HLL registers, bounded state (streaming/analytics.py);

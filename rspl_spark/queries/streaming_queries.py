@@ -179,6 +179,67 @@ def _install_dynamic_session_oracle() -> None:
 _install_dynamic_session_oracle()
 
 
+@query(
+    "q_cohort_retention_stream",
+    oracle=None,  # installed below — reuses the batch retention oracle
+    tags=("behavior", "streaming"),
+)
+def q_cohort_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cohort retention — the last behavior-family member to
+    cross the batch/stream boundary (transition matrix and funnel
+    crossed earlier): per-user keyed state emits each (cohort, offset)
+    membership exactly ONCE as it first appears, so counting the
+    drained increments batch-side reproduces the batch
+    ``cohort_retention`` table — and the gate reuses its oracle
+    verbatim. The expensive batch stages (corpus-wide user-week
+    DISTINCT + per-user min window) become O(1) state lookups on an
+    unbounded stream; state per user is O(active weeks), calendar-
+    bounded."""
+    from rspl_spark.streaming.analytics import cohort_retention_stream
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    stream, tmp = _ordered_stream(
+        e,
+        ["ts", "event_id"],
+        "user_id long, ts timestamp, event_id long",
+    )
+    inc = cohort_retention_stream(stream)
+    got = _drain(inc, "t_q_cohort_stream", [tmp])
+    counts = got.groupBy("cohort_wd", "offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("cohort_wd")
+    return (
+        counts.withColumn(
+            "n_cohort",
+            F.max(F.when(F.col("offset") == 0, F.col("n_active"))).over(wc),
+        )
+        .select(
+            F.expr("date_from_unix_date(cast(cohort_wd as int))").alias("cohort"),
+            "offset",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "offset")
+    )
+
+
+def _install_cohort_stream_oracle() -> None:
+    from rspl_spark.queries import REGISTRY
+    from rspl_spark.queries.behavior_queries import _RETENTION_ORACLE
+
+    REGISTRY["q_cohort_retention_stream"].oracle = _RETENTION_ORACLE
+
+
+_install_cohort_stream_oracle()
+
+
 _STREAM_DEDUP_ORACLE = """
 WITH dup AS (
   SELECT event_id, ts, user_id, event_type, value FROM events

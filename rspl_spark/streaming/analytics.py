@@ -460,3 +460,67 @@ def streaming_bloom(
     from rspl_spark.operators.sketches import bloom_build
 
     return bloom_build(stream_df, key_col, m_bits=m_bits, k=k)
+
+
+_COHORT_STATE = StructType(
+    [
+        StructField("cohort_wd", LongType()),
+        StructField("seen_wd", ArrayType(LongType())),
+    ]
+)
+
+
+def cohort_retention_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Incremental weekly cohort retention: per-user keyed state holds
+    (first week, weeks seen); each micro-batch APPENDS the user's newly
+    seen (cohort, offset) memberships — the user-week dedup and
+    first-week assignment that dominate the batch operator become O(1)
+    state lookups. Downstream aggregates the drained increments to
+    (cohort, offset, n_active) — each membership is emitted exactly
+    once, so a plain count over the drain equals the batch
+    ``cohort_retention`` counts on the same finite prefix (in-order
+    arrival, the family's declared parity condition: the first week a
+    user appears IS their min week).
+
+    Output rows: (user, cohort_wd, offset) with ``cohort_wd`` in
+    unix-date days (convert with ``date_from_unix_date``). State per
+    user is O(distinct active weeks) — bounded by calendar weeks, not
+    event volume; NULL timestamps are dropped like every twin here."""
+    wd = F.unix_date(F.date_trunc("week", F.col(ts_col)).cast("date"))
+    rows = events.select(
+        F.col(user_col).alias("user"), wd.alias("wd"), F.col(ts_col)
+    )
+
+    def proc(key, pdfs, state: GroupState):
+        if state.exists:
+            cohort, seen = state.get
+            seen = set(seen)
+        else:
+            cohort, seen = None, set()
+        chunks = [p for p in pdfs if len(p)]
+        out = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch[batch["wd"].notna()]
+            for w in sorted(int(v) for v in batch["wd"].unique()):
+                if cohort is None:
+                    cohort = w
+                if w not in seen:
+                    seen.add(w)
+                    out.append((str(key[0]), cohort, (w - cohort) // 7))
+        if cohort is not None:
+            state.update((cohort, sorted(seen)))
+        if out:
+            yield pd.DataFrame(out, columns=["user", "cohort_wd", "offset"])
+
+    return rows.groupBy("user").applyInPandasWithState(
+        proc,
+        outputStructType="`user` string, cohort_wd long, `offset` long",
+        stateStructType=_COHORT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -969,3 +969,44 @@ def test_stream_cms_live_estimate_numeric_probe_keys(spark):
         got = {(r["uid"], r["est"]) for r in spark.read.parquet(est_path).collect()}
     # CMS over-estimates only on collisions; tiny domain -> exact here
     assert got == {(1, 3), (2, 4), (9, 0)}
+
+
+def test_cohort_retention_stream_exactly_once_memberships(spark):
+    """Each (user, cohort, offset) membership is emitted exactly once
+    across micro-batches: a user re-active in an ALREADY-SEEN week
+    emits nothing, a new week emits one increment with the offset
+    anchored to the first-seen (cohort) week."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from rspl_spark.api import stream_analytics
+
+    w0 = dt.datetime(2024, 1, 1)  # a Monday
+    schema = "user_id string, ts timestamp"
+    c1 = pd.DataFrame(
+        {"user_id": ["u1", "u1", "u2"],
+         "ts": [w0, w0 + dt.timedelta(days=1), w0 + dt.timedelta(days=7)]}
+    )
+    c2 = pd.DataFrame(
+        {"user_id": ["u1", "u1", "u2"],
+         "ts": [w0 + dt.timedelta(days=2),        # week 0 again: no emit
+                w0 + dt.timedelta(days=14),       # week 2: offset 2
+                w0 + dt.timedelta(days=7, hours=5)]}  # seen week: no emit
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_stream_chunks(
+            spark, tmp,
+            [spark.createDataFrame(c1, schema), spark.createDataFrame(c2, schema)],
+        )
+        out = stream_analytics(file_stream(spark, tmp, schema)).cohort_retention()
+        run_to_memory_sink(out, "t_cohort_inc", timeout_s=180)
+    rows = sorted(
+        (r["user"], r["cohort_wd"], r["offset"])
+        for r in spark.table("t_cohort_inc").collect()
+    )
+    d0 = (w0.date() - dt.date(1970, 1, 1)).days
+    assert rows == [
+        ("u1", d0, 0), ("u1", d0, 2),
+        ("u2", d0 + 7, 0),
+    ]
