@@ -1,7 +1,10 @@
 """Scalar/expression function library — the engine's `F`-style namespace.
 
-Everything here is a Column-in/Column-out expression (JVM-side, codegen'd)
-usable in any DataFrame program:
+Everything here is a Column-in/Column-out expression (JVM-side,
+codegen'd) usable in any DataFrame program — with ONE exception:
+``cosine_pandas`` is the Arrow-vectorized pandas-UDF sibling of
+``cosine`` (Python workers, batch BLAS; pick it for wide vectors where
+the expression form's per-element lambda loses to numpy):
 
     from rspl_spark import functions as RF
     df.select(RF.cosine(df.a, df.b), RF.portable_hash(df.text))

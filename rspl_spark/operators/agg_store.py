@@ -135,6 +135,11 @@ def merge_increment(
     record didn't (the streaming exactly-once guard rides on this).
     ``known_props``: the store's current properties if the caller
     already read them, saving the swap's own re-read.
+
+    Property persistence rule: only ``rspl.``-prefixed properties are
+    carried forward across LATER rewrites (merge/retract/compaction) —
+    namespace any property that must survive as ``rspl.<yours>``; other
+    keys are stamped on this rewrite only.
     """
     n_buckets = _table_buckets(spark, store) or n_buckets
     merged = merged_view(
@@ -326,7 +331,11 @@ def retracted_view(
     minmax = {n: (c, k) for n, (c, k) in measures.items() if k in ("min", "max")}
     if resolve_buckets:
         n_buckets = _table_buckets(spark, store) or n_buckets
-    inc_all = partial_agg(old_df, keys, measures)
+    # materialize the (small, group-grained) retraction aggregate ONCE:
+    # three eager validation takes plus the final rewrite all read it —
+    # uncached, each re-aggregates old_df (the "never the raw history"
+    # cost class, paid four times)
+    inc_all = partial_agg(old_df, keys, measures).localCheckpoint()
     st_all = spark.table(store)
 
     def nullsafe_cond(s, i):
@@ -540,8 +549,17 @@ def _table_buckets(spark: SparkSession, name: str) -> int | None:
 
 
 def _table_location(spark: SparkSession, name: str) -> str | None:
+    # only the section AFTER '# Detailed Table Information' — a data
+    # column literally named 'Location' would otherwise shadow the real
+    # row, and the mis-parsed path reaches the compaction reaper (which
+    # would then treat the LIVE directory as stale: data loss)
+    in_detail = False
     for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
-        if r["col_name"].strip() == "Location":
+        cn = r["col_name"].strip()
+        if cn.startswith("# Detailed Table Information"):
+            in_detail = True
+            continue
+        if in_detail and cn == "Location":
             loc = r["data_type"].strip()
             if loc.startswith("file:"):
                 from urllib.parse import urlparse
@@ -560,5 +578,8 @@ def read_final(
     ``name -> (sum_col, count_col)`` ratio columns."""
     out = spark.table(store)
     for name, (s, c) in (derived_avgs or {}).items():
-        out = out.withColumn(name, F.col(s) / F.col(c))
+        # try_divide: a zero count partial (group whose rows were all
+        # NULL in the counted column) must yield NULL, not kill the
+        # whole read under ANSI's DIVIDE_BY_ZERO
+        out = out.withColumn(name, F.try_divide(F.col(s), F.col(c)))
     return out

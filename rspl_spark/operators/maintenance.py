@@ -62,6 +62,25 @@ def compact_parquet(
     """
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
+    if not os.path.isdir(path):
+        # a missing dir is either a typo or the documented rename crash
+        # window (data parked in .__old_*/.__compact_* siblings) — a
+        # success-shaped {0, 0, 0} return would mask both
+        raise ValueError(
+            f"compact_parquet: {path} is not a directory (mistyped path,"
+            " or a crashed compaction left the data in .__old_* /"
+            " .__compact_* siblings — recover those first)"
+        )
+    if any(
+        "=" in d and os.path.isdir(os.path.join(path, d))
+        for d in os.listdir(path)
+    ):
+        raise ValueError(
+            f"compact_parquet: {path} holds key=value partition"
+            " directories; compacting the root would flatten the Hive"
+            " layout (partition columns become data columns, pruning"
+            " dies) — compact each leaf partition directory instead"
+        )
     if os.path.isdir(os.path.join(path, "_spark_metadata")):
         raise ValueError(
             f"{path} is a streaming file-sink output (_spark_metadata present); "

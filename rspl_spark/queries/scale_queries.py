@@ -215,7 +215,10 @@ def q_dedup_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0)
             ).select("doc_id"),
         )
-        return spark.table(store).localCheckpoint()
+        # memoized only for run-once semantics; dedup_increment reads
+        # spark.table(store) directly, so no checkpoint is needed (the
+        # memo wrapper's own eager checkpoint pinned a redundant copy)
+        return spark.table(store)
 
     _memo_artifact(spark, ("sigstore_del", sf_dir), build)
     return dedup_increment(
@@ -265,13 +268,21 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"aggstore_{slug}_merged"
     if not spark.catalog.tableExists(name):
-        A.create_agg_store(
-            spark, o.filter(F.col("o_orderkey") % 3 != 0), name, keys, _AGG_MEASURES,
-            overwrite=True,
-        )
-        A.merge_increment(
-            spark, o.filter(F.col("o_orderkey") % 3 == 0), name, keys, _AGG_MEASURES
-        )
+        try:
+            A.create_agg_store(
+                spark, o.filter(F.col("o_orderkey") % 3 != 0), name, keys,
+                _AGG_MEASURES, overwrite=True,
+            )
+            A.merge_increment(
+                spark, o.filter(F.col("o_orderkey") % 3 == 0), name, keys,
+                _AGG_MEASURES,
+            )
+        except BaseException:
+            # a transient mid-sequence failure must not leave a
+            # half-built store the tableExists guard would later treat
+            # as complete (seed-only aggregates, no error)
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            raise
     return (
         A.read_final(spark, name, derived_avgs={"avg_price": ("sum_price", "n_orders")})
         .select(
@@ -338,19 +349,24 @@ def q_agg_store_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"aggstore_{slug}_retract"
     if not spark.catalog.tableExists(name):
-        A.create_agg_store(
-            spark, o.filter(F.col("o_orderkey") % 3 != 0), name, keys,
-            _RETRACT_MEASURES, overwrite=True,
-        )
-        A.merge_increment(
-            spark, o.filter(F.col("o_orderkey") % 3 == 0), name, keys,
-            _RETRACT_MEASURES,
-        )
-        A.retract_increment(
-            spark, o.filter(F.col("o_orderkey") % 5 == 0), name, keys,
-            _RETRACT_MEASURES,
-            history_df=o.filter(F.col("o_orderkey") % 5 != 0),
-        )
+        try:
+            A.create_agg_store(
+                spark, o.filter(F.col("o_orderkey") % 3 != 0), name, keys,
+                _RETRACT_MEASURES, overwrite=True,
+            )
+            A.merge_increment(
+                spark, o.filter(F.col("o_orderkey") % 3 == 0), name, keys,
+                _RETRACT_MEASURES,
+            )
+            A.retract_increment(
+                spark, o.filter(F.col("o_orderkey") % 5 == 0), name, keys,
+                _RETRACT_MEASURES,
+                history_df=o.filter(F.col("o_orderkey") % 5 != 0),
+            )
+        except BaseException:
+            # mid-sequence failure: drop so the guard rebuilds next call
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            raise
     return (
         A.read_final(spark, name)
         .select(

@@ -259,3 +259,64 @@ def test_retract_random_subsets_match_direct_aggregate(spark):
             assert got == want, f"trial {trial}"
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {store}")
+
+
+def test_read_final_zero_count_avg_is_null_not_ansi_error(spark):
+    """Review fix: a group whose counted column is all NULL has a 0
+    count partial; the derived avg must be NULL, not a query-killing
+    ANSI DIVIDE_BY_ZERO."""
+    from rspl_spark.operators import agg_store as A
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", None, None)],
+        "k string, x double, xid int",
+    )
+    name = "aggstore_zerocount_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        A.create_agg_store(
+            spark, df, name, ["k"],
+            {"sum_x": ("x", "sum"), "n_x": ("xid", "count")},
+            overwrite=True,
+        )
+        rows = {
+            r["k"]: r["avg"]
+            for r in A.read_final(
+                spark, name, derived_avgs={"avg": ("sum_x", "n_x")}
+            ).collect()
+        }
+        assert rows["a"] == 1.0
+        assert rows["b"] is None  # 0-count group: NULL, not an error
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_table_location_ignores_column_named_location(spark):
+    """Review fix: DESCRIBE FORMATTED parsing reads only the detailed
+    section — a data column literally named 'Location' must not shadow
+    the real path (the mis-parse reached the compaction reaper, which
+    would then rmtree the LIVE directory)."""
+    import os
+
+    from rspl_spark.operators import agg_store as A
+
+    df = spark.createDataFrame(
+        [("x", 1), ("y", 2)], "`Location` string, v int"
+    )
+    name = "aggstore_loccol_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        A.create_agg_store(
+            spark, df, name, ["Location"], {"s": ("v", "sum")}, overwrite=True
+        )
+        loc = A._table_location(spark, name)
+        assert loc is not None and os.path.isdir(loc)  # a real path, not 'string'
+        # the swap path (which reaps via this location) still works
+        A.merge_increment(
+            spark, spark.createDataFrame([("x", 10)], "`Location` string, v int"),
+            name, ["Location"], {"s": ("v", "sum")},
+        )
+        got = {r["Location"]: r["s"] for r in A.read_final(spark, name).collect()}
+        assert got == {"x": 11, "y": 2}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -127,3 +127,23 @@ def test_compaction_with_zorder_recluster(spark, tmp_path):
     # the full custkey range, so its row groups all overlap the pred)
     assert read_before > 0.9 * total
     assert read_after < 0.75 * read_before
+
+
+def test_compact_parquet_guards_missing_and_partitioned_dirs(spark, tmp_path):
+    """Review fixes: a missing directory raises (it may be the rename
+    crash window — a success-shaped no-op would mask it), and a
+    Hive-partitioned root raises instead of silently flattening the
+    layout."""
+    import pytest
+
+    from rspl_spark.operators.maintenance import compact_parquet
+
+    with pytest.raises(ValueError, match="not a directory"):
+        compact_parquet(spark, str(tmp_path / "nope"))
+
+    part_root = str(tmp_path / "part")
+    spark.range(10).selectExpr("id", "id % 2 AS dt").write.partitionBy(
+        "dt"
+    ).parquet(part_root)
+    with pytest.raises(ValueError, match="partition"):
+        compact_parquet(spark, part_root)
