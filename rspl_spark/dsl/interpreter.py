@@ -43,16 +43,25 @@ def interpret_batch(
     kcol = _SINGLE_KEY if single else key_col
     key_field = work.schema[kcol]
     schema = f"`{kcol}` {key_field.dataType.simpleString()}, `{seq_col}` long, `{value_col}` {out_type}"
+    # The NULL guard applies only to NON-float value columns: there a
+    # NULL makes Arrow promote the whole integral column to float64, so
+    # the py_fn would silently see 1.0 instead of 1 (per-batch type
+    # drift keyed on data dirtiness). In a genuinely float-typed column
+    # pandas cannot distinguish Arrow NULL from a legitimate NaN value,
+    # so isna() would reject valid NaN-carrying streams — skip the
+    # guard there (a true NULL flows through as NaN, the float identity
+    # Arrow itself assigns it).
+    from pyspark.sql.types import DoubleType, FloatType
+
+    guard_nulls = not isinstance(
+        work.schema[value_col].dataType, (FloatType, DoubleType)
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col, kind="mergesort")
         key = pdf[kcol].iloc[0]
         vals = pdf[value_col]
-        if vals.isna().any():
-            # a NULL anywhere makes Arrow deliver the WHOLE integral
-            # column as float64, so the py_fn would silently see 1.0
-            # instead of 1 — per-batch type drift keyed on data
-            # dirtiness; an rspl stream value is never NULL, fail loudly
+        if guard_nulls and vals.isna().any():
             raise ValueError(
                 f"interpret_batch: NULL value in stream (key {key!r});"
                 " rspl streams carry values, filter NULL rows first"
@@ -62,6 +71,17 @@ def interpret_batch(
             {kcol: [key] * len(outs), seq_col: range(len(outs)), value_col: outs}
         )
 
+    # Pin the grouped-map parallelism for the MULTI-key case: AQE
+    # coalesces the applyInPandas exchange by shuffle-byte size, which
+    # is the wrong objective for a Python-compute-bound stage (measured:
+    # 1M rows / 1000 keys landed on 8 tasks of a 32-core box — 4× of
+    # the machine idle). An explicit repartition(N, key) both satisfies
+    # the grouping's distribution requirement (no second exchange) and
+    # is exempt from AQE coalescing. Single-key streams are inherently
+    # serial (reference's totally-ordered semantics) — leave them alone.
+    if not single:
+        par = work.sparkSession.sparkContext.defaultParallelism
+        work = work.repartition(par, kcol)
     out = work.groupBy(kcol).applyInPandas(run, schema=schema)
     if single:
         return out.select(seq_col, value_col)

@@ -133,6 +133,36 @@ def create_signature_store(
                 f"n_buckets={n_buckets}, n_bands={n_bands}; pass the "
                 "stored values or overwrite=True to rebuild"
             )
+    elif not overwrite and os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        # A complete-looking layout with NO meta file is unvalidatable:
+        # it predates the meta sidecar, or a crash landed between
+        # saveAsTable and the meta write. Re-registering it with
+        # whatever (n_buckets, n_bands) the caller passes is exactly the
+        # silent mis-bucketing the meta check exists to stop. When the
+        # call carries the data to rebuild from, rebuild (loud, not
+        # silent — any appended increments in the unvalidatable layout
+        # are discarded with it); a registration-only call has nothing
+        # to rebuild from and must refuse.
+        if docs is None and sig is None:
+            raise ValueError(
+                f"create_signature_store({name!r}): on-disk layout at "
+                f"{path} has no _rspl_meta.json, so its (n_buckets, "
+                "n_bands) cannot be validated against this call, and no "
+                "docs/sig were provided to rebuild from; pass "
+                "overwrite=True with data, or write the meta file "
+                "manually if the parameters are independently known"
+            )
+        import warnings
+
+        warnings.warn(
+            f"create_signature_store({name!r}): rebuilding — layout at "
+            f"{path} has no _rspl_meta.json (pre-sidecar or interrupted "
+            "write), so its bucket layout cannot be trusted",
+            stacklevel=2,
+        )
+        overwrite = True  # fall through to the fresh-build path
     if not overwrite and register_external_bucketed(spark, name, path, "bucket", n_buckets):
         return name
     # fresh build = fresh membership: stale tombstones (catalog OR a
@@ -155,8 +185,13 @@ def create_signature_store(
     )
     import json
 
-    with open(os.path.join(path, "_rspl_meta.json"), "w") as f:
+    # temp-name + rename: a crash mid-write must not leave a complete
+    # layout paired with a truncated/absent meta (the unvalidatable
+    # state the no-meta refusal above then catches on next registration)
+    tmp_meta = os.path.join(path, "_rspl_meta.json.tmp")
+    with open(tmp_meta, "w") as f:
         json.dump({"n_buckets": n_buckets, "n_bands": n_bands}, f)
+    os.replace(tmp_meta, os.path.join(path, "_rspl_meta.json"))
     return name
 
 

@@ -58,6 +58,33 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# The Spark major.minor versions on which the watermark-mechanics drop
+# rule replayed by the adversarial oracles (ms-floored max, one-batch
+# filter lag, non-strict <=; module docstring above) has been verified
+# empirically — by tests/test_00_watermark_mechanics_pin.py, which runs
+# FIRST in the suite so a drift fails before any gate does.
+_WATERMARK_MECHANICS_PINNED = ("4.1",)
+
+
+def _require_pinned_watermark_mechanics(spark: SparkSession) -> None:
+    """Fail LOUDLY if this Spark's watermark internals are unverified.
+
+    ``q_stream_late_data`` / ``q_session_window_append`` encode
+    WatermarkPropagator behavior a Spark minor upgrade could change; a
+    silent change would make the oracle wrong while still green-looking.
+    Cheap insurance (r12 verdict ask #3): refuse to gate on an
+    unpinned version instead of gating against a possibly-stale rule.
+    """
+    mm = ".".join(spark.version.split(".")[:2])
+    if mm not in _WATERMARK_MECHANICS_PINNED:
+        raise RuntimeError(
+            f"watermark-mechanics oracle is pinned to Spark "
+            f"{_WATERMARK_MECHANICS_PINNED} but this session runs "
+            f"{spark.version}: re-run tests/test_00_watermark_mechanics_"
+            "pin.py on this version, then add its major.minor to "
+            "_WATERMARK_MECHANICS_PINNED (queries/streaming_queries.py)"
+        )
+
 from rspl_spark.catalog import load
 from rspl_spark.queries import query
 from rspl_spark.queries.relational2 import _SESSION_ORACLE
@@ -479,7 +506,14 @@ def q_stream_merge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_merge_into_agg_store(
             stream, store, ["event_type"], measures, checkpoint=ck
         )
-        assert q.awaitTermination(300), "stream merge did not finish"
+        # NOT an assert: under `python -O` an assert is stripped and a
+        # timed-out stream would fall through to gate a partially-merged
+        # store against the oracle
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "q_stream_merge_store: stream merge did not finish within 300s"
+            )
         out = (
             read_final(spark, store)
             .select("event_type", "n", "cents")
@@ -647,6 +681,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     next element), while Spark ranks event time above arrival time and
     drops what arrives too far behind it; the oracle makes that
     deviation exact instead of folklore."""
+    _require_pinned_watermark_mechanics(spark)
     from rspl_spark.streaming.sources import (
         append_chunk,
         file_stream,
@@ -761,6 +796,7 @@ def q_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     could never have merged into an evicted session — closure loses
     only the tail, never a merge. (A delay shorter than the gap could
     evict a session a future in-order row would still extend.)"""
+    _require_pinned_watermark_mechanics(spark)
     e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     stream, tmp = _ordered_stream(
         e,

@@ -191,17 +191,70 @@ def _batch_as_stream(df: DataFrame, path: str | None = None) -> DataFrame:
     deliver it a second time mid-stream (corrupting seq-ordered FSM
     state whose first decision the seed drives). With a stable path the
     seed is written once and restarts re-read the already-committed
-    file; without one (ad-hoc, uncheckpointed runs) a temp dir is fine."""
+    file; without one (ad-hoc, uncheckpointed runs) a temp dir is fine.
+
+    Reuse of an existing ``path`` is keyed on a CONTENT fingerprint
+    (schema + canonically-sorted rows), not on "any .parquet exists": a
+    stale directory from a prior run with different seed data must not
+    be silently served as this query's seed. A matching pre-fingerprint
+    directory (written before the sidecar existed) is adopted in place —
+    rewriting identical content would mint new part-file names that a
+    live checkpoint's file source would deliver as brand-new rows."""
+    import hashlib
+    import json
     import os
     import tempfile
 
+    def _fingerprint(frame: DataFrame) -> dict:
+        # seeds are small by contract (finite prefix rows); a driver
+        # collect here is the same class as the memory-sink drain
+        rows = sorted(repr(tuple(r)) for r in frame.collect())
+        digest = hashlib.md5(
+            (frame.schema.simpleString() + "\x00" + "\n".join(rows)).encode()
+        ).hexdigest()
+        return {
+            "schema": frame.schema.simpleString(),
+            "rows": len(rows),
+            "hash": digest,
+        }
+
+    def _write(target: str) -> None:
+        df.coalesce(1).write.mode("overwrite").parquet(target)
+        fp = _fingerprint(df)
+        side_tmp = os.path.join(target, "_rspl_seed_meta.json.tmp")
+        with open(side_tmp, "w") as f:
+            json.dump(fp, f)
+        os.replace(side_tmp, os.path.join(target, "_rspl_seed_meta.json"))
+
     if path is None:
         path = tempfile.mkdtemp(prefix="rspl_seed_")
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        _write(path)
     elif not os.path.isdir(path) or not any(
         f.endswith(".parquet") for f in os.listdir(path)
     ):
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        _write(path)
+    else:
+        want = _fingerprint(df)
+        side = os.path.join(path, "_rspl_seed_meta.json")
+        if os.path.isfile(side):
+            with open(side) as f:
+                have = json.load(f)
+        else:
+            # pre-sidecar directory: fingerprint the committed content;
+            # a directory that can't even be read as this schema is by
+            # definition stale (mismatch → rewrite)
+            try:
+                have = _fingerprint(
+                    df.sparkSession.read.schema(df.schema).parquet(path)
+                )
+            except Exception:
+                have = None
+            if have == want:  # adopt in place, don't re-mint file names
+                with open(side + ".tmp", "w") as f:
+                    json.dump(have, f)
+                os.replace(side + ".tmp", side)
+        if have != want:
+            _write(path)
     return df.sparkSession.readStream.schema(df.schema).parquet(path)
 
 

@@ -382,3 +382,42 @@ def test_reregister_validates_stored_layout(spark, docs):
         assert _table_buckets(spark, name) == 4
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_nometa_layout_rebuilds_not_reregisters(spark, docs):
+    """r13 ADVICE fix: a complete-looking layout with NO _rspl_meta.json
+    (pre-sidecar store, or a crash between saveAsTable and the meta
+    write) is unvalidatable — re-registering it with whatever
+    (n_buckets, n_bands) the caller passes is exactly the silent
+    mis-bucketing the meta check targets. With data in hand the store
+    REBUILDS (with a warning, writing fresh meta); a registration-only
+    call (docs=None, sig=None) refuses."""
+    import os
+    import warnings as _warnings
+
+    from rspl_spark.operators.agg_store import _table_buckets
+    from rspl_spark.operators.dedup_store import _warehouse_path
+
+    name = "sigstore_nometa_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    d = docs.limit(50)
+    try:
+        create_signature_store(spark, d, name, n_buckets=4, n_bands=4,
+                               overwrite=True)
+        path = _warehouse_path(spark, name)
+        meta = os.path.join(path, "_rspl_meta.json")
+        # simulate the unvalidatable state: fresh catalog + no sidecar
+        spark.sql(f"DROP TABLE {name}")
+        os.remove(meta)
+        # registration-only: nothing to rebuild from -> refuse
+        with pytest.raises(ValueError, match="no _rspl_meta.json"):
+            create_signature_store(spark, None, name, n_buckets=8, n_bands=4)
+        # with data: rebuild under the CALLER's layout, loudly
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            create_signature_store(spark, d, name, n_buckets=8, n_bands=4)
+        assert any("rebuilding" in str(x.message) for x in w)
+        assert _table_buckets(spark, name) == 8
+        assert os.path.isfile(meta), "rebuild must write fresh meta"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -408,3 +408,45 @@ def test_tws_list_and_map_state(spark):
         # batch 1: recent [10,20,10] → "10,20,10", 2 distinct
         # batch 2: list state carried over → last3 of [10,20,10,30,20], 3 distinct
         assert by_batch == {"10,20,10": 2, "10,30,20": 3}
+
+
+def test_seed_reuse_keyed_on_content_fingerprint(spark):
+    """r13 ADVICE fix: _batch_as_stream must not serve a stale seed
+    directory from a prior run with different data just because a
+    .parquet exists there — reuse is keyed on a content fingerprint
+    (schema + rows). Same content reuses the committed files (stable
+    part-file names for checkpointed restarts); different content
+    rewrites; a pre-fingerprint dir with matching content is adopted
+    in place without re-minting file names."""
+    import glob
+    import os
+
+    from rspl_spark.streaming.sources import _batch_as_stream
+
+    def drain(stream, name):
+        q = (
+            stream.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(60)
+        return {r["v"] for r in spark.table(name).collect()}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "seed")
+        a = spark.createDataFrame([(1,), (2,)], "v long")
+        b = spark.createDataFrame([(7,), (8,)], "v long")
+        _batch_as_stream(a, path=path)
+        files1 = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # same content -> reuse: identical part-file names
+        _batch_as_stream(a, path=path)
+        assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == files1
+        # stale dir + different seed -> rewritten, new content served
+        out = drain(_batch_as_stream(b, path=path), "t_seed_fp_b")
+        assert out == {7, 8}
+        # pre-fingerprint dir (sidecar missing) with MATCHING content:
+        # adopted in place, file names preserved
+        os.remove(os.path.join(path, "_rspl_seed_meta.json"))
+        files2 = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        _batch_as_stream(b, path=path)
+        assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == files2
+        assert os.path.isfile(os.path.join(path, "_rspl_seed_meta.json"))
