@@ -361,7 +361,19 @@ def cell_cosine_pairs(
             }
         )
 
-    return prepped.groupBy(cell_col).applyInPandas(fn, out_schema)
+    # Pin the grouped-map parallelism (same fix as dsl/interpreter.py):
+    # AQE coalesces this exchange by shuffle-BYTE size, but the kernel's
+    # cost is QUADRATIC in cell rows — byte size systematically
+    # underestimates compute here, and the coalesced read was observed
+    # packing the cells onto a fraction of the machine. An explicit
+    # repartition on the cell key satisfies the grouping's distribution
+    # requirement (no second Exchange) and is exempt from coalescing.
+    par = prepped.sparkSession.sparkContext.defaultParallelism
+    return (
+        prepped.repartition(par, cell_col)
+        .groupBy(cell_col)
+        .applyInPandas(fn, out_schema)
+    )
 
 
 def cell_cosine_pairs_blocked(
@@ -463,7 +475,14 @@ def cell_cosine_pairs_blocked(
             }
         )
 
-    return exploded.groupBy(cell_col, "_bi", "_bj").applyInPandas(fn, out_schema)
+    # same parallelism pin as cell_cosine_pairs: quadratic per-task
+    # compute, so AQE's byte-size coalescing is the wrong objective
+    par = exploded.sparkSession.sparkContext.defaultParallelism
+    return (
+        exploded.repartition(par, cell_col, "_bi", "_bj")
+        .groupBy(cell_col, "_bi", "_bj")
+        .applyInPandas(fn, out_schema)
+    )
 
 
 # DoubleType() (not the DDL string "double"): the string form parses the
