@@ -43,29 +43,27 @@ def interpret_batch(
     kcol = _SINGLE_KEY if single else key_col
     key_field = work.schema[kcol]
     schema = f"`{kcol}` {key_field.dataType.simpleString()}, `{seq_col}` long, `{value_col}` {out_type}"
-    # The NULL guard applies only to NON-float value columns: there a
-    # NULL makes Arrow promote the whole integral column to float64, so
-    # the py_fn would silently see 1.0 instead of 1 (per-batch type
-    # drift keyed on data dirtiness). In a genuinely float-typed column
-    # pandas cannot distinguish Arrow NULL from a legitimate NaN value,
-    # so isna() would reject valid NaN-carrying streams — skip the
-    # guard there (a true NULL flows through as NaN, the float identity
-    # Arrow itself assigns it).
-    from pyspark.sql.types import DoubleType, FloatType
-
-    guard_nulls = not isinstance(
-        work.schema[value_col].dataType, (FloatType, DoubleType)
-    )
+    # Fail-loud NULL contract for ALL value types: rspl streams carry
+    # values, so a true Spark NULL is a caller error. pandas cannot see
+    # this after Arrow conversion — an integral column gets promoted to
+    # float64 (the py_fn would silently see 1.0 for 1) and in a float
+    # column NULL becomes NaN, indistinguishable from a legitimate NaN
+    # value. Spark CAN distinguish them before the grouped map, so we
+    # project an isNull flag alongside the value (r13 ADVICE): the
+    # guard fires on true NULLs in every type while NaN-carrying float
+    # streams keep flowing.
+    _NULL_FLAG = "__rspl_value_is_null__"
+    work = work.withColumn(_NULL_FLAG, F.col(value_col).isNull())
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col, kind="mergesort")
         key = pdf[kcol].iloc[0]
-        vals = pdf[value_col]
-        if guard_nulls and vals.isna().any():
+        if pdf[_NULL_FLAG].any():
             raise ValueError(
                 f"interpret_batch: NULL value in stream (key {key!r});"
                 " rspl streams carry values, filter NULL rows first"
             )
+        vals = pdf[value_col]
         outs = list(eval_sp(sp, vals.tolist()))
         return pd.DataFrame(
             {kcol: [key] * len(outs), seq_col: range(len(outs)), value_col: outs}
@@ -79,9 +77,13 @@ def interpret_batch(
     # the grouping's distribution requirement (no second exchange) and
     # is exempt from AQE coalescing. Single-key streams are inherently
     # serial (reference's totally-ordered semantics) — leave them alone.
+    # N comes from the shared cluster-safe helper (r13 ADVICE: bare
+    # defaultParallelism under-pins with dynamic allocation and breaks
+    # on Spark Connect).
     if not single:
-        par = work.sparkSession.sparkContext.defaultParallelism
-        work = work.repartition(par, kcol)
+        from rspl_spark.session import grouped_map_parallelism
+
+        work = work.repartition(grouped_map_parallelism(work.sparkSession), kcol)
     out = work.groupBy(kcol).applyInPandas(run, schema=schema)
     if single:
         return out.select(seq_col, value_col)

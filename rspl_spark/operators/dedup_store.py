@@ -140,29 +140,26 @@ def create_signature_store(
         # it predates the meta sidecar, or a crash landed between
         # saveAsTable and the meta write. Re-registering it with
         # whatever (n_buckets, n_bands) the caller passes is exactly the
-        # silent mis-bucketing the meta check exists to stop. When the
-        # call carries the data to rebuild from, rebuild (loud, not
-        # silent — any appended increments in the unvalidatable layout
-        # are discarded with it); a registration-only call has nothing
-        # to rebuild from and must refuse.
-        if docs is None and sig is None:
-            raise ValueError(
-                f"create_signature_store({name!r}): on-disk layout at "
-                f"{path} has no _rspl_meta.json, so its (n_buckets, "
-                "n_bands) cannot be validated against this call, and no "
-                "docs/sig were provided to rebuild from; pass "
-                "overwrite=True with data, or write the meta file "
-                "manually if the parameters are independently known"
-            )
-        import warnings
-
-        warnings.warn(
-            f"create_signature_store({name!r}): rebuilding — layout at "
-            f"{path} has no _rspl_meta.json (pre-sidecar or interrupted "
-            "write), so its bucket layout cannot be trusted",
-            stacklevel=2,
+        # silent mis-bucketing the meta check exists to stop. Rebuilding
+        # is equally unacceptable WITHOUT an explicit opt-in (r13
+        # ADVICE): a rebuild discards every appended increment and
+        # tombstone the layout holds — data loss an idempotent-looking
+        # create call must never trigger behind a mere warning. So:
+        # refuse either way, with the remedy in the message. Callers who
+        # accept losing the increments pass overwrite=True (handled
+        # above); callers who independently know the parameters write
+        # the meta file and re-register.
+        raise ValueError(
+            f"create_signature_store({name!r}): on-disk layout at "
+            f"{path} has no _rspl_meta.json, so its (n_buckets, "
+            "n_bands) cannot be validated against this call. "
+            "Refusing to re-register (silent mis-bucketing) and "
+            "refusing to rebuild implicitly (a rebuild discards any "
+            "appended increments/tombstones in the layout); pass "
+            "overwrite=True with docs/sig to rebuild, or write the "
+            "meta file manually if the parameters are independently "
+            "known"
         )
-        overwrite = True  # fall through to the fresh-build path
     if not overwrite and register_external_bucketed(spark, name, path, "bucket", n_buckets):
         return name
     # fresh build = fresh membership: stale tombstones (catalog OR a

@@ -304,6 +304,9 @@ def exact_scored_pairs(
     )
 
 
+PIN_MIN_ROWS = 65536  # below this, skip the parallelism pin (see below)
+
+
 def cell_cosine_pairs(
     prepped: DataFrame,
     cell_col: str = "cid",
@@ -311,6 +314,8 @@ def cell_cosine_pairs(
     emb_col: str = "emb",
     nrm_col: str = "nrm",
     min_raw: float | None = None,
+    est_rows: int | None = None,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """All within-cell cosine pairs (id_a < id_b) via one BLAS pass per
     cell: ``applyInPandas`` groups on the cell key, computes the cell's
@@ -335,6 +340,16 @@ def cell_cosine_pairs(
     blocking discipline; a cell must fit one task's memory, which is the
     codebook-sizing contract (k chosen so corpus/k cells are bounded;
     sub-block skewed cells by salting the cell key before this op).
+
+    ``est_rows``/``n_cells`` (optional, from a caller that already
+    counted — semantic_dedup's adaptive-k count) make the parallelism
+    pin SCALE-AWARE: below ``PIN_MIN_ROWS`` the whole kernel is
+    sub-second and the extra repartition is pure overhead (measured
+    r13: +4-8% on the sf0.1 embedding_pairs steady-state), so small
+    inputs skip the pin and let AQE coalesce; large inputs pin, capped
+    at ``n_cells`` (partitions beyond the number of distinct cells are
+    empty tasks). With neither hint, the pin applies — the conservative
+    default for the regime this kernel targets.
     """
     # id type derived from the input, not hardcoded long: a string
     # doc id would fail (or an int32 silently widen) at Arrow conversion
@@ -368,12 +383,15 @@ def cell_cosine_pairs(
     # packing the cells onto a fraction of the machine. An explicit
     # repartition on the cell key satisfies the grouping's distribution
     # requirement (no second Exchange) and is exempt from coalescing.
-    par = prepped.sparkSession.sparkContext.defaultParallelism
-    return (
-        prepped.repartition(par, cell_col)
-        .groupBy(cell_col)
-        .applyInPandas(fn, out_schema)
-    )
+    # Scale-aware: skipped when the caller counted the input small.
+    if est_rows is None or est_rows >= PIN_MIN_ROWS:
+        from rspl_spark.session import grouped_map_parallelism
+
+        par = grouped_map_parallelism(prepped.sparkSession)
+        if n_cells is not None:
+            par = max(1, min(par, n_cells))
+        prepped = prepped.repartition(par, cell_col)
+    return prepped.groupBy(cell_col).applyInPandas(fn, out_schema)
 
 
 def cell_cosine_pairs_blocked(
@@ -384,6 +402,7 @@ def cell_cosine_pairs_blocked(
     emb_col: str = "emb",
     nrm_col: str = "nrm",
     min_raw: float | None = None,
+    est_rows: int | None = None,
 ) -> DataFrame:
     """:func:`cell_cosine_pairs` with BOUNDED per-task memory: cells
     larger than ``max_cell_rows`` are split into B = ceil(n/max) blocks
@@ -476,11 +495,16 @@ def cell_cosine_pairs_blocked(
         )
 
     # same parallelism pin as cell_cosine_pairs: quadratic per-task
-    # compute, so AQE's byte-size coalescing is the wrong objective
-    par = exploded.sparkSession.sparkContext.defaultParallelism
+    # compute, so AQE's byte-size coalescing is the wrong objective;
+    # same scale-awareness (small counted inputs skip the pin). No
+    # n_cells cap here — the grid multiplies groups past the cell count.
+    if est_rows is None or est_rows >= PIN_MIN_ROWS:
+        from rspl_spark.session import grouped_map_parallelism
+
+        par = grouped_map_parallelism(exploded.sparkSession)
+        exploded = exploded.repartition(par, cell_col, "_bi", "_bj")
     return (
-        exploded.repartition(par, cell_col, "_bi", "_bj")
-        .groupBy(cell_col, "_bi", "_bj")
+        exploded.groupBy(cell_col, "_bi", "_bj")
         .applyInPandas(fn, out_schema)
     )
 
@@ -763,6 +787,7 @@ def semantic_dedup(
     # DEVNOTES round 8). Default None keeps the exact fit so gate
     # hashes are byte-stable.
     fit_frac = fit_sample_frac
+    n = None
     if k is None:
         # cap: the Lloyd fit is O(rows * k * d) per iteration — past
         # max_k the fit itself becomes the bottleneck (a k=4096 fit
@@ -780,12 +805,19 @@ def semantic_dedup(
     cents = kmeans_fit(e, vec_col, id_col, k, iters, sample_frac=fit_frac)
     assign = kmeans_assign(e, cents, vec_col, id_col).select(id_col, "cid")
     prepped = unit_prep(e, id_col, "emb", "nrm", vec_col, id_col).join(assign, id_col)
+    # n (when the adaptive-k path counted) makes the kernel's
+    # parallelism pin scale-aware: small corpora skip the extra
+    # repartition, large ones pin capped at the cell count
     if max_cell_rows is not None:
         pairs = cell_cosine_pairs_blocked(
-            prepped, max_cell_rows, min_raw=threshold - 1e-6, id_col=id_col
+            prepped, max_cell_rows, min_raw=threshold - 1e-6, id_col=id_col,
+            est_rows=n,
         )
     else:
-        pairs = cell_cosine_pairs(prepped, min_raw=threshold - 1e-6, id_col=id_col)
+        pairs = cell_cosine_pairs(
+            prepped, min_raw=threshold - 1e-6, id_col=id_col,
+            est_rows=n, n_cells=k,
+        )
     edges = (
         pairs.select(
             F.col(f"{id_col}_a").alias("doc_a"),

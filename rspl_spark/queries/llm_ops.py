@@ -1265,7 +1265,13 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_fit(e, k=8, iters=_IVF_TRAINED_ITERS)
     assign = kmeans_assign(e, cents).select("vec_id", "cid")
     prepped = _with_unit_prep(e, "vec_id", "emb", "nrm").join(assign, "vec_id")
-    pairs = cell_cosine_pairs(prepped, min_raw=_EMB_PAIR_THRESHOLD - 1e-6)
+    # metadata-only count (unfiltered parquet) feeds the kernel's
+    # scale-aware parallelism pin: small corpora skip the extra
+    # repartition (r13: +4-8% here), big ones pin capped at the cell count
+    pairs = cell_cosine_pairs(
+        prepped, min_raw=_EMB_PAIR_THRESHOLD - 1e-6,
+        est_rows=e.count(), n_cells=8,
+    )
     return (
         pairs.select(
             F.col("vec_id_a").alias("vec_a"),

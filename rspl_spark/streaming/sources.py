@@ -199,24 +199,57 @@ def _batch_as_stream(df: DataFrame, path: str | None = None) -> DataFrame:
     be silently served as this query's seed. A matching pre-fingerprint
     directory (written before the sidecar existed) is adopted in place —
     rewriting identical content would mint new part-file names that a
-    live checkpoint's file source would deliver as brand-new rows."""
+    live checkpoint's file source would deliver as brand-new rows.
+
+    A MISMATCH on an explicit path that already holds committed part
+    files RAISES instead of rewriting (r13 ADVICE): mode-overwrite on a
+    stable seed dir deletes exactly the files a live checkpoint's
+    file-source offsets reference — restart would then fail or
+    re-deliver the seed as new rows, the corruption the stable-path
+    contract exists to prevent. The caller must delete the directory or
+    pick a new path; only implicit temp dirs and dirs with no committed
+    parquet are auto-written. Fingerprints are versioned: v2 hashes
+    timestamps as UTC epoch microseconds so the hash no longer depends
+    on ``spark.sql.session.timeZone`` (collected timestamps are
+    session-local naive datetimes — a v1 sidecar written under one
+    session timezone would spuriously mismatch under another); v1
+    sidecars are compared with the v1 algorithm and upgraded in place
+    on match."""
     import hashlib
     import json
     import os
     import tempfile
 
-    def _fingerprint(frame: DataFrame) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    def _tz_stable(frame: DataFrame) -> DataFrame:
+        # session-timezone-independent projection: TIMESTAMP → UTC
+        # epoch micros, TIMESTAMP_NTZ → ISO string (already tz-free)
+        cols = []
+        for f in frame.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                cols.append(F.unix_micros(F.col(f.name)).alias(f.name))
+            elif isinstance(f.dataType, TimestampNTZType):
+                cols.append(F.col(f.name).cast("string").alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return frame.select(*cols)
+
+    def _fingerprint(frame: DataFrame, version: int = 2) -> dict:
         # seeds are small by contract (finite prefix rows); a driver
         # collect here is the same class as the memory-sink drain
+        schema_str = frame.schema.simpleString()
+        if version >= 2:
+            frame = _tz_stable(frame)
         rows = sorted(repr(tuple(r)) for r in frame.collect())
         digest = hashlib.md5(
-            (frame.schema.simpleString() + "\x00" + "\n".join(rows)).encode()
+            (schema_str + "\x00" + "\n".join(rows)).encode()
         ).hexdigest()
-        return {
-            "schema": frame.schema.simpleString(),
-            "rows": len(rows),
-            "hash": digest,
-        }
+        fp = {"schema": schema_str, "rows": len(rows), "hash": digest}
+        if version >= 2:
+            fp["v"] = 2
+        return fp
 
     def _write(target: str) -> None:
         df.coalesce(1).write.mode("overwrite").parquet(target)
@@ -226,6 +259,12 @@ def _batch_as_stream(df: DataFrame, path: str | None = None) -> DataFrame:
             json.dump(fp, f)
         os.replace(side_tmp, os.path.join(target, "_rspl_seed_meta.json"))
 
+    def _upgrade_sidecar(side: str) -> None:
+        fp = _fingerprint(df)
+        with open(side + ".tmp", "w") as f:
+            json.dump(fp, f)
+        os.replace(side + ".tmp", side)
+
     if path is None:
         path = tempfile.mkdtemp(prefix="rspl_seed_")
         _write(path)
@@ -234,27 +273,44 @@ def _batch_as_stream(df: DataFrame, path: str | None = None) -> DataFrame:
     ):
         _write(path)
     else:
-        want = _fingerprint(df)
         side = os.path.join(path, "_rspl_seed_meta.json")
         if os.path.isfile(side):
             with open(side) as f:
                 have = json.load(f)
+            want = _fingerprint(df, version=int(have.get("v", 1)))
+            if have == want:
+                if "v" not in have:  # re-key old sidecar tz-stably
+                    _upgrade_sidecar(side)
+            else:
+                raise ValueError(
+                    f"seed dir {path!r} holds committed seed data whose "
+                    f"content fingerprint does not match this query's seed "
+                    f"(have {have.get('hash')!r}, want {want['hash']!r}). "
+                    "Refusing to overwrite: a live checkpoint's file-source "
+                    "offsets may reference these part files. Delete the "
+                    "directory (and any checkpoint that references it) or "
+                    "pass a different seed_path."
+                )
         else:
             # pre-sidecar directory: fingerprint the committed content;
-            # a directory that can't even be read as this schema is by
-            # definition stale (mismatch → rewrite)
+            # match → adopt in place (don't re-mint file names);
+            # mismatch/unreadable → committed foreign data, raise
+            want = _fingerprint(df)
             try:
                 have = _fingerprint(
                     df.sparkSession.read.schema(df.schema).parquet(path)
                 )
             except Exception:
                 have = None
-            if have == want:  # adopt in place, don't re-mint file names
-                with open(side + ".tmp", "w") as f:
-                    json.dump(have, f)
-                os.replace(side + ".tmp", side)
-        if have != want:
-            _write(path)
+            if have == want:
+                _upgrade_sidecar(side)
+            else:
+                raise ValueError(
+                    f"seed dir {path!r} holds committed parquet that does "
+                    "not match this query's seed content. Refusing to "
+                    "overwrite committed data; delete the directory or "
+                    "pass a different seed_path."
+                )
     return df.sparkSession.readStream.schema(df.schema).parquet(path)
 
 

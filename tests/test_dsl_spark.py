@@ -177,11 +177,30 @@ def test_interpreter_rejects_null_stream_values(spark):
         ).collect()
 
 
+def test_interpreter_rejects_null_in_float_streams(spark):
+    """r14 ADVICE fix: a TRUE Spark NULL in a double-typed column must
+    still fail loudly — pandas can't tell NULL from NaN after Arrow
+    conversion, but Spark can BEFORE the grouped map, via the projected
+    isNull flag. (Pre-fix, float streams lost the fail-loud contract
+    entirely: a genuine NULL silently entered the FSM as NaN.)"""
+    import pytest
+
+    from rspl_spark.dsl.interpreter import interpret_batch
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0)], "seq long, value double"
+    )
+    with pytest.raises(Exception, match="NULL value in stream"):
+        interpret_batch(
+            map_sp(lambda v: v * 2.0), df, out_type="double"
+        ).collect()
+
+
 def test_interpreter_allows_nan_in_float_streams(spark):
-    """r13 ADVICE fix: in a double-typed value column pandas cannot
-    distinguish Arrow NULL from a legitimate NaN, so the NULL guard is
-    restricted to non-float dtypes — a valid NaN-carrying float stream
-    must flow through, not raise 'NULL value in stream'."""
+    """r13 ADVICE fix (mechanism updated r14): a legitimate NaN VALUE
+    in a double-typed column must flow through, not raise — the NULL
+    guard keys on Spark-side isNull (NaN is not NULL), not on pandas
+    isna (which conflates the two)."""
     import math
 
     from rspl_spark.dsl.interpreter import interpret_batch

@@ -384,16 +384,16 @@ def test_reregister_validates_stored_layout(spark, docs):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
-def test_nometa_layout_rebuilds_not_reregisters(spark, docs):
-    """r13 ADVICE fix: a complete-looking layout with NO _rspl_meta.json
-    (pre-sidecar store, or a crash between saveAsTable and the meta
-    write) is unvalidatable — re-registering it with whatever
-    (n_buckets, n_bands) the caller passes is exactly the silent
-    mis-bucketing the meta check targets. With data in hand the store
-    REBUILDS (with a warning, writing fresh meta); a registration-only
-    call (docs=None, sig=None) refuses."""
+def test_nometa_layout_refuses_without_overwrite(spark, docs):
+    """r13 ADVICE fix, hardened per r14 ADVICE: a complete-looking
+    layout with NO _rspl_meta.json (pre-sidecar store, or a crash
+    between saveAsTable and the meta write) is unvalidatable —
+    re-registering it risks silent mis-bucketing, and IMPLICITLY
+    rebuilding it (the r13 behavior, warning-gated) silently discards
+    any appended increments and tombstones the layout holds. Both
+    paths now refuse with the remedy in the message; only an explicit
+    overwrite=True with data rebuilds."""
     import os
-    import warnings as _warnings
 
     from rspl_spark.operators.agg_store import _table_buckets
     from rspl_spark.operators.dedup_store import _warehouse_path
@@ -412,11 +412,15 @@ def test_nometa_layout_rebuilds_not_reregisters(spark, docs):
         # registration-only: nothing to rebuild from -> refuse
         with pytest.raises(ValueError, match="no _rspl_meta.json"):
             create_signature_store(spark, None, name, n_buckets=8, n_bands=4)
-        # with data: rebuild under the CALLER's layout, loudly
-        with _warnings.catch_warnings(record=True) as w:
-            _warnings.simplefilter("always")
+        # WITH data but WITHOUT overwrite: still refuse — an
+        # idempotent-looking create must not trigger data loss
+        with pytest.raises(ValueError, match="overwrite=True"):
             create_signature_store(spark, d, name, n_buckets=8, n_bands=4)
-        assert any("rebuilding" in str(x.message) for x in w)
+        # committed part files untouched by either refusal
+        assert any(f.endswith(".parquet") for f in os.listdir(path))
+        # explicit opt-in rebuilds under the caller's layout
+        create_signature_store(spark, d, name, n_buckets=8, n_bands=4,
+                               overwrite=True)
         assert _table_buckets(spark, name) == 8
         assert os.path.isfile(meta), "rebuild must write fresh meta"
     finally:

@@ -411,15 +411,20 @@ def test_tws_list_and_map_state(spark):
 
 
 def test_seed_reuse_keyed_on_content_fingerprint(spark):
-    """r13 ADVICE fix: _batch_as_stream must not serve a stale seed
-    directory from a prior run with different data just because a
-    .parquet exists there — reuse is keyed on a content fingerprint
-    (schema + rows). Same content reuses the committed files (stable
-    part-file names for checkpointed restarts); different content
-    rewrites; a pre-fingerprint dir with matching content is adopted
-    in place without re-minting file names."""
+    """r13 ADVICE fix + r14 hardening: _batch_as_stream reuse is keyed
+    on a content fingerprint (schema + rows). Same content reuses the
+    committed files (stable part-file names for checkpointed restarts);
+    a pre-fingerprint dir with matching content is adopted in place
+    without re-minting file names; DIFFERENT content on an explicit
+    stable path now RAISES instead of silently overwriting the part
+    files a live checkpoint's file-source offsets may reference (r14
+    ADVICE: the overwrite deleted exactly the committed files the
+    stable-path contract protects)."""
     import glob
+    import json
     import os
+
+    import pytest
 
     from rspl_spark.streaming.sources import _batch_as_stream
 
@@ -440,13 +445,57 @@ def test_seed_reuse_keyed_on_content_fingerprint(spark):
         # same content -> reuse: identical part-file names
         _batch_as_stream(a, path=path)
         assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == files1
-        # stale dir + different seed -> rewritten, new content served
-        out = drain(_batch_as_stream(b, path=path), "t_seed_fp_b")
-        assert out == {7, 8}
+        # committed dir + different seed -> raise, committed files intact
+        with pytest.raises(ValueError, match="fingerprint does not match"):
+            _batch_as_stream(b, path=path)
+        assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == files1
+        out = drain(_batch_as_stream(a, path=path), "t_seed_fp_a")
+        assert out == {1, 2}
         # pre-fingerprint dir (sidecar missing) with MATCHING content:
-        # adopted in place, file names preserved
-        os.remove(os.path.join(path, "_rspl_seed_meta.json"))
-        files2 = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        _batch_as_stream(b, path=path)
-        assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == files2
-        assert os.path.isfile(os.path.join(path, "_rspl_seed_meta.json"))
+        # adopted in place, file names preserved, sidecar re-minted at v2
+        side = os.path.join(path, "_rspl_seed_meta.json")
+        os.remove(side)
+        _batch_as_stream(a, path=path)
+        assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == files1
+        with open(side) as f:
+            assert json.load(f)["v"] == 2
+        # pre-fingerprint dir with FOREIGN content -> raise (committed
+        # data is never silently deleted)
+        os.remove(side)
+        with pytest.raises(ValueError, match="Refusing to overwrite"):
+            _batch_as_stream(b, path=path)
+
+
+def test_seed_sidecar_v1_upgraded_in_place(spark):
+    """A v1 sidecar (pre-r14: row-repr hash, sensitive to the session
+    timezone) is compared with the v1 algorithm and upgraded to the
+    tz-stable v2 fingerprint in place on match — no part-file re-mint,
+    no spurious mismatch for existing checkpointed deployments."""
+    import glob
+    import json
+    import os
+
+    from rspl_spark.streaming.sources import _batch_as_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "seed")
+        a = spark.createDataFrame([(1,), (2,)], "v long")
+        _batch_as_stream(a, path=path)
+        side = os.path.join(path, "_rspl_seed_meta.json")
+        files1 = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # forge the v1 sidecar: same content, v1 (repr-based) hash
+        import hashlib
+
+        rows = sorted(repr(tuple(r)) for r in a.collect())
+        digest = hashlib.md5(
+            (a.schema.simpleString() + "\x00" + "\n".join(rows)).encode()
+        ).hexdigest()
+        with open(side, "w") as f:
+            json.dump(
+                {"schema": a.schema.simpleString(), "rows": 2, "hash": digest},
+                f,
+            )
+        _batch_as_stream(a, path=path)  # must match via v1, then upgrade
+        assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == files1
+        with open(side) as f:
+            assert json.load(f)["v"] == 2
