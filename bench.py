@@ -74,19 +74,22 @@ def main() -> None:
     for name in HEADLINE:
         # Steady-state measurement: first run pays one-time codegen /
         # broadcast-build / classloading; each timed run starts from a
-        # cleared cache so data-side work is fully re-executed. Min of
-        # two timed runs: wall times on a shared box draw ±20% scheduler
-        # noise, and the minimum is the standard steady-state estimator.
+        # cleared cache so data-side work is fully re-executed. MEDIAN
+        # of three timed runs (r13 verdict ask #4): single-shot and
+        # min-of-2 totals whipsawed two round narratives on pure box
+        # noise (r12 4.748 "win", r13 5.174 "regression" at equal CPU
+        # probe) — the median rejects one outlier in either direction
+        # where min only rejects slow ones.
         reg[name].fn(spark, sf_dir).count()
-        best, n = None, 0
-        for _ in range(2):
+        samples, n = [], 0
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             n = reg[name].fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+            samples.append(time.time() - t0)
+        times[name] = round(sorted(samples)[1], 3)
+        print(f"# {name}: {times[name]}s ({n} rows; runs "
+              f"{[round(s, 3) for s in sorted(samples)]})", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     result = {

@@ -58,32 +58,18 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# The Spark major.minor versions on which the watermark-mechanics drop
-# rule replayed by the adversarial oracles (ms-floored max, one-batch
-# filter lag, non-strict <=; module docstring above) has been verified
-# empirically — by tests/test_00_watermark_mechanics_pin.py, which runs
-# FIRST in the suite so a drift fails before any gate does.
-_WATERMARK_MECHANICS_PINNED = ("4.1",)
+# Spark-internals replays are version-pinned through the central
+# registry (r13 verdict ask #7): rspl_spark/streaming/pins.py holds
+# one dict of behavior → verified versions → pin test, and one raise
+# helper. The names below are kept as thin aliases so existing call
+# sites and the test_00 pin suite keep their anchors.
+from rspl_spark.streaming.pins import PINNED_BEHAVIORS, require_pinned
+
+_WATERMARK_MECHANICS_PINNED = PINNED_BEHAVIORS["watermark-mechanics"]["versions"]
 
 
 def _require_pinned_watermark_mechanics(spark: SparkSession) -> None:
-    """Fail LOUDLY if this Spark's watermark internals are unverified.
-
-    ``q_stream_late_data`` / ``q_session_window_append`` encode
-    WatermarkPropagator behavior a Spark minor upgrade could change; a
-    silent change would make the oracle wrong while still green-looking.
-    Cheap insurance (r12 verdict ask #3): refuse to gate on an
-    unpinned version instead of gating against a possibly-stale rule.
-    """
-    mm = ".".join(spark.version.split(".")[:2])
-    if mm not in _WATERMARK_MECHANICS_PINNED:
-        raise RuntimeError(
-            f"watermark-mechanics oracle is pinned to Spark "
-            f"{_WATERMARK_MECHANICS_PINNED} but this session runs "
-            f"{spark.version}: re-run tests/test_00_watermark_mechanics_"
-            "pin.py on this version, then add its major.minor to "
-            "_WATERMARK_MECHANICS_PINNED (queries/streaming_queries.py)"
-        )
+    require_pinned(spark, "watermark-mechanics")
 
 from rspl_spark.catalog import load
 from rspl_spark.queries import query
@@ -133,6 +119,7 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch boundary must merge in the state store, which is the
     semantics this gate pins (a session is state, not a window you can
     close per batch)."""
+    require_pinned(spark, "session-window-merge")
     e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     stream, tmp = _ordered_stream(
         e,
@@ -171,6 +158,7 @@ def q_session_window_dynamic_stream(spark: SparkSession, sf_dir: str) -> DataFra
     per-event gap durations merge in the state store exactly as the
     batch aggregation merges them, so the drained table reuses the
     batch ``q_sessionize_dynamic_gap`` oracle verbatim."""
+    require_pinned(spark, "session-window-merge")
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "event_id"
     )
@@ -477,6 +465,7 @@ def q_stream_merge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding-absorbed. The store IS the streaming state (Spark's state
     store stays empty): the 100 TB form of a continuously-maintained
     rollup that batch jobs and ad-hoc queries read mid-stream."""
+    require_pinned(spark, "foreachbatch-batch-identity")
     from rspl_spark.operators.agg_store import create_agg_store, read_final
     from rspl_spark.streaming.analytics import stream_merge_into_agg_store
     from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
@@ -797,6 +786,7 @@ def q_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the tail, never a merge. (A delay shorter than the gap could
     evict a session a future in-order row would still extend.)"""
     _require_pinned_watermark_mechanics(spark)
+    require_pinned(spark, "session-window-merge")
     e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     stream, tmp = _ordered_stream(
         e,

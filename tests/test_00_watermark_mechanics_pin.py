@@ -38,6 +38,29 @@ def test_spark_version_is_pinned_for_watermark_mechanics(spark):
     assert mm in _WATERMARK_MECHANICS_PINNED
 
 
+def test_all_registered_behaviors_pinned_on_this_spark(spark):
+    """r13 verdict ask #7: every Spark-internals replay our gates rely
+    on lives in ONE registry (streaming/pins.py), and the running Spark
+    is verified for all of them. An unpinned behavior must raise with
+    the re-verification recipe, not gate against a stale rule."""
+    import pytest
+
+    from rspl_spark.streaming.pins import PINNED_BEHAVIORS, require_pinned
+
+    assert {"watermark-mechanics", "session-window-merge",
+            "foreachbatch-batch-identity"} <= set(PINNED_BEHAVIORS)
+    for behavior, spec in PINNED_BEHAVIORS.items():
+        require_pinned(spark, behavior)  # must not raise on this box
+        assert spec["verified_by"], behavior
+        assert spec["gates"], behavior
+
+    class _Fake:
+        version = "9.9.9"
+
+    with pytest.raises(RuntimeError, match="watermark-mechanics"):
+        require_pinned(_Fake(), "watermark-mechanics")
+
+
 def _run_chunks(spark, chunks, schema, build, mode="append"):
     """Write each rows-list as one mtime-ordered chunk, stream through
     ``build``, drain with availableNow, return the memory table rows."""

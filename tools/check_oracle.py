@@ -5,12 +5,17 @@ parquet tables, then compares: row count, column names (sorted), and an
 order-insensitive value hash (floats rounded to 6 decimals, rows
 canonically sorted).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, per-query status ("pass"/"okNA"/"fail"), rows, seconds,
+and failure detail are also written as one JSON document — the shape
+committed as docs/bench/r*_sweep artifacts.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -47,8 +52,15 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
     reg = load_registry()
     con = duckdb.connect()
     for t in TABLES:
@@ -61,6 +73,22 @@ def main() -> int:
     # sorts first and read as a 5-10x outlier in the per-query timings
     reg["q1_pricing_summary"].fn(spark, sf_dir).collect()
     n_pass = n_fail = 0
+
+    def _flush() -> None:
+        if json_out is None:
+            return
+        doc = {
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_total": len(records),
+            "queries": records,
+        }
+        tmp = json_out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        os.replace(tmp, json_out)
+
     for name, spec in sorted(reg.items()):
         if only and name not in only:
             continue
@@ -69,17 +97,35 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:400]}")
+            records[name] = {
+                "status": "fail",
+                "sec": round(time.time() - t0, 1),
+                "detail": f"SPARK ERROR {type(e).__name__}: {str(e)[:400]}",
+            }
             n_fail += 1
+            _flush()
             continue
         if spec.oracle is None:
             print(f"okNA {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            records[name] = {
+                "status": "okNA",
+                "rows": len(sdf),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
+            _flush()
             continue
         try:
             ddf = con.sql(spec.oracle).df()
         except Exception as e:
             print(f"FAIL {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:400]}")
+            records[name] = {
+                "status": "fail",
+                "sec": round(time.time() - t0, 1),
+                "detail": f"DUCKDB ERROR {type(e).__name__}: {str(e)[:400]}",
+            }
             n_fail += 1
+            _flush()
             continue
         cs, cd = canon(sdf), canon(ddf)
         problems = []
@@ -100,10 +146,21 @@ def main() -> int:
             problems.append(f"hash mismatch cols={diff_cols}{ex}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
+            records[name] = {
+                "status": "fail",
+                "sec": round(time.time() - t0, 1),
+                "detail": "; ".join(problems)[:600],
+            }
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(cs)} [{time.time()-t0:.1f}s]")
+            records[name] = {
+                "status": "pass",
+                "rows": len(cs),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
+        _flush()
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
