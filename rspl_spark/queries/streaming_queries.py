@@ -1108,3 +1108,152 @@ def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = _drain(out, "t_q_chained", [tmp])
     return got.orderBy("event_type", "win_start")
+
+
+# ---------------------------------------------------------------------------
+# Pelican capability feedback on the TWS per-key-timer backend (r13
+# verdict ask #6: the per-key-timer path carries gate mileage). One
+# "start" event per user arms a pelican-lite crossing FSM
+# (examples/pelican.rs:306-367 capability pattern): every output is a
+# capability; "timeout_after:N" capabilities schedule a per-key timer
+# whose expiry feeds "timeout" back to the FSM — the reference's
+# feedback-worker thread as real Structured Streaming timers. The
+# per-key output trace is a pure function of the FSM (timers only pace
+# delivery), so the oracle is the distinct-user set cross-joined with
+# the pure-DSL ground-truth trace.
+
+_PELICAN_TRACE = [
+    "veh:green",
+    "timeout_after:100",
+    "veh:yellow",
+    "timeout_after:50",
+    "ped:green",
+]
+
+_PELICAN_CAP_ORACLE = """
+SELECT CAST(u.user_id AS VARCHAR) AS key, t.seq, t.value
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (VALUES (0, 'veh:green'), (1, 'timeout_after:100'),
+                   (2, 'veh:yellow'), (3, 'timeout_after:50'),
+                   (4, 'ped:green')) AS t(seq, value)
+ORDER BY key, seq
+"""
+
+
+@query(
+    "q_pelican_capability_stream",
+    oracle=_PELICAN_CAP_ORACLE,
+    tags=("dsl", "fsm", "streaming", "tws"),
+)
+def q_pelican_capability_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed capability-feedback FSMs on per-key timers
+    (transformWithStateInPandas), one crossing per user: 'start' emits
+    vehicles-green + a 100ms timeout capability; the timer's expiry
+    drives yellow + a 50ms capability; its expiry serves pedestrians.
+    Ground truth is computed from the pure DSL term inside the gate
+    (the backend-parity discipline) and must equal the oracle's VALUES
+    trace; the streamed result must deliver it per key, exactly once,
+    in order."""
+    import time as _time
+
+    from rspl_spark.dsl.core import Get, Put, run_prefix
+    from rspl_spark.streaming import run_mealy
+    from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
+
+    def build():
+        def _m(*caps_then_state):
+            *caps, state = caps_then_state
+            sp = state
+            for cap in reversed(caps):
+                sp = Put(cap, (lambda s: lambda: s)(sp))
+            return sp
+
+        def idle():
+            return Get(
+                lambda ev: _m("veh:green", "timeout_after:100", wait_yellow())
+                if ev == "start"
+                else idle()
+            )
+
+        def wait_yellow():
+            return Get(
+                lambda ev: _m("veh:yellow", "timeout_after:50", wait_ped())
+                if ev == "timeout"
+                else wait_yellow()
+            )
+
+        def wait_ped():
+            return Get(
+                lambda ev: _m("ped:green", done()) if ev == "timeout" else wait_ped()
+            )
+
+        def done():
+            return Get(lambda _ev: done())
+
+        return idle()
+
+    # pure-DSL ground truth; the oracle's VALUES list replays exactly this
+    expected, sp = [], build()
+    for ev in ("start", "timeout", "timeout"):
+        outs, sp = run_prefix(sp, [ev])
+        expected.extend(outs)
+    if expected != _PELICAN_TRACE:
+        raise AssertionError(
+            f"pelican trace drifted from oracle: {expected}"
+        )
+
+    starts = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+        .select("key", F.lit(0).alias("seq"), F.lit("start").alias("value"))
+    )
+    n_keys = starts.count()
+
+    def cap(v):
+        s = str(v)
+        return (
+            int(s.split(":", 1)[1]) if s.startswith("timeout_after:") else None
+        )
+
+    tmp = tempfile.mkdtemp(prefix="rspl_sq_pelican_")
+    name = f"q_pelican_cap_{uuid.uuid4().hex[:8]}"
+    try:
+        write_sorted_chunks(starts, tmp, ["key"], 1)
+        stream = file_stream(spark, tmp, "key string, seq long, value string")
+        out = run_mealy(
+            stream,
+            build,
+            "string",
+            backend="tws",
+            timeout_event="timeout",
+            timeout_capability=cap,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            # poll-then-stop: the query never "finishes" (timers keep
+            # the stream alive), so drain until every key delivered its
+            # full trace
+            want = n_keys * len(_PELICAN_TRACE)
+            deadline = _time.time() + 300
+            while _time.time() < deadline:
+                if spark.table(name).count() >= want:
+                    break
+                _time.sleep(0.3)
+            else:
+                raise RuntimeError(
+                    f"q_pelican_capability_stream: {spark.table(name).count()}"
+                    f"/{want} outputs after 300s"
+                )
+        finally:
+            q.stop()
+        rows = spark.table(name).orderBy("key", "seq").collect()
+        return spark.createDataFrame(rows, spark.table(name).schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

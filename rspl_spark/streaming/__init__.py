@@ -22,6 +22,8 @@ from rspl_spark.streaming.windows import (  # noqa: F401
     tumbling_agg,
 )
 from rspl_spark.streaming.stateful import (  # noqa: F401
+    mealy_backend,
+    run_mealy,
     run_mealy_stream,
     run_mealy_stream_tws,
 )

@@ -91,9 +91,12 @@ def run_mealy_stream_tws(
         StatefulProcessorHandle,
     )
 
-    from rspl_spark.streaming.tws_runtime import ensure_rocksdb_state_store
+    from rspl_spark.streaming.tws_runtime import enable_tws_runtime_for_session
 
-    ensure_rocksdb_state_store(stream_df.sparkSession)
+    # session-level enablement (not just the RocksDB conf): works even
+    # on a session this process did not create — the vendored protobuf
+    # reaches workers via sc.environment per-function env vars
+    enable_tws_runtime_for_session(stream_df.sparkSession)
     use_timers = timeout_ms is not None or timeout_capability is not None
     out_schema = f"`{key_col}` string, `{seq_col}` long, `{value_col}` {out_type}"
 
@@ -261,3 +264,76 @@ def run_mealy_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def mealy_backend(
+    spark, need_capability_feedback: bool = False
+) -> str:
+    """Default-backend decision (r13 verdict ask #6), executable.
+
+    - ``"tws"`` (transformWithStateInPandas) is the DEFAULT on
+      Spark >= 4.0 whenever its runtime prerequisites hold (a
+      ``google.protobuf`` importable driver-side — natively or vendored
+      — and the bundled RocksDB state store). It is strictly more
+      capable: real per-key timers (capability feedback fires at its
+      scheduled time, not "whenever the key's next batch runs"), state
+      in named variables, RocksDB-backed stores.
+    - ``"legacy"`` (applyInPandasWithState) on Spark 3.x, or when the
+      protobuf runtime is unavailable. Its batch-paced timeout
+      approximation keeps the idle-sentinel contract (parity-swept in
+      tests/test_mealy_backend_parity.py) but cannot express
+      capability-driven feedback — if that is required and TWS is not
+      available, raise rather than approximate.
+
+    The sweep that licenses this default: legacy == TWS == pure-DSL on
+    keyed FSMs, composition, and idle timeouts
+    (tests/test_mealy_backend_parity.py), plus the pelican capability
+    trace on TWS against the pure-DSL ground truth (tests/test_streaming
+    .py::test_tws_pelican_capability_timer_parity, gate
+    q_pelican_capability_stream).
+    """
+    from rspl_spark.streaming.tws_runtime import enable_tws_runtime
+
+    major = int(spark.version.split(".")[0])
+    tws_ok = major >= 4 and enable_tws_runtime()
+    if need_capability_feedback and not tws_ok:
+        raise RuntimeError(
+            "capability-driven feedback (timeout_capability) needs the "
+            "TWS backend: Spark >= 4.0 with a google.protobuf runtime. "
+            f"This session: Spark {spark.version}, protobuf "
+            f"{'ok' if enable_tws_runtime() else 'missing'}. The legacy "
+            "backend's batch-paced timers cannot honor per-output "
+            "schedules; refusing to approximate."
+        )
+    return "tws" if tws_ok else "legacy"
+
+
+def run_mealy(
+    stream_df: DataFrame,
+    sp_factory: Callable[[], StreamProcessor],
+    out_type: str,
+    backend: str = "auto",
+    **kwargs,
+) -> DataFrame:
+    """One entry point for the keyed stateful Mealy template: dispatch
+    to :func:`run_mealy_stream_tws` or :func:`run_mealy_stream` per
+    :func:`mealy_backend` (``backend="auto"``), or force one
+    explicitly. ``timeout_capability`` implies TWS (the legacy backend
+    cannot express it)."""
+    if backend == "auto":
+        backend = mealy_backend(
+            stream_df.sparkSession,
+            need_capability_feedback=kwargs.get("timeout_capability")
+            is not None,
+        )
+    if backend == "tws":
+        return run_mealy_stream_tws(stream_df, sp_factory, out_type, **kwargs)
+    if backend == "legacy":
+        if kwargs.get("timeout_capability") is not None:
+            raise ValueError(
+                "timeout_capability requires backend='tws' (per-key "
+                "timers); the legacy backend cannot honor per-output "
+                "schedules"
+            )
+        return run_mealy_stream(stream_df, sp_factory, out_type, **kwargs)
+    raise ValueError(f"unknown backend {backend!r}: use 'auto', 'tws', 'legacy'")

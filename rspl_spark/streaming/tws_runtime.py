@@ -81,3 +81,42 @@ def ensure_rocksdb_state_store(spark) -> None:
         cur = None
     if not cur or cur.rsplit(".", 1)[-1] == "HDFSBackedStateStoreProvider":
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+def enable_tws_runtime_for_session(spark) -> bool:
+    """Make the TWS runtime work on an ALREADY-CREATED session.
+
+    :func:`enable_tws_runtime`'s ``PYTHONPATH`` export only reaches
+    Python workers if it runs before the JVM launches — a session the
+    caller did not create (the correctness driver's vanilla session, a
+    notebook kernel) is too late for that route. But PySpark ships
+    ``sc.environment`` as per-function worker env vars, and the worker
+    pool is keyed on (pythonExec, envVars) — a changed env spawns a
+    fresh daemon with it (verified empirically: the TWS query's worker
+    imports the vendored protobuf this way on a session created first).
+    Returns True when the protobuf runtime is available driver-side
+    (natively or vendored); also applies the RocksDB provider conf.
+    """
+    ok = enable_tws_runtime()
+    ensure_rocksdb_state_store(spark)
+    if ok:
+        try:
+            env = spark.sparkContext.environment
+        except Exception:  # Spark Connect: no sparkContext; executor
+            return ok      # env must be provisioned at cluster setup
+        for parent in _VENDORED_PROTOBUF_PARENTS:
+            if not os.path.isdir(os.path.join(parent, "google", "protobuf")):
+                continue
+            # membership must be checked against sc.environment's OWN
+            # value — os.environ already holds the parent after
+            # enable_tws_runtime(), but os.environ does NOT reach
+            # workers of an already-launched JVM; sc.environment does
+            paths = env.get("PYTHONPATH", "")
+            if parent not in paths.split(os.pathsep):
+                env["PYTHONPATH"] = (
+                    parent + (os.pathsep + paths if paths else "")
+                )
+            env.setdefault(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+            )
+    return ok

@@ -177,3 +177,33 @@ def test_idle_timeout_feedback(spark, backend):
     assert [(r["key"], r["value"]) for r in rows if r["key"] == "a"] == [
         ("a", 99)
     ]
+
+
+def test_run_mealy_dispatcher_decision(spark):
+    """r13 verdict ask #6: the default-backend decision is executable.
+    On this box (Spark 4.x + vendored protobuf) auto resolves to TWS;
+    capability feedback refuses the legacy backend outright; unknown
+    names raise."""
+    from rspl_spark.streaming import mealy_backend, run_mealy
+
+    assert mealy_backend(spark) == ("tws" if TWS_AVAILABLE else "legacy")
+
+    df = spark.createDataFrame([("a", 0, 1)], "key string, seq long, value long")
+
+    def fsm():
+        from rspl_spark.dsl.core import Get, Put
+
+        def loop():
+            return Get(lambda v: Put(v, loop))
+
+        return loop()
+
+    with pytest.raises(ValueError, match="timeout_capability"):
+        run_mealy(df, fsm, "long", backend="legacy",
+                  timeout_event=-1, timeout_capability=lambda v: 10)
+    with pytest.raises(ValueError, match="unknown backend"):
+        run_mealy(df, fsm, "long", backend="nope")
+    if not TWS_AVAILABLE:
+        with pytest.raises(RuntimeError, match="TWS backend"):
+            run_mealy(df, fsm, "long", backend="auto",
+                      timeout_event=-1, timeout_capability=lambda v: 10)
