@@ -5,11 +5,16 @@ parquet tables, then compares: row count, column names (sorted), and an
 order-insensitive value hash (floats rounded to 6 decimals, rows
 canonically sorted).
 
-Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [--resume]
+           [--no-oracle q1,q2] [sf_dir] [query ...]
 
 With --json, per-query status ("pass"/"okNA"/"fail"), rows, seconds,
-and failure detail are also written as one JSON document — the shape
-committed as docs/bench/r*_sweep artifacts.
+and failure detail are also written as one JSON document (flushed
+incrementally) — the shape committed as docs/bench/r*_sweep artifacts.
+--resume reloads OUT.json and skips queries already recorded pass/okNA
+(fails rerun). --no-oracle runs only the Spark side for the named
+queries, recording an explicit oracle exclusion — for scales where the
+DuckDB twin is intractable (e.g. an O(n^2) cross-join oracle at sf1).
 """
 
 from __future__ import annotations
@@ -58,9 +63,26 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    resume = "--resume" in argv
+    if resume:
+        argv.remove("--resume")
+    no_oracle: set[str] = set()
+    if "--no-oracle" in argv:
+        i = argv.index("--no-oracle")
+        no_oracle = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     records: dict[str, dict] = {}
+    if resume and json_out and os.path.isfile(json_out):
+        with open(json_out) as f:
+            prior = json.load(f).get("queries", {})
+        records = {
+            k: v for k, v in prior.items() if v.get("status") != "fail"
+        }
+        print(f"# resume: {len(records)} prior results kept, "
+              f"{sum(1 for v in prior.values() if v.get('status') == 'fail')} "
+              "fails will rerun")
     reg = load_registry()
     con = duckdb.connect()
     for t in TABLES:
@@ -92,6 +114,10 @@ def main() -> int:
     for name, spec in sorted(reg.items()):
         if only and name not in only:
             continue
+        if name in records:  # --resume: already verified this run file
+            st = records[name]["status"]
+            n_pass += 1 if st in ("pass", "okNA", "excluded") else 0
+            continue
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
@@ -103,6 +129,20 @@ def main() -> int:
                 "detail": f"SPARK ERROR {type(e).__name__}: {str(e)[:400]}",
             }
             n_fail += 1
+            _flush()
+            continue
+        if name in no_oracle:
+            print(f"EXCL {name}: rows={len(sdf)} (oracle excluded at this "
+                  f"scale) [{time.time()-t0:.1f}s]")
+            records[name] = {
+                "status": "excluded",
+                "rows": len(sdf),
+                "sec": round(time.time() - t0, 1),
+                "detail": "oracle excluded at this scale (--no-oracle): "
+                          "DuckDB twin intractable; Spark side ran, row "
+                          "count recorded",
+            }
+            n_pass += 1
             _flush()
             continue
         if spec.oracle is None:
