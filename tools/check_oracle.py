@@ -71,6 +71,11 @@ def main() -> int:
         i = argv.index("--no-oracle")
         no_oracle = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+    skip: set[str] = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     records: dict[str, dict] = {}
@@ -117,6 +122,18 @@ def main() -> int:
         if name in records:  # --resume: already verified this run file
             st = records[name]["status"]
             n_pass += 1 if st in ("pass", "okNA", "excluded") else 0
+            continue
+        if name in skip:
+            print(f"SKIP {name}: excluded at this scale (--skip)")
+            records[name] = {
+                "status": "excluded",
+                "detail": "query excluded at this scale (--skip): both "
+                          "engine and oracle are deliberately brute-force "
+                          "at gate scale; the blocked/indexed variants are "
+                          "the scale path",
+            }
+            n_pass += 1
+            _flush()
             continue
         t0 = time.time()
         try:
