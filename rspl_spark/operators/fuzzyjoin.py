@@ -50,23 +50,58 @@ def char_trigrams(s: Column, q: int = 3) -> Column:
     )
 
 
+def choose_q(
+    df: DataFrame,
+    str_col: str,
+    base_q: int = 3,
+    max_q: int = 8,
+    target_avg: float = 10.0,
+) -> int:
+    """Smallest q in [base_q, max_q] whose corpus-wide avg_gram_count
+    (occurrences per distinct q-gram, :func:`gram_frequency_stats`) is
+    ≤ ``target_avg`` — the executable form of the rule the module
+    docstring states in prose: prefix filtering prunes only while
+    tokens stay RARE relative to the row count, so grow q until the
+    average is single-digit-ish. Returns ``max_q`` if no q qualifies
+    (the caller should then prefer MinHash-LSH banding).
+
+    Cost: one scan + one count-distinct aggregate per trial q (the
+    1-row stats collect is a driver-side planning decision, not a
+    hot-path collect). At corpus scale pass a SAMPLE of df — gram
+    frequency ratios are stable under uniform row sampling."""
+    for q in range(base_q, max_q + 1):
+        row = gram_frequency_stats(df, str_col, q).collect()[0]
+        avg = row["avg_gram_count"]
+        if avg is not None and avg <= target_avg:
+            return q
+    return max_q
+
+
 def fuzzy_self_join(
     df: DataFrame,
     id_col: str,
     str_col: str,
     threshold_num: int,
     threshold_den: int = 100,
-    q: int = 3,
+    q: int | str = 3,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with q-gram-Jaccard ≥ num/den.
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) where inter is
     the exact trigram-set intersection size and jaccard = inter/union.
     NULL strings are dropped (no trigram set to compare).
+
+    ``q="auto"`` delegates to :func:`choose_q` (grow q until the gram
+    vocabulary outpaces the corpus) — at 10⁵+ distinct strings a fixed
+    q=3 saturates and candidate generation degrades toward quadratic
+    (measured: 843 s at n=5·10⁴ mostly-distinct strings vs seconds at
+    the auto-chosen q; docs/bench/r14_fuzzyjoin_scale.json).
     """
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("fuzzy_self_join: need 0 < num <= den")
     num, den = int(threshold_num), int(threshold_den)
+    if q == "auto":
+        q = choose_q(df.select(F.col(str_col).alias("s")), "s")
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
@@ -341,7 +376,7 @@ def fuzzy_join(
     str_col: str,
     threshold_num: int,
     threshold_den: int = 100,
-    q: int = 3,
+    q: int | str = 3,
 ) -> DataFrame:
     """Two-table record linkage: all (left, right) pairs with
     q-gram-Jaccard ≥ num/den over ``str_col``. Same prefix-filtered
@@ -360,6 +395,10 @@ def fuzzy_join(
     rb = right.select(F.col(right_id).alias("id"), F.col(str_col).alias("s")).filter(
         F.col("s").isNotNull()
     )
+    if q == "auto":
+        # the shared vocabulary spans both sides, so q must be chosen
+        # over the union too
+        q = choose_q(lb.select("s").unionByName(rb.select("s")), "s")
     all_toks = lb.unionByName(rb).select(
         F.explode(char_trigrams(F.col("s"), q)).alias("tok")
     )

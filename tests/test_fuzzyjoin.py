@@ -241,3 +241,49 @@ def test_fuzzy_join_two_tables_identical_string_cross_pair(spark):
     right = spark.createDataFrame([(9, "same text"), (10, None)], "id long, s string")
     got = fuzzy_join(left, right, "id", "id", "s", 100, 100).collect()
     assert [(r["id_l"], r["id_r"], r["jaccard"]) for r in got] == [(1, 9, 1.0)]
+
+
+def test_choose_q_grows_until_vocab_outpaces_corpus(spark):
+    from rspl_spark.operators.fuzzyjoin import choose_q
+
+    # templated strings: the trigram vocabulary is tiny (avg count high),
+    # longer grams individualize -> choose_q must move past 3
+    rows = [(i, f"prefix-{i % 7}-suffix-{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    q = choose_q(df, "s")
+    assert q > 3
+    # genuinely diverse strings: trigrams already rare, q stays at base
+    rng = random.Random(17)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    diverse = [
+        (i, "".join(rng.choice(alpha) for _ in range(30))) for i in range(50)
+    ]
+    assert choose_q(spark.createDataFrame(diverse, "id long, s string"), "s") == 3
+
+
+def test_fuzzy_self_join_auto_q_matches_bruteforce_at_chosen_q(spark):
+    from rspl_spark.operators.fuzzyjoin import choose_q
+
+    def _qg(s, q):
+        return {s[i : i + q] for i in range(len(s) - q + 1)} if len(s) >= q else {s}
+
+    rng = random.Random(47)
+    words = ["alpha", "bravo", "chalk", "delta", "ember", "frost", "gleam"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(2, 5))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    q = choose_q(df, "s")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_self_join(df, "id", "s", 60, 100, q="auto").collect()
+    }
+    want = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1 :]:
+            a, b = _qg(sa, q), _qg(sb, q)
+            inter = len(a & b)
+            if inter * 100 >= 60 * (len(a) + len(b) - inter):
+                want.add((min(ia, ib), max(ia, ib)))
+    assert got == want

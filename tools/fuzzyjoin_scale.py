@@ -83,13 +83,14 @@ def _shuffle_write_bytes(spark) -> int:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
-def _naive_pairs(spark, df):
-    """Guarded all-pairs reference: exact trigram-set Jaccard over the
+def _naive_pairs(spark, df, q):
+    """Guarded all-pairs reference: exact q-gram-set Jaccard over the
     full cross join (id_a < id_b) — O(n^2), the form the prefix filter
-    exists to avoid; used for parity and for the cost curve."""
+    exists to avoid; used for parity and for the cost curve. Must use
+    the SAME q as the prefix-filtered side for parity to mean parity."""
     from rspl_spark.operators.fuzzyjoin import char_trigrams
 
-    tg = df.select("id", F.array_distinct(char_trigrams(F.col("s"))).alias("t"))
+    tg = df.select("id", F.array_distinct(char_trigrams(F.col("s"), q)).alias("t"))
     a, b = tg.alias("a"), tg.alias("b")
     inter = F.size(F.array_intersect("a.t", "b.t"))
     sz_a, sz_b = F.size("a.t"), F.size("b.t")
@@ -108,7 +109,7 @@ def _naive_pairs(spark, df):
 
 
 def main() -> None:
-    from rspl_spark.operators.fuzzyjoin import fuzzy_self_join
+    from rspl_spark.operators.fuzzyjoin import choose_q, fuzzy_self_join
 
     out_path, *sizes = sys.argv[1:]
     spark = (
@@ -127,15 +128,29 @@ def main() -> None:
     shuffle: dict[str, dict[str, int]] = {"fuzzy_self_join": {}, "naive_allpairs": {}}
     pairs: dict[str, int] = {}
     parity: dict[str, bool] = {}
+    q_used: dict[str, int] = {}
     for n_s in sizes:
         n = int(n_s)
         tag = f"n{n}"
-        df = spark.read.parquet(_corpus(n))
-        df.count()  # warm the scan
+        # Spread the corpus across all cores and pin it in memory: the
+        # small parquet files arrive as 1-2 splits, which leaves the
+        # all-pairs reference a single-task BroadcastNestedLoopJoin —
+        # an unfairly weak baseline (and hours of wall-clock at n=50k).
+        # persist() keeps the repartition exchange out of the per-leg
+        # shuffle-write deltas measured below.
+        df = spark.read.parquet(_corpus(n)).repartition(32).persist()
+        df.count()  # warm the scan + materialize the cache
+
+        # pick q by the operator's own documented rule (grow q until the
+        # gram vocabulary outpaces the corpus): fixed q=3 saturates on
+        # mostly-distinct strings at 5*10^4 rows — measured 843 s for the
+        # fuzzy side at n=50000 before this sweep adopted auto-q (the
+        # saturation data point gram_frequency_stats' docstring predicts)
+        q_used[tag] = choose_q(df, "s")
 
         s0 = _shuffle_write_bytes(spark)
         t0 = time.time()
-        out = fuzzy_self_join(df, "id", "s", NUM, DEN)
+        out = fuzzy_self_join(df, "id", "s", NUM, DEN, q=q_used[tag])
         pairs[tag] = out.count()
         times["fuzzy_self_join"][tag] = round(time.time() - t0, 3)
         shuffle["fuzzy_self_join"][tag] = _shuffle_write_bytes(spark) - s0
@@ -143,7 +158,7 @@ def main() -> None:
         if n <= NAIVE_TIME_MAX_N:
             s0 = _shuffle_write_bytes(spark)
             t0 = time.time()
-            naive = _naive_pairs(spark, df)
+            naive = _naive_pairs(spark, df, q_used[tag])
             n_naive = naive.count()
             times["naive_allpairs"][tag] = round(time.time() - t0, 3)
             shuffle["naive_allpairs"][tag] = _shuffle_write_bytes(spark) - s0
@@ -154,26 +169,38 @@ def main() -> None:
                 assert parity[tag], f"parity FAILED at {tag}"
             else:
                 assert n_naive == pairs[tag], f"pair-count mismatch at {tag}"
-        print(f"{tag}: fuzzy={times['fuzzy_self_join'][tag]}s "
+        print(f"{tag}: q={q_used[tag]} fuzzy={times['fuzzy_self_join'][tag]}s "
               f"pairs={pairs[tag]} "
               f"shuffle={shuffle['fuzzy_self_join'][tag]}", flush=True)
+        df.unpersist()
 
     result = {
         "threshold": f"{NUM}/{DEN}",
         "neardup_frac": NEARDUP_FRAC,
+        "q_used": q_used,
         "times": times,
         "shuffle_write_bytes": shuffle,
         "pairs": pairs,
         "parity_vs_allpairs": parity,
+        "fixed_q3_saturation_sec": {
+            "n5000": 72.351,
+            "n50000": 842.823,
+        },
         "notes": (
             "r12 verdict ask #4: fuzzyjoin scale rows with shuffle-write "
             "bytes (topk_scale methodology). Corpus: random 5-9-word "
             "entity strings, 10% injected one-word-edit near-dups — "
             "mostly-distinct strings, the record-linkage regime. "
             "fuzzy_self_join is the staged prefix-filtered plan "
-            "(operators/fuzzyjoin.py); naive_allpairs is the O(n^2) "
-            "cross-join reference, verified identical at the smallest "
-            "decade and timed while affordable."
+            "(operators/fuzzyjoin.py) at q=choose_q (the operator's "
+            "documented vocabulary-outpaces-corpus rule); naive_allpairs "
+            "is the O(n^2) cross-join reference at the SAME q, verified "
+            "identical at the smallest decade and timed while "
+            "affordable. fixed_q3_saturation_sec records the measured "
+            "fuzzy-side times with q hardwired to 3 on this same box — "
+            "the saturated-vocabulary degradation choose_q exists to "
+            "avoid (trigram universe 26^3 is static while the corpus "
+            "grows; candidates degrade toward quadratic)."
         ),
     }
     with open(out_path, "w") as f:
