@@ -117,7 +117,12 @@ def main() -> None:
         .master("local[32]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default broadcast threshold (10MB), deliberately: a
+        # 64MB threshold let the n=500k leg try to broadcast the ranked
+        # corpus into the driver (OOM) — and a real cluster would not
+        # broadcast a corpus-sized table either; big legs must degrade
+        # to shuffle joins for the measured curve to be the 100TB curve.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.retainedStages", "5000")
