@@ -2937,10 +2937,13 @@ def q_approx_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle(
-    k: int = 8, iters: int = _IVF_TRAINED_ITERS, k_sql: str | None = None
+    k: int = 8,
+    iters: int = _IVF_TRAINED_ITERS,
+    k_sql: str | None = None,
+    train_pred: str | None = None,
 ) -> str:
     cos = _SQL_COS.format(a="ea.embedding", b="eb.embedding")
-    chains = _kmeans_ctes(k, iters, k_sql=k_sql).replace(
+    chains = _kmeans_ctes(k, iters, k_sql=k_sql, train_pred=train_pred).replace(
         "WITH ev AS", "WITH RECURSIVE ev AS", 1
     )
     return (
@@ -3021,10 +3024,37 @@ _SD_ADAPTIVE_K_SQL = (
     "FROM embeddings"
 )
 
+# Past the adaptive-k cap (n // target_cell > max_k, i.e. n > 2048 rows
+# for this gate's parameters) semantic_dedup fits the centroids on a
+# DETERMINISTIC md5-hash sample of max_k*target_cell expected rows
+# (kmeans_fit's sample_frac path) — the r14 sf1 sweep caught the oracle
+# silently fitting on ALL rows instead (sf0.01 has exactly 2000
+# embeddings, just under the trigger, so no smaller scale ever
+# exercised it). The predicate below replays the sample exactly:
+# cutoff arithmetic is the same IEEE double division/multiply/truncate
+# sequence as Python's int((max_k*target_cell/n)*1e6), and the draw is
+# the documented portable-md5 idiom ≡ Spark's
+# conv(substring(md5(...),1,15),16,10) % 1e6. kmeans_fit's
+# fewer-than-k-rows fallback is not replayed: when the trigger fires
+# the expected sample is max_k*target_cell = 32*k rows, so a sub-k
+# sample would need the md5 draw to starve a 2048-expectation down
+# below 64 — not a reachable regime.
+_SD_ADAPTIVE_TRAIN_PRED = (
+    f"((SELECT COUNT(*) // {_SD_ADAPTIVE_TARGET_CELL} FROM embeddings)"
+    f" <= {_SD_ADAPTIVE_MAX_K}"
+    " OR CAST('0x' || SUBSTR(MD5('kmfit:' || CAST(vec_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 1000000"
+    " < (SELECT CAST(FLOOR((CAST("
+    f"{_SD_ADAPTIVE_MAX_K * _SD_ADAPTIVE_TARGET_CELL}"
+    " AS DOUBLE) / COUNT(*)) * 1000000.0) AS BIGINT) FROM embeddings))"
+)
+
 
 @query(
     "q_semantic_dedup_adaptive",
-    oracle=_semantic_dedup_oracle(k_sql=_SD_ADAPTIVE_K_SQL),
+    oracle=_semantic_dedup_oracle(
+        k_sql=_SD_ADAPTIVE_K_SQL, train_pred=_SD_ADAPTIVE_TRAIN_PRED
+    ),
     tags=("llm", "dedup", "similarity", "iterative", "scale"),
 )
 def q_semantic_dedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
