@@ -447,16 +447,23 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same "randomness". Selection is a global top-k — per-partition
 # heaps + tiny merge (TakeOrderedAndProject), never a full sort.
 
+# ORDER BY must bind the RAW key, not the rounded output alias: the
+# operator's top-k selects on the raw key, and `ORDER BY es_key` after
+# `ROUND(...) AS es_key` resolves to the OUTPUT column per the SQL
+# standard — at sf1 twelve documents tie at the rounded -1e-06, so the
+# alias-captured sort admitted a different ten into the top-20 than the
+# raw-key order (caught by the r14 sf1 sweep; invisible at gate scales
+# where top keys are sparse). Distinct inner name = no capture.
 _ES_ORACLE = """
 WITH keyed AS (
   SELECT doc_id,
          LN((CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
             / 1152921504606846977.0)
-           / (n_chars + 1) AS es_key
+           / (n_chars + 1) AS es_raw
   FROM documents WHERE n_chars + 1 > 0
 )
-SELECT doc_id, ROUND(es_key, 6) AS es_key
-FROM keyed ORDER BY es_key DESC, doc_id LIMIT 20
+SELECT doc_id, ROUND(es_raw, 6) AS es_key
+FROM keyed ORDER BY es_raw DESC, doc_id LIMIT 20
 """
 
 
