@@ -59,6 +59,25 @@ def partial_agg(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def _refresh_store(spark: SparkSession, name: str) -> None:
+    """Drop every cached plan/file-listing for ``name`` after a swap.
+
+    The DROP→RENAME swap (and the create path's rmtree of a prior
+    layout) changes the physical directory behind a live table name,
+    but a session that already read the store holds a cached
+    LogicalRelation + InMemoryFileIndex for it — the next read can
+    plan against part-files the swap just rmtree'd
+    (FAILED_READ_FILE.FILE_NOT_EXIST under full-suite order; a real
+    long-lived-session bug on a cluster, not test noise). REFRESH
+    TABLE invalidates both the relation cache and the file-status
+    cache for the name; tolerate a missing table so crash-recovery
+    paths can call this unconditionally."""
+    try:
+        spark.sql(f"REFRESH TABLE {name}")
+    except Exception:
+        pass
+
+
 def _store_path(name: str) -> str:
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(repo_root, "spark-warehouse", name.lower())
@@ -102,6 +121,7 @@ def create_agg_store(
             if d.startswith(f"{base}.__v_"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     _write_bucketed(partial_agg(df, keys, measures), name, path, keys, n_buckets)
+    _refresh_store(spark, name)
     return name
 
 
@@ -230,7 +250,9 @@ def _rewrite_swap(
         if old_path:
             _register_bucketed_at(spark, store, old_path, keys, n_buckets)
             _set_table_props(spark, store, carried)
+            _refresh_store(spark, store)
         raise
+    _refresh_store(spark, store)
     if old_path and os.path.isdir(old_path):
         shutil.rmtree(old_path, ignore_errors=True)
 

@@ -36,6 +36,22 @@ from pyspark.sql.window import Window
 from rspl_spark.operators.similarity import pq_adc_topk, pq_encode, pq_fit
 
 
+def _refresh(spark: SparkSession, name: str) -> None:
+    """Invalidate cached plans/file listings after a physical change.
+
+    Index tables are dropped, re-created at the SAME warehouse path,
+    compact-swapped, and appended to within one long-lived session;
+    Spark's relation cache and shared file-status cache are keyed by
+    name/path, so without an explicit REFRESH a later probe can plan
+    against part-files a swap or rebuild just deleted
+    (FAILED_READ_FILE.FILE_NOT_EXIST — the r14 lifecycle-fuzz flake).
+    Same discipline as ``agg_store._refresh_store``."""
+    try:
+        spark.sql(f"REFRESH TABLE {name}")
+    except Exception:
+        pass
+
+
 def _props(spark: SparkSession, name: str) -> dict[str, str]:
     return {
         r["key"]: r["value"]
@@ -182,6 +198,7 @@ def delete_keys(
         if not spark.catalog.tableExists(dn):
             writer = writer.option("path", _warehouse_path(spark, dn))
         writer.saveAsTable(dn)
+        _refresh(spark, dn)
     return n
 
 
@@ -268,7 +285,9 @@ def compact_index(spark: SparkSession, name: str) -> int:
                 f"CREATE TABLE {name} ({cols}) USING PARQUET LOCATION '{old_path}'"
             )
             _set_props(spark, name, props)
+            _refresh(spark, name)
         raise
+    _refresh(spark, name)
     keep = {k: v for k, v in props.items() if k.startswith(f"{kind}.")}
     keep[f"{kind}.base_rows"] = str(n)
     keep[f"{kind}.appended_rows"] = "0"
@@ -336,6 +355,7 @@ def create_pq_index(
         .option("path", path)
         .saveAsTable(name)
     )
+    _refresh(spark, name)
     base_rows = spark.table(name).count()
     _set_props(
         spark,
@@ -392,6 +412,7 @@ def append_pq_index(
     enc = enc.localCheckpoint()
     n = enc.count()
     enc.write.mode("append").format("parquet").saveAsTable(name)
+    _refresh(spark, name)
     props = _props(spark, name)
     upd = {"pq.appended_rows": str(int(props.get("pq.appended_rows", "0")) + n)}
     if tag is not None:
@@ -537,6 +558,7 @@ def create_ivf_index(
         .option("path", path)
         .saveAsTable(name)
     )
+    _refresh(spark, name)
     base_rows = spark.table(name).count()
     _set_props(
         spark,
@@ -580,6 +602,7 @@ def append_ivf_index(
     assigned = _rank_cells(prep, _centroid_frame(spark, cents), "vec_id", 1).localCheckpoint()
     n = assigned.count()
     assigned.write.mode("append").format("parquet").saveAsTable(name)
+    _refresh(spark, name)
     props = _props(spark, name)
     upd = {"ivf.appended_rows": str(int(props.get("ivf.appended_rows", "0")) + n)}
     if tag is not None:
@@ -758,6 +781,7 @@ def create_srp_index(
         .option("path", path)
         .saveAsTable(name)
     )
+    _refresh(spark, name)
     base_rows = spark.table(name).count()
     _set_props(
         spark,
@@ -797,6 +821,7 @@ def append_srp_index(
     ).localCheckpoint()
     n = rows.count()
     rows.write.mode("append").format("parquet").saveAsTable(name)
+    _refresh(spark, name)
     props = _props(spark, name)
     upd = {"srp.appended_rows": str(int(props.get("srp.appended_rows", "0")) + n)}
     if tag is not None:

@@ -180,6 +180,9 @@ def create_signature_store(
         .option("path", path)
         .saveAsTable(name)
     )
+    from rspl_spark.operators.agg_store import _refresh_store
+
+    _refresh_store(spark, name)
     import json
 
     # temp-name + rename: a crash mid-write must not leave a complete
@@ -244,6 +247,9 @@ def append_increment(
         .format("parquet")
         .saveAsTable(store)
     )
+    from rspl_spark.operators.agg_store import _refresh_store
+
+    _refresh_store(spark, store)
 
 
 def _deleted_name(store: str) -> str:
@@ -305,6 +311,9 @@ def delete_keys(spark: SparkSession, store: str, doc_ids) -> int:
         if not spark.catalog.tableExists(dn):
             writer = writer.option("path", _warehouse_path(spark, dn))
         writer.saveAsTable(dn)
+        from rspl_spark.operators.agg_store import _refresh_store
+
+        _refresh_store(spark, dn)
     return n
 
 
@@ -356,6 +365,7 @@ def compact_store(spark: SparkSession, store: str, n_buckets: int = 8) -> int:
 
     from rspl_spark.operators.agg_store import (
         _reap_stale_compactions,
+        _refresh_store,
         _register_bucketed_at,
         _table_buckets,
         _table_location,
@@ -390,7 +400,9 @@ def compact_store(spark: SparkSession, store: str, n_buckets: int = 8) -> int:
         # compacted tmp table stays behind for inspection
         if old_path:
             _register_bucketed_at(spark, store, old_path, ["bucket"], n_buckets)
+            _refresh_store(spark, store)
         raise
+    _refresh_store(spark, store)
     if old_path and os.path.realpath(old_path) != os.path.realpath(tmp_path) and os.path.isdir(old_path):
         shutil.rmtree(old_path, ignore_errors=True)
     _drop_tombstones(spark, store)

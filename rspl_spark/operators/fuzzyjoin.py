@@ -50,12 +50,28 @@ def char_trigrams(s: Column, q: int = 3) -> Column:
     )
 
 
+def _validate_q(q) -> None:
+    """Fail fast on a malformed ``q``: only the literal string 'auto'
+    or a positive int are meaningful — a typo like 'Auto' or '3'
+    previously flowed into char_trigrams and died with an opaque
+    TypeError deep in expression building (ADVICE r14)."""
+    if isinstance(q, str):
+        if q != "auto":
+            raise ValueError(
+                f"q={q!r}: the only string value is 'auto' "
+                "(delegate to choose_q); pass an int otherwise"
+            )
+    elif not isinstance(q, int) or isinstance(q, bool) or q < 1:
+        raise ValueError(f"q={q!r}: need a positive int or 'auto'")
+
+
 def choose_q(
     df: DataFrame,
     str_col: str,
     base_q: int = 3,
     max_q: int = 8,
     target_avg: float = 10.0,
+    sample_rows: int = 500_000,
 ) -> int:
     """Smallest q in [base_q, max_q] whose corpus-wide avg_gram_count
     (occurrences per distinct q-gram, :func:`gram_frequency_stats`) is
@@ -67,12 +83,28 @@ def choose_q(
 
     Cost: one scan + one count-distinct aggregate per trial q (the
     1-row stats collect is a driver-side planning decision, not a
-    hot-path collect). At corpus scale pass a SAMPLE of df — gram
-    frequency ratios are stable under uniform row sampling."""
+    hot-path collect). Above ``sample_rows`` non-null strings the
+    trials run on a deterministic uniform sample instead of up to
+    (max_q - base_q + 1) full corpus scans (ADVICE r14): the sampled
+    average is extrapolated by the row ratio n/sample_n, which is
+    exact in the saturated-vocabulary regime this guard exists for
+    (distinct grams ~constant, so avg grows linearly with rows) and
+    over-estimates in the unsaturated regime — the safe direction,
+    since it can only push q higher, never let a saturated q=3
+    through. Below the threshold (every oracle gate scale) the
+    behavior is bit-identical to the unsampled path."""
+    n = df.filter(F.col(str_col).isNotNull()).count()
+    scale = 1.0
+    if n > 2 * sample_rows:
+        frac = sample_rows / n
+        df = df.sample(fraction=frac, seed=7)
+        sampled_n = df.filter(F.col(str_col).isNotNull()).count()
+        if sampled_n:
+            scale = n / sampled_n
     for q in range(base_q, max_q + 1):
         row = gram_frequency_stats(df, str_col, q).collect()[0]
         avg = row["avg_gram_count"]
-        if avg is not None and avg <= target_avg:
+        if avg is not None and avg * scale <= target_avg:
             return q
     return max_q
 
@@ -100,6 +132,7 @@ def fuzzy_self_join(
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("fuzzy_self_join: need 0 < num <= den")
     num, den = int(threshold_num), int(threshold_den)
+    _validate_q(q)
     if q == "auto":
         q = choose_q(df.select(F.col(str_col).alias("s")), "s")
 
@@ -389,6 +422,7 @@ def fuzzy_join(
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("fuzzy_join: need 0 < num <= den")
     num, den = int(threshold_num), int(threshold_den)
+    _validate_q(q)
     lb = left.select(F.col(left_id).alias("id"), F.col(str_col).alias("s")).filter(
         F.col("s").isNotNull()
     )

@@ -462,9 +462,15 @@ WITH keyed AS (
            / (n_chars + 1) AS es_raw
   FROM documents WHERE n_chars + 1 > 0
 )
-SELECT doc_id, ROUND(es_raw, 6) AS es_key
+SELECT doc_id, ROUND(es_raw, 6) + 0.0 AS es_key
 FROM keyed ORDER BY es_raw DESC, doc_id LIMIT 20
 """
+# `+ 0.0` on the rounded key: at sf1 a tiny-negative raw key rounds to
+# IEEE -0.0, which DuckDB's ROUND preserves while Spark's normalizes to
+# +0.0 — the value-hash CSV serializes the sign, so identical row sets
+# still hash-mismatched (the residual half of the r14 sf1 catch). Same
+# idiom as the FSM gate (dsl_queries.py); x + 0.0 == x for every other
+# double, and the Spark side gets the mirror normalization below.
 
 
 @query("q_weighted_sample_topk", oracle=_ES_ORACLE, tags=("llm", "curation"))
@@ -473,7 +479,9 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     out = weighted_sample_topk(d, F.col("n_chars") + 1, k=20)
-    return out.select("doc_id", F.round("es_key", 6).alias("es_key"))
+    return out.select(
+        "doc_id", (F.round("es_key", 6) + F.lit(0.0)).alias("es_key")
+    )
 
 
 # Hot-key thinning (bot-flood guard): keys over the cap are

@@ -3019,6 +3019,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SD_ADAPTIVE_TARGET_CELL = 32
 _SD_ADAPTIVE_MAX_K = 64
+# The oracle below does NOT replay kmeans_fit's fewer-than-k-rows
+# full-fit fallback; that is sound only while the expected sample
+# (max_k * target_cell rows) sits far above max_k, so the md5 draw
+# cannot plausibly starve the sample below k. Keep >= 8x headroom when
+# retuning — violating this silently enters the un-replayed fallback
+# regime and the gate would hash-diverge at exactly one scale
+# (ADVICE r14).
+assert _SD_ADAPTIVE_MAX_K * _SD_ADAPTIVE_TARGET_CELL >= 8 * _SD_ADAPTIVE_MAX_K, (
+    "adaptive semantic-dedup gate: expected fit sample "
+    "(max_k*target_cell) must keep >=8x headroom over max_k, or the "
+    "oracle's un-replayed fewer-than-k-rows fallback becomes reachable"
+)
 _SD_ADAPTIVE_K_SQL = (
     f"SELECT GREATEST(8, LEAST({_SD_ADAPTIVE_MAX_K}, COUNT(*) // {_SD_ADAPTIVE_TARGET_CELL})) "
     "FROM embeddings"

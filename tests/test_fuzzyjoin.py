@@ -287,3 +287,36 @@ def test_fuzzy_self_join_auto_q_matches_bruteforce_at_chosen_q(spark):
             if inter * 100 >= 60 * (len(a) + len(b) - inter):
                 want.add((min(ia, ib), max(ia, ib)))
     assert got == want
+
+
+def test_bad_q_rejected_fast(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "abc"), (2, "abd")], "id long, s string")
+    for bad in ("Auto", "3", 0, -1, 2.5, True):
+        with pytest.raises(ValueError, match="q="):
+            fuzzy_self_join(df, "id", "s", 60, 100, q=bad)
+    from rspl_spark.operators.fuzzyjoin import fuzzy_join
+
+    with pytest.raises(ValueError, match="q="):
+        fuzzy_join(df, df, "id", "id", "s", 60, 100, q="AUTO")
+
+
+def test_choose_q_sampled_path_matches_saturated_decision(spark):
+    # a saturated tiny-alphabet corpus must force q past base both with
+    # and without the sampling path; sample_rows=10 exercises the
+    # sampled branch on a small frame deterministically
+    import random
+
+    from rspl_spark.operators.fuzzyjoin import choose_q
+
+    rng = random.Random(3)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(24))) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    full = choose_q(df, "s")
+    sampled = choose_q(df, "s", sample_rows=10)
+    assert full > 3
+    # the sampled estimate extrapolates conservatively: never smaller
+    assert sampled >= full

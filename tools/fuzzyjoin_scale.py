@@ -187,9 +187,12 @@ def main() -> None:
         "shuffle_write_bytes": shuffle,
         "pairs": pairs,
         "parity_vs_allpairs": parity,
-        "fixed_q3_saturation_sec": {
+        "r14_reference_fixed_q3_sec": {
             "n5000": 72.351,
             "n50000": 842.823,
+            "provenance": "measured ONCE on the r14 sandbox box "
+                          "(2026-08-16, local[32]); historical reference "
+                          "values, NOT re-measured by this run",
         },
         "notes": (
             "r12 verdict ask #4: fuzzyjoin scale rows with shuffle-write "
@@ -201,8 +204,8 @@ def main() -> None:
             "documented vocabulary-outpaces-corpus rule); naive_allpairs "
             "is the O(n^2) cross-join reference at the SAME q, verified "
             "identical at the smallest decade and timed while "
-            "affordable. fixed_q3_saturation_sec records the measured "
-            "fuzzy-side times with q hardwired to 3 on this same box — "
+            "affordable. r14_reference_fixed_q3_sec records the r14-"
+            "measured fuzzy-side times with q hardwired to 3 — "
             "the saturated-vocabulary degradation choose_q exists to "
             "avoid (trigram universe 26^3 is static while the corpus "
             "grows; candidates degrade toward quadratic)."
