@@ -320,3 +320,36 @@ def test_table_location_ignores_column_named_location(spark):
         assert got == {"x": 11, "y": 2}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_swap_invalidates_cached_relation(spark):
+    """Regression for the r14 lifecycle flake: a session that has
+    already planned a read of the store holds a cached
+    LogicalRelation/InMemoryFileIndex; the DROP->RENAME swap rmtrees
+    the old directory, so without the post-swap REFRESH the next read
+    can fail with FILE_NOT_EXIST or serve the pre-merge rows."""
+    store = "aggstore_stale_cache"
+    d1 = _df(spark, [("a", 1.0), ("b", 2.0)])
+    A.create_agg_store(spark, d1, store, ["k"], MEASURES, overwrite=True)
+    try:
+        # populate the relation/file-status cache for the store name
+        assert spark.table(store).count() == 2
+        before = _final(spark, store)
+        assert before["a"] == (1, 1.0, 1.0, 1.0)
+        # swap the physical directory behind the name (merge rewrites)
+        A.merge_increment(
+            spark, _df(spark, [("a", 4.0), ("c", 9.0)]), store, ["k"], MEASURES
+        )
+        # the same session must see the post-swap table, not the cache
+        assert spark.table(store).count() == 3
+        after = _final(spark, store)
+        assert after["a"] == (2, 5.0, 1.0, 4.0)
+        assert after["c"] == (1, 9.0, 9.0, 9.0)
+        # and a second swap in the same session (retraction path)
+        A.retract_increment(
+            spark, _df(spark, [("c", 9.0)]), store, ["k"], MEASURES,
+            history_df=spark.createDataFrame([], "k string, v double"),
+        )
+        assert "c" not in _final(spark, store)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}")

@@ -112,8 +112,19 @@ def test_dirty_wide_interval_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="max_bins_per_interval"):
         point_in_interval_pairs(pts, iv, bin_seconds=3600).collect()
-    # a generous explicit cap admits the same interval
+    # a raised explicit cap admits a wide-but-genuine interval (~1.17M
+    # hourly bins, just over the 1<<20 default). Deliberately NOT the
+    # year-9999 interval: admitting that one materializes a ~70M-long
+    # F.sequence in a single task — the exact blowup the guard exists
+    # to prevent, and it OOMs the shared test JVM under full-suite
+    # memory pressure (r15 soak).
+    wide = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1), dt.datetime(2153, 1, 1))],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        point_in_interval_pairs(pts, wide, bin_seconds=3600).collect()
     n = point_in_interval_pairs(
-        pts, iv, bin_seconds=3600, max_bins_per_interval=1 << 27
+        pts, wide, bin_seconds=3600, max_bins_per_interval=1 << 21
     ).count()
     assert n == 1
