@@ -50,6 +50,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._rspl_load_cache = cache
+        _exclude_infer_filters_from_generate(spark)
     key = (sf_dir, table)
     cached = cache.get(key)
     if cached is not None:
@@ -57,6 +58,33 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = _load_uncached(spark, sf_dir, table)
     cache[key] = df
     return df
+
+
+_INFER_FILTERS_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def _exclude_infer_filters_from_generate(spark: SparkSession) -> None:
+    """Exclude InferFiltersFromGenerate at RUNTIME, once per session.
+
+    The rule rewrites explode(<computed array>) into
+    Filter(size(expr)>0) + Generate; after projection pushdown the
+    filter condition INLINES the staged array expression — for the
+    nested-lambda shingle/trigram columns that re-evaluates the
+    token-hash transform per sequence element (O(tokens²) md5 calls per
+    row, interpreted, measured 40.9s → 0.13s for one explode at sf0.1 —
+    plans/r15/infer_filters_from_generate_repro.txt). The filter is
+    redundant for explode (empty/NULL arrays emit nothing), so results
+    are unchanged. Set here — the chokepoint every query's scan goes
+    through — rather than only in our session factory, so a
+    driver-created vanilla session gets the same plans (precedent: the
+    nanosAsLong conf below). Merges with any caller-set exclusions."""
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    except Exception:
+        current = ""
+    if _INFER_FILTERS_RULE not in current:
+        merged = f"{current},{_INFER_FILTERS_RULE}" if current else _INFER_FILTERS_RULE
+        spark.conf.set("spark.sql.optimizer.excludedRules", merged)
 
 
 def _load_uncached(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -3614,8 +3614,15 @@ def _c2s_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     kept = _c2s_kept(spark, sf_dir).localCheckpoint(eager=False)
-    # stage 4: MinHash-LSH near-dup dedup, keep the cluster representative
-    sig = D.minhash_signatures(kept)
+    # stage 4: MinHash-LSH near-dup dedup, keep the cluster representative.
+    # The signature table is MATERIALIZED before the band self-join (the
+    # same one-pass artifact every other LSH gate builds): feeding the
+    # raw minhash fold expression into the self-join duplicates the
+    # aggregate-lambda subtree across both sides and Catalyst's
+    # optimization of that doubled tree dominates the whole query
+    # (measured r15: 81.7s -> 0.96s for the pairs step at sf0.1, the
+    # full gate 119.5s -> ~13s; plans/r15/q_corpus_to_shards_*.txt).
+    sig = D.minhash_signatures(kept).localCheckpoint(eager=False)
     cc = D.connected_components_star(D.lsh_candidate_pairs(sig, threshold=0.25))
     survivors = (
         kept.join(cc.withColumnRenamed("doc_id", "doc_id"), "doc_id", "left")

@@ -35,6 +35,22 @@ def get_spark(app_name: str = "rspl-spark", cpus: int | str | None = None) -> Sp
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for every pandas interchange (pandas_udf / applyInPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate rewrites explode(expr) into
+        # Filter(size(expr)>0) + Generate; the filter is (a) interpreted,
+        # not codegen'd, and (b) after projection pushdown INLINES the
+        # generator's whole expression tree — for the nested-lambda
+        # shingle/trigram arrays here that re-evaluates the token-hash
+        # transform per sequence element, O(tokens^2) md5 calls per row
+        # (measured r15: the corpus->shards decontamination explode
+        # 40.9s -> 0.13s at sf0.1 with the rule off; same blowup class
+        # on every explode-over-computed-array operator). The inferred
+        # filter is purely redundant work for explode (empty/null arrays
+        # emit nothing anyway), so excluding it cannot change results —
+        # scale-independent, not a local[32] artifact.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Deterministic timestamps — matches DuckDB reading the same parquet.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -328,3 +328,25 @@ def test_edit_join_gate_no_quadratic_join(spark, reg):
     side path); the verify step joins back by id."""
     plan = _plan(spark, reg, "q_edit_distance_join")
     assert "CartesianProduct" not in plan
+
+
+def test_no_inferred_filter_above_shingle_generate(spark):
+    """InferFiltersFromGenerate turns explode(<computed array>) into
+    Filter(size(expr)>0) + Generate; projection pushdown then INLINES
+    the staged token-hash transform into the filter condition, which is
+    re-evaluated per sequence element — O(tokens^2) md5 calls per row
+    (measured r15: 40.9s -> 0.13s for the corpus->shards shingle
+    explode at sf0.1; plans/r15/infer_filters_from_generate_repro.txt).
+    The session must exclude the rule, and the optimized plan of a
+    direct shingle explode must carry NO md5-bearing Filter."""
+    from rspl_spark.operators.dedup import with_hashed_shingles
+
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", ""
+    )
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    exploded = with_hashed_shingles(df).select("doc_id", F.explode("sh").alias("s"))
+    optimized = exploded._jdf.queryExecution().optimizedPlan().toString()
+    for line in optimized.splitlines():
+        if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
+            assert "md5" not in line, f"inferred filter inlines the hash chain: {line[:200]}"
