@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from rspl_spark.catalog import load
+from rspl_spark.streaming.sources import scratch_dir
 from rspl_spark.queries import query
 
 _RETENTION_ORACLE = """
@@ -163,7 +164,7 @@ def q_transition_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "event_id"
     )
-    tmp = tempfile.mkdtemp(prefix="rspl_trans_stream_")
+    tmp = scratch_dir("rspl_trans_stream_")
     table = f"t_q_trans_stream_{uuid.uuid4().hex[:8]}"
     try:
         # executor-side in-order chunking: one range shuffle, no

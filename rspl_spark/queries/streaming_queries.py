@@ -72,6 +72,7 @@ def _require_pinned_watermark_mechanics(spark: SparkSession) -> None:
     require_pinned(spark, "watermark-mechanics")
 
 from rspl_spark.catalog import load
+from rspl_spark.streaming.sources import scratch_dir
 from rspl_spark.queries import query
 from rspl_spark.queries.relational2 import _SESSION_ORACLE
 
@@ -87,7 +88,7 @@ def _ordered_stream(
     executor-side (one range shuffle, no driver materialization)."""
     from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
 
-    tmp = tempfile.mkdtemp(prefix="rspl_sq_stream_")
+    tmp = scratch_dir("rspl_sq_stream_")
     write_sorted_chunks(df, tmp, order_cols, n_chunks)
     return file_stream(df.sparkSession, tmp, schema), tmp
 
@@ -480,8 +481,8 @@ def q_stream_merge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures = {"n": ("event_id", "count"), "cents": ("cents", "sum")}
     seed = ev.where(F.col("event_id") % 4 == 0)
     rest = ev.where(F.col("event_id") % 4 != 0)
-    tmp = tempfile.mkdtemp(prefix="rspl_sq_merge_")
-    ck = tempfile.mkdtemp(prefix="rspl_sq_merge_ck_")
+    tmp = scratch_dir("rspl_sq_merge_")
+    ck = scratch_dir("rspl_sq_merge_ck_")
     try:
         create_agg_store(
             spark, seed, store, ["event_type"], measures, overwrite=True
@@ -686,7 +687,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp, user_id long,"
         " event_type string, value double"
     )
-    tmp = tempfile.mkdtemp(prefix="rspl_sq_late_")
+    tmp = scratch_dir("rspl_sq_late_")
     write_sorted_chunks(main, tmp, ["ts", "event_id"], 3)
     # the late-filter watermark for batch N is the eviction watermark of
     # batch N-1 = max event time over batches 0..N-2: one buffer batch
@@ -743,7 +744,7 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").select("user_id", "ts")
     day = F.dayofmonth("ts")
-    tmp = tempfile.mkdtemp(prefix="rspl_sq_upd_")
+    tmp = scratch_dir("rspl_sq_upd_")
     for i, cond in enumerate(
         [day <= 10, (day > 10) & (day <= 20), day > 20]
     ):
@@ -1216,7 +1217,7 @@ def q_pelican_capability_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(s.split(":", 1)[1]) if s.startswith("timeout_after:") else None
         )
 
-    tmp = tempfile.mkdtemp(prefix="rspl_sq_pelican_")
+    tmp = scratch_dir("rspl_sq_pelican_")
     name = f"q_pelican_cap_{uuid.uuid4().hex[:8]}"
     try:
         write_sorted_chunks(starts, tmp, ["key"], 1)
@@ -1229,10 +1230,12 @@ def q_pelican_capability_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeout_event="timeout",
             timeout_capability=cap,
         )
+        ck = scratch_dir("rspl_sq_pelican_ck_")
         q = (
             out.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
+            .option("checkpointLocation", ck)
             .trigger(processingTime="100 milliseconds")
             .start()
         )
@@ -1257,3 +1260,5 @@ def q_pelican_capability_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, spark.table(name).schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        if "ck" in locals():
+            shutil.rmtree(ck, ignore_errors=True)

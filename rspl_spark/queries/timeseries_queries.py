@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rspl_spark.catalog import load
+from rspl_spark.streaming.sources import scratch_dir
 from rspl_spark.queries import query
 
 _EWMA_W = 16
@@ -257,7 +258,7 @@ def _stream_obs(spark: SparkSession, sf_dir: str, n_chunks: int = 3):
     from rspl_spark.streaming.sources import file_stream, write_sorted_chunks
 
     obs = _bucketed(spark, sf_dir, "user_id").drop("n")
-    tmp = tempfile.mkdtemp(prefix="rspl_ts_stream_")
+    tmp = scratch_dir("rspl_ts_stream_")
     write_sorted_chunks(obs, tmp, ["bts", "user_id"], n_chunks)
     return file_stream(spark, tmp, "user_id long, bts timestamp, v double"), tmp
 
