@@ -294,14 +294,18 @@ def tfidf_top_terms(
     # counts — vs carrying size(split) through the explode 3.75s). The
     # window's sort key is just doc_id over already-aggregated rows;
     # DEVNOTES records the A/B.
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "tf", F.col("n").cast("double") / F.sum("n").over(Window.partitionBy(id_col))
-        )
+    tf_raw = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n"))
+    tf = tf_raw.withColumn(
+        "tf", F.col("n").cast("double") / F.sum("n").over(Window.partitionBy(id_col))
     )
-    dfreq = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    # document frequency from the (doc, term) aggregate, NOT
+    # countDistinct over the raw token stream: (doc, term) rows are
+    # already distinct, so COUNT(*) per term is the same integer while
+    # skipping countDistinct's partial-distinct expand over the
+    # corpus-sized exploded tokens (r15 A/B at sf0.1: 0.661s -> 0.580s,
+    # results bit-identical; a localCheckpoint of tf_raw to force true
+    # sharing measured 1.137s — materialization dwarfs the recompute).
+    dfreq = tf_raw.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs_df))

@@ -233,13 +233,26 @@ ORDER BY l_returnflag
 @query("q_percentiles", oracle=_PCT_ORACLE, tags=("agg",))
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
+    # ONE percentile buffer for all three l_extendedprice quantiles
+    # (array-of-percentages form): each exact-percentile aggregate
+    # buffers and shuffles the group's full value multiset, so three
+    # scalar calls held three copies (r15 A/B at sf0.1: 2.86s -> 1.22s,
+    # results bit-identical — same function, same interpolation).
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))
+    )
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            ps.alias("_ps"),
             F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 4).alias("p25"),
+            F.round(F.col("_ps")[1], 4).alias("p50"),
+            F.round(F.col("_ps")[2], 4).alias("p90"),
+            "med_qty",
         )
         .orderBy("l_returnflag")
     )

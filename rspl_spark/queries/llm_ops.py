@@ -1991,7 +1991,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(F.col("doc_id") >= 10)
         .join(F.broadcast(bench), "s")
         .groupBy("doc_id")
-        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+        # count(*), NOT countDistinct: sh is array_distinct'd per doc
+        # (with_hashed_shingles), so (doc_id, s) pairs are unique and
+        # the broadcast-joined bench side is .distinct() — equal
+        # integers, minus countDistinct's partial-distinct expand over
+        # the exploded shingles (the dedup.py:237 rule).
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .orderBy("doc_id")
     )
 
@@ -3640,7 +3645,10 @@ def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("sh").alias("s"))
         .join(F.broadcast(bench), "s")
         .groupBy("doc_id")
-        .agg(F.countDistinct("s").alias("ns"))
+        # count(*) == countDistinct here: sh is array_distinct'd per
+        # doc and bench is distinct (dedup.py:237 rule — skips the
+        # partial-distinct expand).
+        .agg(F.count(F.lit(1)).alias("ns"))
         .filter(F.col("ns") >= _C2S_CONT_MIN)
         .select("doc_id")
     )
