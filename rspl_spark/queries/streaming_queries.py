@@ -94,13 +94,20 @@ def _ordered_stream(
 
 
 def _drain(
-    out: DataFrame, name: str, tmp_dirs: list[str], output_mode: str = "append"
+    out: DataFrame,
+    name: str,
+    tmp_dirs: list[str],
+    output_mode: str = "append",
+    python_stateful: bool = False,
 ) -> DataFrame:
     from rspl_spark.streaming.sources import run_to_memory_sink
 
     table = f"{name}_{uuid.uuid4().hex[:8]}"
     try:
-        run_to_memory_sink(out, table, timeout_s=300, output_mode=output_mode)
+        run_to_memory_sink(
+            out, table, timeout_s=300, output_mode=output_mode,
+            source_dirs=tmp_dirs, python_stateful=python_stateful,
+        )
     finally:
         for d in tmp_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -220,7 +227,7 @@ def q_cohort_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, ts timestamp, event_id long",
     )
     inc = cohort_retention_stream(stream)
-    got = _drain(inc, "t_q_cohort_stream", [tmp])
+    got = _drain(inc, "t_q_cohort_stream", [tmp], python_stateful=True)
     counts = got.groupBy("cohort_wd", "offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_active")
     )
@@ -493,17 +500,20 @@ def q_stream_merge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             tmp,
             "event_id long, ts timestamp, event_type string, cents long",
         )
-        q = stream_merge_into_agg_store(
-            stream, store, ["event_type"], measures, checkpoint=ck
-        )
-        # NOT an assert: under `python -O` an assert is stripped and a
-        # timed-out stream would fall through to gate a partially-merged
-        # store against the oracle
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "q_stream_merge_store: stream merge did not finish within 300s"
+        from rspl_spark.streaming.sources import sized_stream_shuffle
+
+        with sized_stream_shuffle(spark, [tmp]):
+            q = stream_merge_into_agg_store(
+                stream, store, ["event_type"], measures, checkpoint=ck
             )
+            # NOT an assert: under `python -O` an assert is stripped and a
+            # timed-out stream would fall through to gate a partially-merged
+            # store against the oracle
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "q_stream_merge_store: stream merge did not finish within 300s"
+                )
         out = (
             read_final(spark, store)
             .select("event_type", "n", "cents")
@@ -1231,31 +1241,36 @@ def q_pelican_capability_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeout_capability=cap,
         )
         ck = scratch_dir("rspl_sq_pelican_ck_")
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(processingTime="100 milliseconds")
-            .start()
-        )
-        try:
-            # poll-then-stop: the query never "finishes" (timers keep
-            # the stream alive), so drain until every key delivered its
-            # full trace
-            want = n_keys * len(_PELICAN_TRACE)
-            deadline = _time.time() + 300
-            while _time.time() < deadline:
-                if spark.table(name).count() >= want:
-                    break
-                _time.sleep(0.3)
-            else:
-                raise RuntimeError(
-                    f"q_pelican_capability_stream: {spark.table(name).count()}"
-                    f"/{want} outputs after 300s"
-                )
-        finally:
-            q.stop()
+        from rspl_spark.streaming.sources import sized_stream_shuffle
+
+        # hold the sized width until q.stop(): the micro-batch thread
+        # captures spark.sql.shuffle.partitions asynchronously
+        with sized_stream_shuffle(spark, [tmp], python_stateful=True):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(processingTime="100 milliseconds")
+                .start()
+            )
+            try:
+                # poll-then-stop: the query never "finishes" (timers keep
+                # the stream alive), so drain until every key delivered its
+                # full trace
+                want = n_keys * len(_PELICAN_TRACE)
+                deadline = _time.time() + 300
+                while _time.time() < deadline:
+                    if spark.table(name).count() >= want:
+                        break
+                    _time.sleep(0.3)
+                else:
+                    raise RuntimeError(
+                        f"q_pelican_capability_stream: {spark.table(name).count()}"
+                        f"/{want} outputs after 300s"
+                    )
+            finally:
+                q.stop()
         rows = spark.table(name).orderBy("key", "seq").collect()
         return spark.createDataFrame(rows, spark.table(name).schema)
     finally:

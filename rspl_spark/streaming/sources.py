@@ -14,6 +14,8 @@ each chunk file becomes one micro-batch, processed in mtime order.
 
 from __future__ import annotations
 
+import contextlib
+import math
 import os
 import tempfile
 import time
@@ -345,11 +347,123 @@ def seeded_batch_stream(seed_df: DataFrame, stream_df: DataFrame) -> DataFrame:
     return seed_df.unionByName(stream_df)
 
 
+def _tree_bytes(paths: list[str] | None) -> int:
+    """Total on-disk bytes under the given directories (0 if none)."""
+    total = 0
+    for p in paths or []:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+# parquet -> shuffle/state row-format expansion (zstd/snappy columnar vs
+# unsafe-row bytes); conservative multiplier so the width estimate errs
+# toward MORE partitions, never fewer than the data needs.
+_STATE_BYTES_EXPANSION = 4
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower()
+    for suf, mult in (("tb", 2**40), ("gb", 2**30), ("mb", 2**20),
+                      ("kb", 2**10), ("t", 2**40), ("g", 2**30),
+                      ("m", 2**20), ("k", 2**10), ("b", 1)):
+        if v.endswith(suf):
+            return int(float(v[: -len(suf)]) * mult)
+    return int(v)
+
+
+def stream_state_partitions(spark: SparkSession, source_bytes: int) -> int:
+    """Scale-adaptive shuffle/state width for a finite streaming replay.
+
+    AQE cannot coalesce streaming shuffles (disabled in stateful
+    workloads), so every state partition pays a fixed per-micro-batch
+    cost — task launch, state store open/replay/commit (x4 store
+    instances for a stream-stream join) — regardless of how little
+    data it holds. Measured r15 at sf0.1: q_stream_stream_join runs
+    19.8 s at the session's 32 shuffle partitions vs 6.0 s at 8 and
+    4.4 s at 2; the data per batch is well under one advisory
+    partition. Apply the sizing rule AQE itself would use: width =
+    ceil(expanded input bytes / advisoryPartitionSizeInBytes), clamped
+    to [1, spark.sql.shuffle.partitions]. At cluster scale the input
+    volume dwarfs the advisory size, so the width saturates at the
+    configured shuffle width and the scaled plan is unchanged — this
+    is NOT a local[32] constant.
+
+    Deployments can pin an explicit width with
+    ``spark.rspl.streamStatePartitions``.
+    """
+    explicit = None
+    try:
+        explicit = spark.conf.get("spark.rspl.streamStatePartitions", None)
+    except Exception:
+        pass
+    if explicit:
+        return int(explicit)
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cap = 200
+    try:
+        advisory = _parse_bytes(
+            spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+            )
+        )
+    except Exception:
+        advisory = 64 * 2**20
+    n = math.ceil(source_bytes * _STATE_BYTES_EXPANSION / max(advisory, 1))
+    return max(1, min(cap, n))
+
+
+@contextlib.contextmanager
+def sized_stream_shuffle(
+    spark: SparkSession,
+    source_dirs: list[str] | None,
+    python_stateful: bool = False,
+):
+    """Set ``spark.sql.shuffle.partitions`` to the scale-adaptive
+    stream width (from the replay chunk dirs' bytes) for the duration
+    of one streaming query, restoring the session value afterwards.
+    Hold the scope open until the query terminates: the width is
+    captured into the query's offset log by the micro-batch thread,
+    which runs asynchronously after ``start()`` returns.
+
+    ``python_stateful=True`` declares that the stream contains a keyed
+    PYTHON stateful operator (applyInPandasWithState /
+    transformWithStateInPandas): there the stage cost is per-key Python
+    compute, not per-partition state-store overhead, and byte-derived
+    width is the wrong objective (measured r15: the three
+    applyInPandasWithState time-series gates ran 4-5x SLOWER at the
+    byte width of 1 than at full compute width). Floor those at
+    :func:`rspl_spark.session.grouped_map_parallelism` — the same pin
+    the batch grouped-map stages use."""
+    if source_dirs is None:
+        yield None
+        return
+    n = stream_state_partitions(spark, _tree_bytes(source_dirs))
+    if python_stateful:
+        from rspl_spark.session import grouped_map_parallelism
+
+        n = max(n, grouped_map_parallelism(spark))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     name: str,
     timeout_s: int = 120,
     output_mode: str = "append",
+    source_dirs: list[str] | None = None,
+    python_stateful: bool = False,
 ):
     """Drive a streaming DataFrame to completion into an in-memory table
     (AvailableNow trigger = process everything currently available, then
@@ -365,19 +479,25 @@ def run_to_memory_sink(
 
     ckpt = scratch_dir("rspl_ckpt_")
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # a False return means STILL RUNNING — callers would read a
-        # partially-populated memory table as the complete result
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(f"memory sink {name!r} did not finish within {timeout_s}s")
+        # the width must stay set until the query TERMINATES: the
+        # micro-batch thread reads spark.sql.shuffle.partitions
+        # asynchronously after start() returns
+        with sized_stream_shuffle(
+            stream_df.sparkSession, source_dirs, python_stateful
+        ):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # a False return means STILL RUNNING — callers would read a
+            # partially-populated memory table as the complete result
+            if not q.awaitTermination(timeout_s):
+                q.stop()
+                raise TimeoutError(f"memory sink {name!r} did not finish within {timeout_s}s")
         return q
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
