@@ -207,7 +207,7 @@ class AnalyticsFrame:
     # ---------------------------------------------------- graph family
     def pagerank(self, n_iter: int = 10, damping: float = 0.85,
                  src_col: str = "src", dst_col: str = "dst",
-                 n_partitions: int = 32, tol: float | None = None,
+                 n_partitions: int | None = None, tol: float | None = None,
                  reset_df: DataFrame | None = None,
                  weight_col: str | None = None):
         """PageRank over this frame's edge list; ``reset_df`` seeds make
