@@ -50,6 +50,24 @@ def test_kmeans_matches_numpy(spark):
     assert np.allclose(got, want, atol=1e-9)
 
 
+def test_sq_dists_chunked_bit_identical():
+    """The cache-blocked distance kernel must be BIT-identical to the
+    one-shot broadcast form at every shape class it runs at: chunking
+    the row axis may not change any (row, centroid) cell's reduction
+    order (the DuckDB oracle twins replay argmin ties exactly)."""
+    from rspl_spark.operators.similarity import _sq_dists
+
+    rng = np.random.default_rng(7)
+    for n, k, d in [(0, 8, 16), (1, 8, 16), (15, 8, 16), (2000, 62, 64),
+                    (5000, 8, 64), (4097, 64, 64)]:
+        M = rng.standard_normal((n, d))
+        C = rng.standard_normal((k, d))
+        want = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        got = _sq_dists(M, C)
+        assert got.shape == (n, k)
+        assert np.array_equal(got, want)
+
+
 def test_kmeans_sampled_fit_parity(spark):
     """Sampled fit (deterministic md5 hash-sample) vs full fit on the
     gate corpus: same k, same iterations — the sampled centroids'
