@@ -139,7 +139,19 @@ def fuzzy_self_join(
     base = df.select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
     ).filter(F.col("s").isNotNull())
-    tg = base.select("id", char_trigrams(F.col("s"), q).alias("toks"))
+    # materialize the tokenized rows ONCE: tg feeds the vocab aggregate
+    # AND the ranked-rows aggregate — different exchanges, so
+    # ReusedExchange cannot share the projection and the q-gram substr
+    # chain would run twice over the corpus. Unlike the triangle-counts
+    # trade (r12: blocks dwarf a cheap recompute), the gram kernel is
+    # the expensive side and the win GROWS with scale — measured
+    # interleaved A/B at the operator's target regime: 19.1 -> 13.4 s
+    # at n=5*10^4, 18.1 -> 7.3 s at n=2*10^5
+    # (docs/bench/r15_fuzzyjoin_gram_ab.json). Same pattern
+    # edit_distance_self_join already uses for its three-consumer tg.
+    tg = base.select(
+        "id", char_trigrams(F.col("s"), q).alias("toks")
+    ).localCheckpoint(eager=False)
     toks = tg.select("id", F.explode("toks").alias("tok"))
 
     # Global rarity ORDER without a global rank: the (cnt, tok) struct
@@ -388,11 +400,12 @@ def gram_frequency_stats(
     )
 
 
-def _ranked_rows(base: DataFrame, vocab: DataFrame, q: int) -> DataFrame:
-    """(id, ranks, sz) with ranks = the row's q-gram set ordered by the
-    shared (cnt, tok) rarity structs — both join sides must rank
-    against the SAME vocabulary for prefix filtering to hold."""
-    toks = base.select("id", F.explode(char_trigrams(F.col("s"), q)).alias("tok"))
+def _ranked_rows(tg: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(id, ranks, sz) from a tokenized (id, toks) frame, with ranks =
+    the row's q-gram set ordered by the shared (cnt, tok) rarity
+    structs — both join sides must rank against the SAME vocabulary for
+    prefix filtering to hold."""
+    toks = tg.select("id", F.explode("toks").alias("tok"))
     return (
         toks.join(vocab, "tok")
         .groupBy("id")
@@ -433,8 +446,19 @@ def fuzzy_join(
         # the shared vocabulary spans both sides, so q must be chosen
         # over the union too
         q = choose_q(lb.select("s").unionByName(rb.select("s")), "s")
-    all_toks = lb.unionByName(rb).select(
-        F.explode(char_trigrams(F.col("s"), q)).alias("tok")
+    # tokenize each side ONCE (lazy localCheckpoint): the toks feed the
+    # shared vocabulary AND the side's ranked rows — different
+    # exchanges, no ReusedExchange — so without materialization the
+    # q-gram substr chain runs twice per side (same measured trade as
+    # fuzzy_self_join: docs/bench/r15_fuzzyjoin_gram_ab.json).
+    ltg = lb.select(
+        "id", char_trigrams(F.col("s"), q).alias("toks")
+    ).localCheckpoint(eager=False)
+    rtg = rb.select(
+        "id", char_trigrams(F.col("s"), q).alias("toks")
+    ).localCheckpoint(eager=False)
+    all_toks = ltg.select(F.explode("toks").alias("tok")).unionByName(
+        rtg.select(F.explode("toks").alias("tok"))
     )
     vocab = all_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -446,8 +470,8 @@ def fuzzy_join(
             "id", "sz", F.explode(F.slice("ranks", F.lit(1), plen)).alias("r")
         )
 
-    lrows = _ranked_rows(lb, vocab, q)
-    rrows = _ranked_rows(rb, vocab, q)
+    lrows = _ranked_rows(ltg, vocab)
+    rrows = _ranked_rows(rtg, vocab)
     a, b = pref(lrows).alias("a"), pref(rrows).alias("b")
     cand = (
         a.join(
