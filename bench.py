@@ -53,10 +53,40 @@ def cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _mc_work(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i
+    return s
+
+
+def cpu_probe_mc() -> dict:
+    """Parallel twin of cpu_probe (r15 verdict ask #2): one sum-loop per
+    CPU, all at once via fork'd processes. The single-thread probe
+    demonstrably under-detects multi-core host throttle (r14/r15: probe
+    0.89s while 32-core stages ran 3.6x slow and the 8-core run beat 32
+    cores) — this probe saturates every core for ~1s, so contention that
+    only bites multi-core stages shows up as multiples of the ~0.4-0.5s
+    idle reading. Keys are ADDITIVE to the bench contract; interpret
+    sec/idle-sec as the effective core-availability factor."""
+    import multiprocessing as mp
+
+    n_procs = os.cpu_count() or 1
+    t0 = time.time()
+    try:
+        with mp.get_context("fork").Pool(n_procs) as pool:
+            results = pool.map(_mc_work, [20_000_000] * n_procs)
+        assert all(r == 199999990000000 for r in results)
+    except Exception:
+        return {"n_procs": n_procs, "sec": -1.0}
+    return {"n_procs": n_procs, "sec": round(time.time() - t0, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     probe_start = cpu_probe()
+    probe_mc_start = cpu_probe_mc()
     reg = load_registry()
     spark = get_spark("rspl-bench")
     # Warm the JVM/codegen paths so measured times are query time, not
@@ -102,6 +132,10 @@ def main() -> None:
         # queries (see cpu_probe docstring): ~0.35-0.4s on this box
         # idle; larger multiples = host throttle contaminating totals
         "cpu_probe_sec": {"start": probe_start, "end": cpu_probe()},
+        # multi-core probe (additive key, r15 verdict ask #2): ~0.4-0.5s
+        # idle on this box; multiples = host-level multi-core throttle
+        # that the single-thread probe cannot see
+        "cpu_probe_mc_sec": {"start": probe_mc_start, "end": cpu_probe_mc()},
     }
     try:
         result["bucketed_join"] = bucketed_join_delta(spark, sf_dir)

@@ -149,6 +149,14 @@ def fuzzy_self_join(
     # at n=5*10^4, 18.1 -> 7.3 s at n=2*10^5
     # (docs/bench/r15_fuzzyjoin_gram_ab.json). Same pattern
     # edit_distance_self_join already uses for its three-consumer tg.
+    # Lifecycle notes (r15 ADVICE): the checkpoint blocks live until the
+    # driver GCs the RDD (ContextCleaner) — a long-lived session running
+    # many fuzzy joins retains each call's (id, toks) blocks until then;
+    # and localCheckpoint is non-recoverable on executor loss, fine in
+    # local mode — a cluster deployment should swap in persist() or a
+    # reliable checkpoint dir (same call shape). The plan below from here
+    # down is hand-copied in tools/fuzzyjoin_gram_ab.py::_join_body —
+    # keep the two in sync when editing.
     tg = base.select(
         "id", char_trigrams(F.col("s"), q).alias("toks")
     ).localCheckpoint(eager=False)
@@ -450,7 +458,10 @@ def fuzzy_join(
     # shared vocabulary AND the side's ranked rows — different
     # exchanges, no ReusedExchange — so without materialization the
     # q-gram substr chain runs twice per side (same measured trade as
-    # fuzzy_self_join: docs/bench/r15_fuzzyjoin_gram_ab.json).
+    # fuzzy_self_join: docs/bench/r15_fuzzyjoin_gram_ab.json; same
+    # lifecycle caveats too — blocks retained until RDD GC, and
+    # non-recoverable on executor loss: cluster deployments should use
+    # persist()/reliable checkpoints instead).
     ltg = lb.select(
         "id", char_trigrams(F.col("s"), q).alias("toks")
     ).localCheckpoint(eager=False)

@@ -39,7 +39,11 @@ def _sq_dists(M: np.ndarray, C: np.ndarray) -> np.ndarray:
     rows = max(16, (1 << 21) // max(k * d * 8, 1))
     if n <= rows:
         return ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    out = np.empty((n, k), dtype=np.float64)
+    # dtype from the same broadcast-subtract the one-shot branch does,
+    # so both branches agree for any input dtype (r15 ADVICE: all
+    # current callers pass float64, but a float32 caller must not get
+    # a silently widened result from one branch only)
+    out = np.empty((n, k), dtype=np.result_type(M.dtype, C.dtype))
     for i in range(0, n, rows):
         m = M[i : i + rows]
         out[i : i + len(m)] = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)

@@ -277,6 +277,57 @@ def repetition_signals(
     )
 
 
+# Scale window for materializing the tfidf (doc, term) aggregate, in
+# LEAF input bytes of the corpus frame. SET BY THE r16 MEASURED SWEEP
+# (docs/bench/r16_tfidf_mat_sweep.json), not guessed:
+#   0.59 MB corpus (the sf0.1 gate): materializing LOSES ~11% (r15
+#     measured the same direction) — the extra job barrier dominates;
+#   2.7 / 26.8 / 80 MB: materializing WINS 24% / 13% / 17%;
+#   268 MB (54M aggregate rows): localCheckpoint blocks EXHAUST the
+#     8 GB local heap (fatal OOM) while the plain plan completes.
+# The upper bound is a LOCAL-MODE memory guard, placed between the
+# largest measured win (80 MB) and the measured failure (268 MB); a
+# cluster deployment with real executor memory should raise it or pin
+# spark.rspl.tfidfMaterialize=on — at 100 TB, avoiding the second full
+# corpus scan is the first-order win (guide §8: decide on small rows,
+# scan heavy bytes once) and the aggregate belongs in durable storage
+# rather than localCheckpoint blocks anyway.
+_TFIDF_MAT_MIN_LEAF_BYTES = 2 * 2**20
+_TFIDF_MAT_MAX_LEAF_BYTES = 128 * 2**20
+
+
+def _tfidf_materialize(df: DataFrame) -> bool:
+    """Materialize-in-WINDOW policy for the tfidf (doc, term) aggregate:
+    the blocks are much smaller than the token-explode recompute they
+    save, so the trade loses only while the fixed extra-job constant
+    dominates (tiny corpora) or once the blocks threaten local memory
+    (huge corpora; see the sweep table above).
+    ``spark.rspl.tfidfMaterialize`` ∈ {on, off, auto}; auto engages when
+    the corpus frame's leaf input bytes lie in
+    [``spark.rspl.tfidfMaterializeMinBytes``,
+    ``spark.rspl.tfidfMaterializeMaxBytes``). Unknown size (-1) keeps
+    the plain two-scan plan."""
+    spark = df.sparkSession
+    from rspl_spark.plan_stats import leaf_input_bytes, materialize_mode
+
+    mode = materialize_mode(spark, "spark.rspl.tfidfMaterialize", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+
+    def _conf_bytes(key: str, default: int) -> int:
+        try:
+            return int(spark.conf.get(key, str(default)))
+        except Exception:
+            return default
+
+    lo = _conf_bytes("spark.rspl.tfidfMaterializeMinBytes", _TFIDF_MAT_MIN_LEAF_BYTES)
+    hi = _conf_bytes("spark.rspl.tfidfMaterializeMaxBytes", _TFIDF_MAT_MAX_LEAF_BYTES)
+    leaf = leaf_input_bytes(df)
+    return lo <= leaf < hi
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
@@ -295,16 +346,29 @@ def tfidf_top_terms(
     # window's sort key is just doc_id over already-aggregated rows;
     # DEVNOTES records the A/B.
     tf_raw = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n"))
+    # tf_raw feeds BOTH the tf branch and the dfreq branch under
+    # different keys, so without materialization the corpus is scanned
+    # and token-exploded TWICE (visible in plans/r15/q_tfidf_*.txt).
+    # Materialization is SCALE-GATED (guide §2.4/§5 + r15 verdict ask
+    # #1): the (doc, term) aggregate is far smaller than the exploded
+    # token stream, so checkpointing it wins once the corpus is big
+    # enough to amortize the extra job barrier (~0.4s locally), and at
+    # 100 TB avoiding a second full corpus scan is the first-order win;
+    # below the window the barrier dominates (r15: 0.58s -> 1.14s at
+    # the 585 KB sf0.1 corpus), above it the blocks threaten local
+    # memory. Window measured, not guessed:
+    # docs/bench/r16_tfidf_mat_sweep.json.
+    if _tfidf_materialize(df):
+        tf_raw = tf_raw.localCheckpoint(eager=False)
     tf = tf_raw.withColumn(
         "tf", F.col("n").cast("double") / F.sum("n").over(Window.partitionBy(id_col))
     )
     # document frequency from the (doc, term) aggregate, NOT
     # countDistinct over the raw token stream: (doc, term) rows are
-    # already distinct, so COUNT(*) per term is the same integer while
-    # skipping countDistinct's partial-distinct expand over the
-    # corpus-sized exploded tokens (r15 A/B at sf0.1: 0.661s -> 0.580s,
-    # results bit-identical; a localCheckpoint of tf_raw to force true
-    # sharing measured 1.137s — materialization dwarfs the recompute).
+    # already distinct, so COUNT(*) per term is the same integer.
+    # (r16 correction of the r15 claim: Catalyst plans countDistinct
+    # as distinct-then-count already, so this form is equivalent, not
+    # faster — kept because it is the honest expression of the grain.)
     dfreq = tf_raw.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = (
         tf.join(dfreq, "term")

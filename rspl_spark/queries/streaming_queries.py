@@ -864,15 +864,26 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("value").alias("p_value"),
     )
+    # 2 chunks per side (r16, verdict ask #3): each micro-batch pays a
+    # fixed state-machinery constant (task launch + open/replay/commit
+    # for the FOUR state stores a stream-stream join keeps per
+    # partition), so the replay cost at gate scale is ~linear in the
+    # batch count, not the data. The result is chunk-count-invariant —
+    # matches equal the batch interval join for ANY in-order chunking
+    # (module docstring), and two chunks still exercise cross-batch
+    # join state (clicks from batch 1 joining purchases from batch 2).
+    # Measured + oracle-verified: docs/bench/r16_stream_join_chunks.json.
     s_c, tmp_c = _ordered_stream(
         clicks,
         ["click_ts", "click_id"],
         "c_user long, click_ts timestamp, click_id long, c_value double",
+        n_chunks=2,
     )
     s_p, tmp_p = _ordered_stream(
         purchases,
         ["purchase_ts", "purchase_id"],
         "p_user long, purchase_ts timestamp, purchase_id long, p_value double",
+        n_chunks=2,
     )
     joined = (
         s_c.withWatermark("click_ts", "1 hour")
@@ -969,15 +980,26 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
     )
+    # 2 chunks per side (r16, verdict ask #3 — same rationale as the
+    # inner gate). Chunk-count-invariant HERE TOO: matches equal the
+    # batch interval join for any in-order chunking, and the
+    # null-emission rule depends only on the FINAL global watermark
+    # (min over both sides of ms-floored max event time − delay), which
+    # the availableNow flush batch applies after the last data batch
+    # regardless of how the prefix was chunked. Oracle-verified at
+    # sf0.001/sf0.01 + engine hash at sf0.1 unchanged
+    # (docs/bench/r16_stream_join_chunks.json).
     s_c, tmp_c = _ordered_stream(
         clicks,
         ["click_ts", "click_id"],
         "c_user long, click_ts timestamp, click_id long",
+        n_chunks=2,
     )
     s_p, tmp_p = _ordered_stream(
         purchases,
         ["purchase_ts", "purchase_id"],
         "p_user long, purchase_ts timestamp, purchase_id long",
+        n_chunks=2,
     )
     joined = (
         s_c.withWatermark("click_ts", "1 hour")

@@ -18,6 +18,7 @@ import contextlib
 import math
 import os
 import tempfile
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,14 +31,17 @@ def scratch_dir(prefix: str = "rspl_scratch_") -> str:
 
     Placed on memory-backed storage when available because the
     micro-batch machinery fsyncs the checkpoint (offset log, state
-    store delta files) once per partition per batch — measured r15:
-    the 3-chunk session-window replay at sf0.1 runs 5.9s with the
-    checkpoint on disk vs 2.7s on tmpfs, pure fsync latency on
-    throwaway durability. PRODUCTION streams must keep checkpoints on
-    durable shared storage (that fsync is the exactly-once contract);
-    this helper is only for harness scratch whose loss is meaningless.
-    Override with $RSPL_STREAM_SCRATCH (e.g. point it at a disk path
-    when tmpfs is too small for a large replay)."""
+    store delta files) once per partition per batch. The r15 A/B on
+    this box measured disk vs tmpfs WITHIN NOISE once warm (the page
+    cache absorbs the tiny deltas at gate scale; OPTIMIZATION_r15.md
+    §3) — the change is kept for LIFECYCLE, not seconds: explicit
+    cleanup (no /tmp litter) and bounded behavior for replays whose
+    state outgrows the page cache. PRODUCTION streams must keep
+    checkpoints on durable shared storage (that fsync is the
+    exactly-once contract); this helper is only for harness scratch
+    whose loss is meaningless. Override with $RSPL_STREAM_SCRATCH
+    (e.g. point it at a disk path when tmpfs is too small for a large
+    replay)."""
     base = os.environ.get("RSPL_STREAM_SCRATCH")
     if not base:
         base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
@@ -419,6 +423,14 @@ def stream_state_partitions(spark: SparkSession, source_bytes: int) -> int:
     return max(1, min(cap, n))
 
 
+# sized_stream_shuffle mutates SESSION-global shuffle width for the
+# lifetime of one replay (see its docstring); the lock makes concurrent
+# replays in one process serialize instead of clobbering each other's
+# saved/restored conf (set-set-restore-restore would leave the narrowed
+# width behind permanently).
+_SIZED_SHUFFLE_LOCK = threading.Lock()
+
+
 @contextlib.contextmanager
 def sized_stream_shuffle(
     spark: SparkSession,
@@ -431,6 +443,18 @@ def sized_stream_shuffle(
     Hold the scope open until the query terminates: the width is
     captured into the query's offset log by the micro-batch thread,
     which runs asynchronously after ``start()`` returns.
+
+    SINGLE-FLIGHT contract (r15 verdict ask #7): the width is a
+    session-global conf, so while one replay holds this scope, any
+    OTHER query planned in the same session inherits the narrowed
+    width. Concurrent *replays* are serialized by a process-level lock
+    (preventing interleaved set/restore from corrupting the saved
+    session value); a concurrent *batch* query in the same session
+    during a replay window is the caller's responsibility — run batch
+    work before/after the replay, or in a separate session
+    (``spark.newSession()`` has its own conf). The gate harness runs
+    queries serially, so this only matters for long-lived shared
+    sessions.
 
     ``python_stateful=True`` declares that the stream contains a keyed
     PYTHON stateful operator (applyInPandasWithState /
@@ -449,12 +473,13 @@ def sized_stream_shuffle(
         from rspl_spark.session import grouped_map_parallelism
 
         n = max(n, grouped_map_parallelism(spark))
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield n
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    with _SIZED_SHUFFLE_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield n
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def run_to_memory_sink(

@@ -66,6 +66,15 @@ def test_sq_dists_chunked_bit_identical():
         got = _sq_dists(M, C)
         assert got.shape == (n, k)
         assert np.array_equal(got, want)
+    # dtype agreement across branches (r15 ADVICE): a float32 caller
+    # gets float32 from BOTH the one-shot and the chunked path
+    for n in (10, 5000):  # one-shot branch, chunked branch
+        M = rng.standard_normal((n, 16)).astype(np.float32)
+        C = rng.standard_normal((64, 16)).astype(np.float32)
+        got = _sq_dists(M, C)
+        want = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assert got.dtype == want.dtype == np.float32
+        assert np.array_equal(got, want)
 
 
 def test_kmeans_sampled_fit_parity(spark):

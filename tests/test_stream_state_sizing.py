@@ -89,6 +89,51 @@ def test_none_source_dirs_is_a_noop(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == old
 
 
+def test_concurrent_sized_scopes_serialize(spark, tmp_path):
+    """r15 verdict ask #7: two concurrent replays must not interleave
+    their set/restore of the session-global shuffle width (set-set-
+    restore-restore would leave the narrowed width behind). The lock
+    serializes them: while one scope is open the second blocks, so the
+    conf seen inside each scope is that scope's own width and the
+    session value is restored once both exit."""
+    import threading
+    import time as _time
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    (d / "part-00000").write_bytes(b"x" * 100)  # tiny: byte width = 1
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    entered = threading.Event()
+    release = threading.Event()
+    second_done = threading.Event()
+    widths_inside: list[str] = []
+
+    def first():
+        with sized_stream_shuffle(spark, [str(d)]):
+            entered.set()
+            release.wait(timeout=10)
+
+    def second():
+        with sized_stream_shuffle(spark, [str(d)]):
+            widths_inside.append(spark.conf.get("spark.sql.shuffle.partitions"))
+        second_done.set()
+
+    t1 = threading.Thread(target=first)
+    t2 = threading.Thread(target=second)
+    t1.start()
+    assert entered.wait(timeout=10)
+    t2.start()
+    _time.sleep(0.2)
+    # second replay is blocked on the lock while the first holds it
+    assert not second_done.is_set()
+    release.set()
+    t1.join(timeout=10)
+    assert second_done.wait(timeout=10)
+    t2.join(timeout=10)
+    assert widths_inside == ["1"]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
 def test_tree_bytes_walks_nested_dirs(tmp_path):
     (tmp_path / "a").mkdir()
     (tmp_path / "a" / "f1").write_bytes(b"x" * 10)

@@ -24,6 +24,60 @@ from rspl_spark.operators.text import (
 ROWS = [(0, ""), (1, "   "), (2, "x"), (3, "a a a a a"), (4, "\t\n "), (5, "normal text here")]
 
 
+def test_tfidf_materialize_window_and_result_identity(spark, tmp_path):
+    """r16 scale-gated materialization of the (doc, term) aggregate:
+    the auto policy engages only inside the measured leaf-bytes window
+    (docs/bench/r16_tfidf_mat_sweep.json), the explicit modes win, and
+    the materialized result is IDENTICAL to the plain two-scan plan."""
+    from rspl_spark.operators.text import (
+        _TFIDF_MAT_MAX_LEAF_BYTES,
+        _TFIDF_MAT_MIN_LEAF_BYTES,
+        _tfidf_materialize,
+        tfidf_top_terms,
+    )
+
+    # a LogicalRDD leaf (createDataFrame) has no real size stats —
+    # Catalyst reports Long.Max, which the window reads as "huge" and
+    # keeps plain (the safe direction for unknown sizes)
+    mem_df = spark.createDataFrame(
+        [(0, "a b"), (1, "b c")], "doc_id long, text string"
+    )
+    assert _tfidf_materialize(mem_df) is False
+    # parquet-backed frame: leaf bytes are the actual file size (a few
+    # KB here — under the 2 MiB default window minimum)
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 5} w{i % 3} common") for i in range(200)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert _tfidf_materialize(df) is False
+    # window edges via conf (same frame, thresholds moved around it)
+    spark.conf.set("spark.rspl.tfidfMaterializeMinBytes", "1")
+    try:
+        assert _tfidf_materialize(df) is True  # now >= min and < max
+        spark.conf.set("spark.rspl.tfidfMaterializeMaxBytes", "2")
+        assert _tfidf_materialize(df) is False  # above the window
+    finally:
+        spark.conf.unset("spark.rspl.tfidfMaterializeMinBytes")
+        spark.conf.unset("spark.rspl.tfidfMaterializeMaxBytes")
+    # explicit modes override the window
+    spark.conf.set("spark.rspl.tfidfMaterialize", "on")
+    try:
+        assert _tfidf_materialize(df) is True
+        got_on = sorted(map(tuple, tfidf_top_terms(df, k=2).collect()))
+    finally:
+        spark.conf.set("spark.rspl.tfidfMaterialize", "off")
+    try:
+        assert _tfidf_materialize(df) is False
+        got_off = sorted(map(tuple, tfidf_top_terms(df, k=2).collect()))
+    finally:
+        spark.conf.unset("spark.rspl.tfidfMaterialize")
+    assert got_on == got_off and len(got_on) == 400
+    # defaults sane: window is non-empty and ordered
+    assert 0 < _TFIDF_MAT_MIN_LEAF_BYTES < _TFIDF_MAT_MAX_LEAF_BYTES
+
+
 @pytest.fixture(scope="module")
 def degenerate(spark):
     return spark.createDataFrame(ROWS, "doc_id long, text string")
