@@ -417,6 +417,69 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
 
 
+# Size gate for the driver union-find fast path. MEASURED, not guessed
+# (docs/bench/r16_cc_path_ab.json — interleaved A/B on mixed
+# chain+cluster graphs, noop sink, median of 3): the driver path wins
+# 5.0x at 10k edges, 4.3x at 65k, 3.9x at 262k, and still 2.9x at 1M
+# (the trend converges toward inversion somewhere above that). The
+# default stops at 262144 — ~4 MB of long pairs, broadcast-class bytes
+# even for string ids — rather than the largest measured win, because
+# the collect's byte size scales with id width the edge count cannot
+# see. spark.rspl.ccDriverMaxEdges overrides (0 disables).
+_CC_DRIVER_MAX_EDGES = 262144
+
+
+def _cc_driver_max_edges(spark) -> int:
+    try:
+        return int(
+            spark.conf.get("spark.rspl.ccDriverMaxEdges", str(_CC_DRIVER_MAX_EDGES))
+        )
+    except Exception:
+        return _CC_DRIVER_MAX_EDGES
+
+
+def _cc_union_find_driver(e: DataFrame) -> DataFrame:
+    """Exact min-label connected components of a SMALL canonical edge
+    frame (columns u, v; no self-loops), computed driver-side by
+    union-find with path compression. Returns the same (doc_id,
+    cluster) rows the star fixpoint yields: one row per node appearing
+    in any edge, labeled with its component's minimum id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    out_rows = [(x, comp_min[roots[x]]) for x in sorted(parent)]
+    from pyspark.sql.types import StructField, StructType
+
+    fields = e.schema.fields
+    schema = StructType(
+        [
+            StructField("doc_id", fields[0].dataType, True),
+            StructField("cluster", fields[1].dataType, True),
+        ]
+    )
+    return e.sparkSession.createDataFrame(out_rows, schema)
+
+
 def connected_components_star(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iters: int = 30
 ) -> DataFrame:
@@ -449,6 +512,28 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
     n_edges = e.count()
+    # SIZE-GATED driver fast path (r16, guide §1.2 step 1 — the gate
+    # profile showed 3 star rounds over a 173-EDGE graph costing ~6s of
+    # pure per-stage scheduling: ~5 shuffles + 2 jobs per round over
+    # sub-KB data). Below the cutover the canonical edge set is
+    # collected (bounded: 64k edges ≈ 2 MB — the broadcast-threshold
+    # class, not a data-sized collect) and labeled by exact union-find
+    # with min-id roots, which is BIT-IDENTICAL to the star fixpoint
+    # (each node keyed to its component minimum — integer labels, no
+    # floats, no ties). Above the cutover, or under a small caller
+    # iteration budget (where the legacy path could return a partial
+    # non-converged labeling that exact union-find would NOT
+    # reproduce: star CC converges in ~log2(diameter) rounds and
+    # diameter <= n_edges, so a budget of log2(n_edges)+4 guarantees
+    # the legacy path converges and the two agree), the distributed
+    # path is byte-for-byte the one that always ran. Crossover measured
+    # in docs/bench/r16_cc_path_ab.json; override with
+    # spark.rspl.ccDriverMaxEdges (0 disables).
+    import math as _math
+
+    _iters_safe = _math.ceil(_math.log2(max(n_edges, 2))) + 4
+    if 0 < n_edges <= _cc_driver_max_edges(edges.sparkSession) and max_iters >= _iters_safe:
+        return _cc_union_find_driver(e)
     converged = False
     for _ in range(max_iters):
         # large-star over symmetric neighborhoods: m ≤ a < b, so output

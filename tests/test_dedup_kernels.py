@@ -91,3 +91,43 @@ def test_null_text_not_clustered_as_duplicates(spark):
     cl = simhash_clusters(df).collect()
     assert {r["doc_id"] for r in cl} == {3, 4}  # NULL docs excluded
     assert {r["cluster"] for r in cl} == {3}
+
+
+def test_cc_driver_fast_path_parity_and_gating(spark):
+    """r16 size-gated driver union-find in connected_components_star:
+    bit-identical to the distributed star fixpoint (same (doc_id,
+    cluster=min id) rows, same schema), engaged only under the edge
+    cutover AND a >=20 iteration budget, disabled by conf 0."""
+    import random
+
+    from rspl_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(11)
+    pairs = [(i, i + 1) for i in range(200)]  # chain: needs several rounds
+    pairs += [
+        (1000 + rng.randrange(40), 1000 + rng.randrange(40)) for _ in range(120)
+    ]
+    pairs += [(5000, 5000), (6000, 6001), (6001, 6000)]  # self-loop + dup
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    spark.conf.set("spark.rspl.ccDriverMaxEdges", "0")  # force distributed
+    try:
+        want_df = connected_components_star(df)
+        want = sorted(map(tuple, want_df.collect()))
+    finally:
+        spark.conf.unset("spark.rspl.ccDriverMaxEdges")
+    got_df = connected_components_star(df)  # default: fast path engaged
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+    assert got_df.schema == want_df.schema
+    # chain collapsed to one min-labeled cluster, self-loop-only node absent
+    assert {c for d, c in got if d <= 200} == {0}
+    assert all(d != 5000 for d, _ in got)
+    # structural gating check: the fast path returns a local/RDD-backed
+    # frame; a small iteration budget (<20) keeps the legacy distributed
+    # path (exact union-find could otherwise mask a non-converged
+    # labeling), whose plan is the star-rounds Union shape
+    fast_plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    slow_plan = connected_components_star(df, max_iters=5)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in fast_plan or "LocalRelation" in fast_plan
+    assert "Union" in slow_plan
