@@ -97,7 +97,8 @@ def test_cc_driver_fast_path_parity_and_gating(spark):
     """r16 size-gated driver union-find in connected_components_star:
     bit-identical to the distributed star fixpoint (same (doc_id,
     cluster=min id) rows, same schema), engaged only under the edge
-    cutover AND a >=20 iteration budget, disabled by conf 0."""
+    cutover AND an iteration budget covering guaranteed star
+    convergence (log2(n_edges)+4), disabled by conf 0."""
     import random
 
     from rspl_spark.operators.dedup import connected_components_star
